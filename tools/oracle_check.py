@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the same sf tables,
+sorts columns by name and rows by all columns, and compares values exactly
+(floats to 15 significant digits). Dev tool only — the engine itself is pure
+Scala/Spark.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.15g}"
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return str(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        exp = con.execute(oracle[name]).fetchdf()
+        gcols, ecols = sorted(got.columns), sorted(exp.columns)
+        if gcols != ecols:
+            print(f"[FAIL-schema] {name}: spark={gcols} duck={ecols}")
+            n_fail += 1
+            continue
+        g = [tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False)]
+        e = [tuple(norm(v) for v in row) for row in exp[ecols].itertuples(index=False)]
+        g.sort(); e.sort()
+        if g == e:
+            print(f"[PASS] {name}: {len(g)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"[FAIL-values] {name}: {len(g)} spark rows vs {len(e)} duck rows")
+            diff_g = [r for r in g if r not in set(e)][:3]
+            diff_e = [r for r in e if r not in set(g)][:3]
+            print(f"  spark-only: {diff_g}")
+            print(f"  duck-only:  {diff_e}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
