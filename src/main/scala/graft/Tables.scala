@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the harness's synthetic tables (TESTDATA.md).
   *
@@ -15,6 +17,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** The synthetic `events` table stores `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark's reader rejects. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, so here the long
+    * nanos-since-epoch becomes a proper TimestampType (micro precision —
+    * same as DuckDB's CAST(ts AS TIMESTAMP) on the oracle side).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case None => df
+    }
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic relational operators from SURVEY.md §2 (joins J1–J8, aggregations
@@ -11,6 +12,12 @@ import org.apache.spark.sql.functions._
   * Domain versions of the same shapes (UTXO anti-join, cumulative chain
   * stats, top-K addresses …) live in `graft.chain` and are tested against
   * block fixtures; these are the scale-checked generic forms.
+  *
+  * Scale notes (100 TB design): every query here keeps filters/projections
+  * adjacent to the scan (pushdown), broadcasts only the genuinely small dims
+  * (nation/region), and uses `orderBy+limit` (TakeOrderedAndProject — no full
+  * sort) for top-K. Double aggregates are rounded to 2 decimals on both sides
+  * so summation-order ulp noise cannot flip the driver's hash compare.
   */
 object RelationalQueries extends QueryModule {
 
@@ -29,6 +36,228 @@ object RelationalQueries extends QueryModule {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J1: 3-way equi join fact ⋈ dim ⋈ dim (Box ⋈ ErgoTree ⋈ Block analog,
+    // reference PersistentBoxRepo.scala:72-86). nation is broadcast-small.
+    "q2_join3" -> ((s, dir) => {
+      val customer = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val nation = t(s, dir, "nation")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          countDistinct("c_custkey").as("n_cust"))
+        .orderBy("n_name")
+    }),
+
+    // J2: left outer join + per-key count histogram (Box ⟕ Asset2Box analog,
+    // reference PersistentAssetRepo.scala:18-166).
+    "q3_left_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select("o_orderkey")
+      val lineitem = t(s, dir, "lineitem").select("l_orderkey")
+      orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy("o_orderkey")
+        .agg(count("l_orderkey").as("n_items"))
+        .groupBy("n_items")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_items")
+    }),
+
+    // J3: left-semi join (utxo ids holding a token analog,
+    // reference PersistentBoxRepo.lookupUtxoIdsByTokenId:115-129).
+    "q4_semi_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      t(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J5/E1: anti join — the UTXO trick: unspent = outputs ∖ inputs
+    // (reference BoxService.scala:132-138, MvStorage.removeInputBoxes*).
+    "q5_anti_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select("o_custkey")
+      t(s, dir, "customer")
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // A3: cumulative running totals over an ordered dimension (cumulative
+    // chain stats analog, reference BlockBuilder.scala:23-66). Daily revenue
+    // is rounded first so the sequential cumsum is bit-identical across
+    // engines; the running sum itself is an ordered-window prefix sum.
+    "q6_running_total" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(round(sum("o_totalprice"), 2).as("day_rev"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_rev", round(sum("day_rev").over(w), 2))
+        .orderBy("day")
+    }),
+
+    // A5: global monotonic index via ordered row_number (globalIndex analog,
+    // reference BlockBuilder.scala:27-32, FullBlockBuilder.scala:66-87).
+    "q7_global_index" -> ((s, dir) => {
+      val w = Window.orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("gix", row_number().over(w).cast("long") - 1)
+        .orderBy("gix")
+        .limit(100)
+        .select("o_orderkey", "gix")
+    }),
+
+    // A6: top-K keys by count (top addresses by UTXO count analog,
+    // reference StatsService.scala:12-22). orderBy+limit plans as
+    // TakeOrderedAndProject — no global sort at scale.
+    "q8_topk_count" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), asc("o_custkey"))
+        .limit(20)
+    }),
+
+    // A7: top-K keys by summed value (top addresses by value analog,
+    // reference StatsService.scala:24-35).
+    "q9_topk_sum" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("total_spend"))
+        .orderBy(desc("total_spend"), asc("o_custkey"))
+        .limit(20)
+    }),
+
+    // O1: last-N by ordered key desc (last-N blocks analog,
+    // reference PersistentBlockRepo.getLastBlocks:32-41).
+    "q10_last_n" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        .limit(20)
+    }),
+
+    // O4/E3: gap detection — generated range ∖ existing keys (missing
+    // heights analog, reference MvStorage.findMissingHeights:284-290).
+    "q11_gaps" -> ((s, dir) => {
+      val existing = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      s.range(1, 201).select(col("id").as("k"))
+        .join(existing, Seq("k"), "left_anti")
+        .orderBy("k")
+    }),
+
+    // E1: set difference on a single key column (spent ids analog,
+    // reference BoxService.scala:92,138).
+    "q12_except" -> ((s, dir) => {
+      val active = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val negative = t(s, dir, "customer")
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      active.except(negative).orderBy("custkey")
+    }),
+
+    // E4: union of heterogeneous entity projections (per-block entity write
+    // fan-in analog, reference PersistentRepo.writeBlock:47-53).
+    "q13_union" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(lit("supplier").as("kind"), col("s_suppkey").as("key"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+      val cust = t(s, dir, "customer")
+        .select(lit("customer").as("kind"), col("c_custkey").as("key"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+      sup.unionByName(cust).orderBy("kind", "key")
+    }),
+
+    // A3/J4: lag over partitioned order — parent-link / blockMiningTime
+    // analog (reference BlockBuilder.scala:43-44: timestamp − parent's).
+    "q14_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // A2/P3: conditional aggregation (block-fee sum analog,
+    // reference RewardCalculator.scala:45-49).
+    "q15_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).otherwise(0.0)), 2).as("urgent_rev"),
+          round(sum(when(col("o_orderpriority") =!= "1-URGENT", col("o_totalprice")).otherwise(0.0)), 2).as("other_rev"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // distinct aggregation (non-empty address count analog,
+    // reference readme.md:174-183 epoch roll-up counters).
+    "q16_distinct" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // P2: last-element-per-group via descending row_number (coinbase = last
+    // tx of block, reference FullBlockBuilder.scala:86-87). (l_orderkey,
+    // l_linenumber) is NOT unique in the synthetic data, so l_quantity
+    // tie-breaks to make the projected columns deterministic.
+    "q17_last_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy(desc("l_linenumber"), desc("l_quantity"))
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber").as("last_line"),
+          round(col("l_quantity"), 2).as("qty"))
+        .orderBy("l_orderkey")
+    }),
+
+    // Event-time tumbling aggregation, batch form of the streaming window
+    // (SURVEY §2.9 — the engine exposes event-time windows beyond parity).
+    "q18_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // P11: JSON field extraction (register map pivot analog,
+    // reference OutputBuilder.scala:63-68 / NodeModel extension fields).
+    "q19_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("k")
+    }),
+
+    // J6: fact-to-state enrichment join (input boxId → utxo value analog,
+    // reference MvStorage.removeInputBoxesByErgoTree:132-147): every event
+    // enriched with its user's order stats.
+    "q20_enrich_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -39,8 +268,105 @@ object RelationalQueries extends QueryModule {
          round(sum(l_extendedprice), 2) AS sum_price,
          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
          count(*) AS n_rows
-         FROM lineitem
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_join3" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+         count(DISTINCT c_custkey) AS n_cust
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY n_name ORDER BY n_name""",
+    "q3_left_join" ->
+      """SELECT n_items, count(*) AS n_orders FROM (
+           SELECT o_orderkey, count(l_orderkey) AS n_items
+           FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY o_orderkey)
+         GROUP BY n_items ORDER BY n_items""",
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q6_running_total" ->
+      """SELECT day, day_rev, round(sum(day_rev) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+         FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+                 round(sum(o_totalprice), 2) AS day_rev
+               FROM orders GROUP BY 1)
+         ORDER BY day""",
+    "q7_global_index" ->
+      """SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS gix
+         FROM orders ORDER BY gix LIMIT 100""",
+    "q8_topk_count" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+         GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 20""",
+    "q9_topk_sum" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+         FROM orders GROUP BY o_custkey
+         ORDER BY total_spend DESC, o_custkey LIMIT 20""",
+    "q10_last_n" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20""",
+    "q11_gaps" ->
+      """SELECT k FROM (SELECT unnest(generate_series(1, 200)) AS k)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = k)
+         ORDER BY k""",
+    "q12_except" ->
+      """SELECT * FROM (
+           SELECT DISTINCT o_custkey AS custkey FROM orders
+           EXCEPT
+           SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+         ORDER BY custkey""",
+    "q13_union" ->
+      """SELECT * FROM (
+           SELECT 'supplier' AS kind, s_suppkey AS key, round(s_acctbal, 2) AS acctbal FROM supplier
+           UNION ALL
+           SELECT 'customer' AS kind, c_custkey AS key, round(c_acctbal, 2) AS acctbal FROM customer)
+         ORDER BY kind, key""",
+    "q14_lag" ->
+      """SELECT o_custkey, o_orderkey,
+           date_diff('day', prev_date, o_orderdate) AS days_since_prev
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev_date
+               FROM orders WHERE o_custkey < 100)
+         WHERE prev_date IS NOT NULL
+         ORDER BY o_custkey, o_orderkey""",
+    "q15_conditional_agg" ->
+      """SELECT o_orderstatus,
+         round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_rev,
+         round(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS other_rev,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q16_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+         count(*) AS n_cust
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q17_last_per_group" ->
+      """SELECT l_orderkey, l_linenumber AS last_line, round(l_quantity, 2) AS qty
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity, row_number()
+                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+               FROM lineitem)
+         WHERE rn = 1 ORDER BY l_orderkey""",
+    "q18_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q19_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY k ORDER BY k""",
+    "q20_enrich_join" ->
+      """SELECT c_nationkey, count(*) AS n_purchases,
+         round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE event_type = 'purchase'
+         GROUP BY c_nationkey ORDER BY c_nationkey"""
   )
 }
