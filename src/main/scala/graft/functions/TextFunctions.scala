@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the text-analysis and dedup
+  * operators (SURVEY.md §7.5 — training-data-pipeline surface).
+  *
+  * Everything here is built from codegen'd built-ins (split / md5 / conv /
+  * higher-order array functions) — no Scala UDFs — so the whole pipeline stays
+  * inside WholeStageCodegen and scales linearly with input splits. The hash is
+  * deliberately md5-based (not Spark's murmur3 `hash()`) so an external oracle
+  * (DuckDB) can reproduce every value bit-for-bit: `hash64` here ==
+  * `CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)` in ANSI-ish SQL.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; the canonical token stream for all operators. */
+  def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Lowercased, whitespace-collapsed canonical form (exact-dedup key). */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Deterministic, oracle-reproducible 60-bit non-negative hash of `c`,
+    * parameterized by `seed` (one seed per MinHash permutation). 15 hex chars
+    * of md5 → always fits a signed long.
+    */
+  def hash64(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+
+  /** SQL rendering of [[hash64]] for the DuckDB oracle. */
+  def hash64Sql(expr: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $expr), 1, 15)) AS BIGINT)"
+
+  /** Word n-gram shingles (distinct), [] when the doc has < n tokens.
+    * 1-based `slice` mirrors DuckDB's 1-based list slicing so shingle strings
+    * match the oracle exactly.
+    */
+  def shingles(tokens: Column, n: Int): Column =
+    array_distinct(
+      when(size(tokens) >= n,
+        transform(sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md §7.5 —
+  * training-data pipeline surface): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): the only all-pairs computation ever done is within
+  * an LSH/band/label bucket — candidate generation is always an equi-join on
+  * a derived blocking key (fingerprint, band hash, simhash, label), so the
+  * shuffle is keyed and AQE can split skewed buckets. The exact-jaccard
+  * verification stage (q26) exists as the within-bucket kernel; the
+  * whole-corpus variant here is only run at oracle scale. All hashes are
+  * md5-derived (TextFunctions.hash64) so DuckDB reproduces them exactly.
+  */
+object DedupQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private val NumHashes = 12
+  private val NumBands = 3 // 4 rows per band
+  private val RowsPerBand = NumHashes / NumBands
+  private val SimhashBits = 32
+  private val SimhashSeed = 100
+
+  /** doc_id + distinct 3-gram word shingles, the unit of near-dup identity. */
+  private def shingled(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("s"))
+
+  /** MinHash signature: one min-hash per seed over the shingle set. */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(k => min(hash64(col("s"), k)).as(s"mh$k"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on the canonical-form fingerprint; keep the
+    // lowest doc_id per group. One shuffle on a uniform 128-bit key.
+    "q25_exact_dedup" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(md5(normText(col("text"))).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")
+    }),
+
+    // n-gram Jaccard near-dup: candidate pairs via shared-shingle equi-join,
+    // then exact |A∩B|/|A∪B| ≥ 0.5. At 100 TB this exact kernel runs only
+    // within LSH buckets (q27 generates the candidates); shingle hotness is
+    // bounded because a shingle shared by k docs costs k² — the LSH path
+    // avoids exactly that blow-up.
+    "q26_shingle_jaccard" -> ((s, dir) => {
+      val sh = shingled(docs(s, dir))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("c"))
+      shared
+        .join(sz.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+        .join(sz.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+        .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("j") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash + LSH: 12 md5-derived min-hashes per doc, banded 3×4; docs
+    // sharing any band hash become candidates; estimated Jaccard = fraction
+    // of matching signature rows ≥ 0.5. The scale path for q26: candidate
+    // generation is 3 equi-joins on 128-bit band keys — no all-pairs stage.
+    "q27_minhash_lsh" -> ((s, dir) => {
+      val sig = signatures(shingled(docs(s, dir)))
+      val bandCols = (0 until NumBands).map { b =>
+        val ms = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+        md5(concat_ws(",", ms: _*)).as(s"band$b")
+      }
+      val banded = sig.select(col("doc_id") +: bandCols: _*)
+      val pairs = (0 until NumBands).map { b =>
+        banded.as("a")
+          .join(banded.as("b"),
+            col(s"a.band$b") === col(s"b.band$b") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      }.reduce(_ unionByName _).distinct()
+      val eqCount = (0 until NumHashes)
+        .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs
+        .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+        .withColumn("est_j", eqCount.cast("double") / NumHashes)
+        .filter(col("est_j") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("est_j"), 4).as("est_j"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash: 32-bit locality-sensitive fingerprint — per bit, sign of the
+    // ±1 vote sum across shingle hashes. One groupBy per doc; near-dups land
+    // within small hamming distance of each other.
+    "q28_simhash" -> ((s, dir) => {
+      simhashed(docs(s, dir)).orderBy("doc_id")
+    }),
+
+    // SimHash pairing: hamming ≤ 5 via xor+bit_count (planted near-dups land
+    // at 0–5; random pairs only from 6 up). All-pairs here (fine at oracle
+    // scale); at 100 TB pair on band keys of the simhash exactly like q27
+    // (split the 32 bits into 4 bytes, join on any equal byte).
+    "q29_simhash_pairs" -> ((s, dir) => {
+      val sim = simhashed(docs(s, dir))
+      sim.as("a")
+        .join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= 5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding-cosine near-dup: same-label blocking (the IVF bucket analog)
+    // then pairwise cosine ≥ 0.4 in double precision. Blocking key join →
+    // keyed shuffle, never a global cross join.
+    "q30_embedding_neardup" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      e.as("a")
+        .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosine(col("a.v"), col("b.v")))
+        .filter(round(col("cos"), 4) >= 0.4)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  /** doc_id → 32-bit simhash over distinct 3-gram shingles. */
+  private def simhashed(d: DataFrame): DataFrame = {
+    val h = hash64(col("s"), SimhashSeed)
+    val votes = (0 until SimhashBits).map(k =>
+      sum(when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+    val sim = (0 until SimhashBits)
+      .map(k => when(col(s"v$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    shingled(d)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  // ---- oracle SQL (DuckDB dialect), generated from the same constants ----
+
+  private val tkCte =
+    raw"tk AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM documents)"
+  private val shCte =
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), " +
+      "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM tk)"
+
+  private val minsSql =
+    (0 until NumHashes).map(k => s"min(${hash64Sql("s", k)}) AS mh$k").mkString(", ")
+  private val bandsSql = (0 until NumBands).map { b =>
+    val ms = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+    s"md5(${ms.mkString(" || ',' || ")}) AS band$b"
+  }.mkString(", ")
+  private val pairUnionsSql = (0 until NumBands).map { b =>
+    s"SELECT a.doc_id a_id, b.doc_id b_id FROM banded a JOIN banded b " +
+      s"ON a.band$b = b.band$b AND a.doc_id < b.doc_id"
+  }.mkString(" UNION ")
+  private val eqSql = (0 until NumHashes)
+    .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+
+  private val simBitsSql = (0 until SimhashBits).map { k =>
+    s"(CASE WHEN sum(CASE WHEN (${hash64Sql("s", SimhashSeed)} >> $k) & 1 = 1 " +
+      s"THEN 1 ELSE -1 END) >= 0 THEN CAST(1 AS BIGINT) << $k ELSE 0 END)"
+  }.mkString(" + ")
+  private val simCte =
+    s"WITH $tkCte, $shCte, sim AS (SELECT doc_id, $simBitsSql AS simhash FROM sh GROUP BY doc_id)"
+
+  val oracles: Map[String, String] = Map(
+    "q25_exact_dedup" ->
+      raw"""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q26_shingle_jaccard" ->
+      s"""WITH $tkCte, $shCte,
+         sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT a_id, b_id, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard
+         FROM shared JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5
+         ORDER BY a_id, b_id""",
+    "q27_minhash_lsh" ->
+      s"""WITH $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql)
+         SELECT a_id, b_id, round(($eqSql) / 12.0, 4) AS est_j
+         FROM pairs JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+         WHERE ($eqSql) / 12.0 >= 0.5
+         ORDER BY a_id, b_id""",
+    "q28_simhash" ->
+      s"""$simCte SELECT doc_id, simhash FROM sim ORDER BY doc_id""",
+    "q29_simhash_pairs" ->
+      s"""$simCte
+         SELECT a.doc_id a_id, b.doc_id b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+         ORDER BY a_id, b_id""",
+    "q30_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+         SELECT a.vec_id a_id, b.vec_id b_id,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+         ORDER BY a_id, b_id"""
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §7.5): exact
+  * brute-force cosine top-k as the correctness baseline, and an IVF
+  * (inverted-file) bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: the query set is broadcast (it is small by definition), so
+  * brute force is a map-side nested loop over corpus splits + a top-k
+  * (TakeOrdered-style) per query — no corpus shuffle. The IVF variant
+  * replaces the full scan with (a) a tiny broadcast centroid table, (b) a
+  * map-side nearest-centroid assignment, (c) an equi-join on bucket id —
+  * probing 1/K of the corpus per query.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val NumQueries = 5
+  private val TopK = 10
+  private val NProbe = 3
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+
+  /** Rank candidate (q_id, nbr_id, cos) triples and keep the top-k per query.
+    * Ranking uses cosine rounded to 6 dp with nbr_id tie-break so the order
+    * is reproducible across engines.
+    */
+  private def topK(cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("nbr_id").asc)
+    cand
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("q_id"), col("rnk"), col("nbr_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ANN baseline: broadcast the queries, scan the corpus once.
+    "q31_cosine_topk" -> ((s, dir) => {
+      val e = corpus(s, dir)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nbr_id"),
+          cosine(col("qv"), col("v")).as("cos"))
+      topK(cand)
+    }),
+
+    // IVF-bucketed ANN: centroids = per-label mean vectors (deterministic
+    // k-means stand-in), every vector assigned to its nearest centroid,
+    // queries probe their NProbe nearest buckets (multi-probe compensates for
+    // weak clustering). No oracle (not expressible as one portable SQL
+    // statement) — PipelineSpec checks recall against q31 instead; the
+    // driver records a rows-only check.
+    "q32_ivf_topk" -> ((s, dir) => {
+      val e = corpus(s, dir)
+      // (a) centroids: posexplode → per-(label,dim) mean → re-assembled array.
+      val cent = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg("x").as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("cv"))
+        .select(col("label").as("c_id"), col("cv"))
+      // (b) centroid affinity: broadcast nested loop + rank per vector.
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(round(col("c_cos"), 6).desc, col("c_id").asc)
+      val ranked = e.join(broadcast(cent))
+        .withColumn("c_cos", cosine(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign))
+      // corpus vectors live in exactly one bucket (rn=1)...
+      val assigned = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+      // ...while queries probe their NProbe nearest buckets.
+      val q = ranked.filter(col("vec_id") < NumQueries && col("rn") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id").as("bucket"))
+      // (c) probe: equi-join on the bucket key only — scans NProbe/K of the corpus.
+      val cand = assigned.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nbr_id"),
+          cosine(col("qv"), col("v")).as("cos"))
+      topK(cand)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         c AS (SELECT q.vec_id q_id, e.vec_id nbr_id,
+                 list_cosine_similarity(q.v, e.v) cos
+               FROM e q, e WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)
+         SELECT q_id, rnk, nbr_id, round(cos, 4) AS cos_sim FROM (
+           SELECT q_id, nbr_id, cos, row_number() OVER (
+             PARTITION BY q_id ORDER BY round(cos, 6) DESC, nbr_id) rnk FROM c)
+         WHERE rnk <= $TopK ORDER BY q_id, rnk"""
+  )
+}

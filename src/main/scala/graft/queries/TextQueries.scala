@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §7.5 —
+  * training-data pipeline surface): token counting, quality scoring,
+  * heuristic language ID, and document fingerprinting.
+  *
+  * All four are pure column pipelines (split / filter / md5 — no UDFs), so
+  * they stay in WholeStageCodegen and parallelize over input splits with no
+  * shuffle except the final aggregations. Per-doc outputs shuffle nothing at
+  * all until the (tiny) presentation sort.
+  */
+object TextQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Marker-word heuristic for language ID. Deterministic stand-in for an
+    * n-gram profile model: score each language by its marker-token count,
+    * argmax with alphabetical-priority tie-break (mirrors the oracle's CASE
+    * chain exactly).
+    */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "de" -> "join", "en" -> "the", "es" -> "table", "fr" -> "query", "zh" -> "row")
+
+  private def markerCount(tk: Column, word: String): Column =
+    size(filter(tk, t => t === word))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting per language (corpus-stats roll-up).
+    "q21_token_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), size(toks(col("text"))).as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          round(avg("n_tokens"), 2).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Per-document quality scoring: type-token ratio + stopword ratio →
+    // composite score. The canonical "cheap quality filter" stage of a
+    // training-data pipeline.
+    "q22_quality_score" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(tk).cast("double").as("n_tokens"),
+          size(array_distinct(tk)).cast("double").as("n_uniq"),
+          size(filter(tk, t => t.isin("the", "a"))).cast("double").as("n_stop"))
+        .select(
+          col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          round(col("n_uniq") / col("n_tokens"), 4).as("ttr"),
+          round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+          round(
+            lit(0.5) * (col("n_uniq") / col("n_tokens")) +
+              lit(0.5) * (lit(1.0) - col("n_stop") / col("n_tokens")),
+            4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Heuristic language ID → confusion matrix vs the labeled `lang` column.
+    "q23_langid" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val counted = docs(s, dir).select(
+        col("doc_id") +: col("lang") +:
+          langMarkers.map { case (l, w) => markerCount(tk, w).as(s"c_$l") }: _*)
+      // argmax with alphabetical priority: de > en > es > fr > zh on ties.
+      val langs = langMarkers.map(_._1)
+      val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((l, i), elseCol) =>
+          val geAllLater = langs.drop(i + 1)
+            .map(o => col(s"c_$l") >= col(s"c_$o"))
+            .reduce(_ && _)
+          when(geAllLater, l).otherwise(elseCol)
+      }
+      counted
+        .withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Document fingerprinting: exact-content fingerprint (md5 of the
+    // canonical form) + order-insensitive bag fingerprint (md5 of the sorted
+    // distinct token list).
+    "q24_fingerprint" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          md5(normText(col("text"))).as("fp_exact"),
+          md5(concat_ws(" ", array_sort(array_distinct(tk)))).as("fp_bag"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+         round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q22_quality_score" ->
+      """SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_uniq / n_tokens, 4) AS ttr,
+           round(n_stop / n_tokens, 4) AS stop_ratio,
+           round(0.5 * (n_uniq / n_tokens) + 0.5 * (1.0 - n_stop / n_tokens), 4) AS quality
+         FROM (SELECT doc_id,
+                 CAST(len(tk) AS DOUBLE) AS n_tokens,
+                 CAST(len(list_distinct(tk)) AS DOUBLE) AS n_uniq,
+                 CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop
+               FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                     FROM documents))
+         ORDER BY doc_id""",
+    "q23_langid" ->
+      """SELECT lang, pred_lang, count(*) AS n FROM (
+           SELECT lang,
+             CASE
+               WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+               WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+               WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+               WHEN c_fr >= c_zh THEN 'fr'
+               ELSE 'zh' END AS pred_lang
+           FROM (SELECT lang,
+                   len(list_filter(tk, t -> t = 'join')) AS c_de,
+                   len(list_filter(tk, t -> t = 'the')) AS c_en,
+                   len(list_filter(tk, t -> t = 'table')) AS c_es,
+                   len(list_filter(tk, t -> t = 'query')) AS c_fr,
+                   len(list_filter(tk, t -> t = 'row')) AS c_zh
+                 FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS tk
+                       FROM documents)))
+         GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(text), '\s+'))), ' ')) AS fp_bag
+         FROM documents ORDER BY doc_id"""
+  )
+}

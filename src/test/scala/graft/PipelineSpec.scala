@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the training-data-pipeline operators (dedup,
+  * similarity, text analysis) that the DuckDB oracle can't fully check —
+  * notably recall of the approximate paths against their exact baselines.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("minhash LSH finds the same near-dup pairs as exact shingle jaccard") {
+    val exact = SparkEntry.queries("q26_shingle_jaccard")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q27_minhash_lsh")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no planted near-dup pairs found by exact jaccard")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
+  test("simhash pairs cover the exact near-dup pairs") {
+    val exact = SparkEntry.queries("q26_shingle_jaccard")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = SparkEntry.queries("q29_simhash_pairs")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.9, s"simhash recall $recall < 0.9")
+  }
+
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf001)
+        .select("q_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q31_cosine_topk")
+    val ivf = pairs("q32_ivf_topk")
+    assert(exact.size == 50, s"expected 5 queries x 10 neighbors, got ${exact.size}")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall < 0.3 — bucketing is broken")
+  }
+
+  test("quality scores are bounded and exact dedup partitions the corpus") {
+    val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
+    assert(q.forall { r =>
+      val s = r.getAs[Double]("quality"); s >= 0.0 && s <= 1.0
+    })
+    val docs = Tables.load(spark, sf0001, "documents").count()
+    val dedup = SparkEntry.queries("q25_exact_dedup")(spark, sf0001)
+    val copies = dedup.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)
+    assert(copies == docs, "fingerprint groups must partition the corpus exactly")
+  }
+}
