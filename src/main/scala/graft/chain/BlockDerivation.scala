@@ -1,0 +1,201 @@
+package graft.chain
+
+import graft.functions.CryptoFunctions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity tables derived from one pass over the raw nested block stream. */
+case class ChainTables(
+  blocks: DataFrame,
+  txs: DataFrame,
+  outputs: DataFrame,
+  inputs: DataFrame,
+  assets: DataFrame,
+  ergoTrees: DataFrame,
+  ergoTreeT8s: DataFrame)
+
+/** The per-block transform stage (SURVEY.md §2.3/§2.5): nested
+  * `Dataset[RawBlock]` → {blocks, txs, outputs, inputs, assets, ergoTrees}
+  * with positional + global indexes, coinbase flags, reward/fee economics and
+  * cumulative chain statistics.
+  *
+  * Spark-first shape: one `posexplode` per nesting level (P1); scalar
+  * derivations are codegen'd column expressions; the ONLY ordered windows run
+  * over the *blocks* table (one row per block — millions of rows at full
+  * chain scale, trivially windowable), never over txs/outputs (billions).
+  * Global tx/box indexes (A5) = per-block running-sum base (block-level
+  * window) + in-block position (partitioned window), avoiding the
+  * single-partition global row_number anti-pattern.
+  *
+  * References: OutputBuilder.scala:20-75 (flatten + registers + minting),
+  * BlockBuilder.scala:19-66 (economics + cumulative), RewardCalculator
+  * .scala:38-58 (reward/fee), FullBlockBuilder.scala:66-144 (global indexes,
+  * coinbase flag).
+  */
+object BlockDerivation {
+
+  /** Template extraction stand-in (ErgoTreeParser.ergoTreeHex2T8:58-81):
+    * P2PK-marked trees (`0008cd…`) have no template; other trees split as
+    * 8-hex-char constant segment + template. Isolated here as the plug point
+    * for a real ErgoTree parser.
+    */
+  private def templateHex(tree: org.apache.spark.sql.Column) =
+    when(tree.startsWith("0008cd") || length(tree) <= 8, lit(null))
+      .otherwise(expr("substring(ergoTree, 9)"))
+
+  def derive(raw: Dataset[RawBlock], feeTree: String = ChainFixture.FeeTree): ChainTables = {
+    val spark = raw.sparkSession
+
+    // P1: block → tx flatten with positional index; coinbase = last tx.
+    val txsWithStruct = raw.toDF()
+      .select(
+        col("header.id").as("blockId"),
+        col("header.height").as("height"),
+        col("header.timestamp").as("timestamp"),
+        size(col("transactions")).as("ntx"),
+        posexplode(col("transactions")).as(Seq("txIndex", "tx")))
+      .select(
+        col("blockId"), col("height"), col("timestamp"),
+        col("tx.id").as("txId"),
+        col("txIndex"),
+        (col("txIndex") === col("ntx") - 1).as("coinbase"), // P2
+        col("tx.size").as("txSize"),
+        try_element_at(col("tx.inputs"), lit(1)).getField("boxId").as("firstInputBoxId"), // P10 key; null for coinbase
+        col("tx.inputs").as("rawInputs"),
+        col("tx.outputs").as("rawOutputs"))
+
+    // P1 level 2: tx → outputs with positional index; P6 hash + template;
+    // P11 register pivot r4..r9.
+    val outputs = txsWithStruct
+      .select(col("blockId"), col("height"), col("txId"), col("txIndex"),
+        col("coinbase"), col("firstInputBoxId"),
+        posexplode(col("rawOutputs")).as(Seq("outIndex", "o")))
+      .select(
+        col("o.boxId").as("boxId"),
+        col("txId"), col("blockId"),
+        col("o.creationHeight").as("creationHeight"),
+        col("height").as("settlementHeight"),
+        col("o.value").as("ergValue"),
+        col("outIndex").as("index"),
+        col("txIndex"), col("coinbase"), col("firstInputBoxId"),
+        col("o.ergoTree").as("ergoTree"),
+        col("o.assets").as("rawAssets"),
+        element_at(col("o.registers"), "R4").as("r4"),
+        element_at(col("o.registers"), "R5").as("r5"),
+        element_at(col("o.registers"), "R6").as("r6"),
+        element_at(col("o.registers"), "R7").as("r7"),
+        element_at(col("o.registers"), "R8").as("r8"),
+        element_at(col("o.registers"), "R9").as("r9"))
+      .withColumn("ergoTreeHash", sha256OfHex(col("ergoTree")))
+      .withColumn("ergoTreeT8Hex", templateHex(col("ergoTree")))
+      .withColumn("ergoTreeT8Hash",
+        when(col("ergoTreeT8Hex").isNotNull, lower(sha2(unhex(col("ergoTreeT8Hex")), 256))))
+
+    val inputs = txsWithStruct
+      .select(col("blockId"), col("height"), col("txId"), col("txIndex"),
+        posexplode(col("rawInputs")).as(Seq("index", "i")))
+      .select(col("i.boxId").as("boxId"), col("txId"), col("blockId"),
+        col("height"), col("txIndex"), col("index"))
+
+    // P10: token minted iff tokenId == first input boxId of its tx;
+    // P9: EIP-004 props from r4/r5/r6 only for minted tokens.
+    val assets = outputs
+      .select(col("boxId"), col("txId"), col("blockId"),
+        col("settlementHeight").as("height"),
+        col("firstInputBoxId"), col("r4"), col("r5"), col("r6"),
+        posexplode(col("rawAssets")).as(Seq("index", "a")))
+      .select(
+        col("a.tokenId").as("tokenId"),
+        col("boxId"), col("txId"), col("blockId"), col("height"), col("index"),
+        col("a.amount").as("amount"),
+        (col("a.tokenId") === col("firstInputBoxId")).as("minted"),
+        when(col("a.tokenId") === col("firstInputBoxId"),
+          decode(unhex(col("r4")), "UTF-8")).as("tokenName"),
+        when(col("a.tokenId") === col("firstInputBoxId"),
+          decode(unhex(col("r5")), "UTF-8")).as("tokenDescription"),
+        when(col("a.tokenId") === col("firstInputBoxId"),
+          decode(unhex(col("r6")), "UTF-8").cast("int")).as("tokenDecimals"))
+
+    // Script dims with P7 address rendering (first block that saw the tree).
+    val ergoTrees = outputs
+      .groupBy(col("ergoTreeHash").as("hash"))
+      .agg(first("ergoTree").as("hex"), min("blockId").as("blockId"))
+      .withColumn("address", base58EncodeHexUdf(concat(lit("01"), col("hex"))))
+    val ergoTreeT8s = outputs
+      .filter(col("ergoTreeT8Hash").isNotNull)
+      .groupBy(col("ergoTreeT8Hash").as("hash"))
+      .agg(first("ergoTreeT8Hex").as("hex"), min("blockId").as("blockId"))
+
+    // A1/A2: per-block sums. The fee filter (P3) and coinbase value are
+    // column conditions; everything reduces in one partial-agg pass.
+    val perBlock = outputs
+      .groupBy("blockId")
+      .agg(
+        sum("ergValue").as("sumOutputValue"),
+        sum(when(col("ergoTree") === feeTree, col("ergValue")).otherwise(0L)).as("blockFee"),
+        count(lit(1)).as("boxCount"))
+    val perBlockTx = txsWithStruct
+      .groupBy("blockId")
+      .agg(count(lit(1)).as("txsCount"), sum("txSize").as("txsSize"))
+
+    val headers = raw.toDF().select(
+      col("header.id").as("blockId"),
+      col("header.parentId").as("parentId"),
+      col("header.height").as("height"),
+      col("header.timestamp").as("timestamp"),
+      col("size").as("blockSize"),
+      col("header.minerPk").as("minerPk"))
+
+    // A3/A5: ordered windows over the block-level table only.
+    val wOrd = Window.orderBy("height")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+
+    val blocks = headers
+      .join(perBlock, "blockId")
+      .join(perBlockTx, "blockId")
+      .withColumn("minerReward", ChainConst.minerRewardAt(col("height")))
+      .withColumn("minerRevenue", col("minerReward") + col("blockFee"))
+      .withColumn("blockCoins", col("sumOutputValue") - col("minerRevenue"))
+      .withColumn("minerAddress", minerAddressUdf(col("minerPk")))
+      .withColumn("blockMiningTime",
+        col("timestamp") - coalesce(lag("timestamp", 1).over(wOrd), col("timestamp")))
+      .withColumn("blockChainTotalSize", sum("blockSize").over(wCum))
+      .withColumn("totalTxsCount", sum("txsCount").over(wCum))
+      .withColumn("totalCoinsIssued", ChainConst.issuedCoinsAt(col("height")))
+      .withColumn("totalMiningTime", sum("blockMiningTime").over(wCum))
+      .withColumn("totalFees", sum("blockFee").over(wCum))
+      .withColumn("totalMinersReward", sum("minerReward").over(wCum))
+      .withColumn("totalCoinsInTxs", sum("blockCoins").over(wCum))
+      .withColumn("maxTxGix", sum("txsCount").over(wCum) - 1)
+      .withColumn("maxBoxGix", sum("boxCount").over(wCum) - 1)
+      .withColumn("txGixBase", coalesce(sum("txsCount").over(wPrev), lit(0L)))
+      .withColumn("boxGixBase", coalesce(sum("boxCount").over(wPrev), lit(0L)))
+      .drop("sumOutputValue")
+
+    // A5: global indexes = block-level base + in-block position.
+    val gixKeys = blocks.select("blockId", "txGixBase", "boxGixBase")
+    val txs = txsWithStruct
+      .join(gixKeys, "blockId")
+      .withColumn("globalIndex", col("txGixBase") + col("txIndex"))
+      .select("txId", "blockId", "height", "timestamp", "txIndex", "coinbase",
+        "txSize", "globalIndex")
+    val wInBlock = Window.partitionBy("blockId")
+      .orderBy("txIndex", "index")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outputsWithGix = outputs
+      .join(gixKeys, "blockId")
+      .withColumn("globalIndex", col("boxGixBase") + count(lit(1)).over(wInBlock) - 1)
+      .drop("rawAssets", "firstInputBoxId", "txGixBase", "boxGixBase")
+
+    ChainTables(
+      blocks = blocks.drop("txGixBase", "boxGixBase"),
+      txs = txs,
+      outputs = outputsWithGix,
+      inputs = inputs,
+      assets = assets,
+      ergoTrees = ergoTrees,
+      ergoTreeT8s = ergoTreeT8s)
+  }
+}

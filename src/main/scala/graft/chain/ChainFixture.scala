@@ -1,0 +1,123 @@
+package graft.chain
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import scala.collection.mutable
+
+/** Deterministic synthetic chain generator for tests/demos (the analog of
+  * the reference's canned-block fixtures, StreamSchedulerSpec.scala:24-85 —
+  * which are real-chain data we must not copy). Pure function of its
+  * parameters: no RNG, ids are sha256 of structured labels.
+  *
+  * Economics are constructed to satisfy the invariants the derivation
+  * pipeline is tested against: every non-coinbase tx conserves value
+  * (Σinputs = Σoutputs incl. its fee output), the coinbase (LAST tx of the
+  * block, FullBlockBuilder.scala:86-87) mints exactly
+  * minerReward(h) + blockFee(h), and token mints follow the
+  * tokenId == first-input-boxId rule (OutputBuilder.scala:21-51).
+  */
+object ChainFixture {
+
+  val GenesisParentId: String = "0" * 64
+  val TxFee: Long = 1000000L
+
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def utf8Hex(s: String): String =
+    s.getBytes(StandardCharsets.UTF_8).map("%02x".format(_)).mkString
+
+  /** The fixture's fee-contract script (FeeContract.ergoTreeHex analog). */
+  val FeeTree: String = md5Hex("fee-contract")
+
+  /** Script universe: every third script is a P2PK-style tree (leading
+    * marker `0008cd`, no template — ErgoTreeParser.isErgoTreeT8:25-28);
+    * the rest are 8-hex-char "constants" + a template shared by k%4.
+    */
+  def script(k: Int): String =
+    if (k % 3 == 0) "0008cd" + md5Hex(s"pk:$k")
+    else md5Hex(s"const:$k").take(8) + md5Hex(s"tmpl:${k % 4}")
+
+  def minerScript(h: Int): String = "0008cd" + md5Hex(s"minerpk:${h % 5}")
+
+  /** Generate `nBlocks` of a single main chain starting at height 1. */
+  def generate(nBlocks: Int): Seq[RawBlock] = generateBranch(1, nBlocks, GenesisParentId, "", initialSpendable = Nil)._1
+
+  /** Generate a chain of `mainLen` blocks plus two competing branches forking
+    * after `forkAt`: branch "a" of length `shortLen` and branch "b" of length
+    * `longLen`. Returns (all blocks incl. both branches, ids of branch b —
+    * the expected winner when longLen > shortLen).
+    */
+  def generateWithFork(forkAt: Int, shortLen: Int, longLen: Int): (Seq[RawBlock], Seq[String]) = {
+    val (trunk, spendable) = generateBranch(1, forkAt, GenesisParentId, "", Nil)
+    val forkParent = trunk.last.header.id
+    val (branchA, _) = generateBranch(forkAt + 1, forkAt + shortLen, forkParent, "a", spendable)
+    val (branchB, _) = generateBranch(forkAt + 1, forkAt + longLen, forkParent, "b", spendable)
+    (trunk ++ branchA ++ branchB, branchB.map(_.header.id))
+  }
+
+  /** One branch of blocks [fromH, toH]; `salt` differentiates fork branches
+    * (distinct block/tx/box ids, same heights). Returns the blocks and the
+    * remaining spendable set (for chaining fork branches off a trunk).
+    */
+  private def generateBranch(
+    fromH: Int,
+    toH: Int,
+    parent0: String,
+    salt: String,
+    initialSpendable: Seq[(String, Long)]): (Seq[RawBlock], Seq[(String, Long)]) = {
+
+    val spendable = mutable.Queue[(String, Long)](initialSpendable: _*)
+    val blocks = Vector.newBuilder[RawBlock]
+    var parent = parent0
+
+    for (h <- fromH to toH) {
+      val nUser = math.min(spendable.size / 2, h % 3)
+      val userTxs = (0 until nUser).map { i =>
+        val (b1, v1) = spendable.dequeue()
+        val (b2, v2) = spendable.dequeue()
+        val spendTotal = v1 + v2 - TxFee
+        val o1v = spendTotal * 2 / 3
+        val o2v = spendTotal - o1v
+        val mint = (h + i) % 4 == 0
+        val out1 = RawOutput(
+          boxId = sha256Hex(s"box:$salt:$h:$i:0"),
+          value = o1v,
+          ergoTree = script((h + i) % 8),
+          creationHeight = h,
+          assets = if (mint) Seq(RawAsset(b1, 1000L + h)) else Nil,
+          registers =
+            if (mint) Map("R4" -> utf8Hex(s"token$h"), "R5" -> utf8Hex("minted"), "R6" -> utf8Hex("2"))
+            else Map.empty)
+        val out2 = RawOutput(sha256Hex(s"box:$salt:$h:$i:1"), o2v,
+          script((h + i + 3) % 8), h, Nil, Map.empty)
+        val feeOut = RawOutput(sha256Hex(s"box:$salt:$h:$i:f"), TxFee, FeeTree, h, Nil, Map.empty)
+        spendable.enqueue(out1.boxId -> o1v, out2.boxId -> o2v)
+        RawTx(sha256Hex(s"tx:$salt:$h:$i"), Seq(RawInput(b1), RawInput(b2)),
+          Seq(out1, out2, feeOut), 300 + (h + i) % 100)
+      }
+      val blockFee = nUser * TxFee
+      val reward = ChainConst.minerRewardAtScala(h.toLong)
+      val cbOut = RawOutput(sha256Hex(s"cb:$salt:$h"), reward + blockFee,
+        minerScript(h), h, Nil, Map.empty)
+      spendable.enqueue(cbOut.boxId -> cbOut.value)
+      val coinbase = RawTx(sha256Hex(s"cbtx:$salt:$h"), Nil, Seq(cbOut), 200)
+      val txs = userTxs :+ coinbase // coinbase is always last
+      val id = sha256Hex(s"blk:$salt:$h")
+      blocks += RawBlock(
+        RawHeader(id, parent, h, 1600000000000L + h.toLong * 120000L, 2,
+          md5Hex(s"minerpk:${h % 5}")),
+        txs,
+        size = 1000 + txs.map(_.size).sum)
+      parent = id
+    }
+    (blocks.result(), spendable.toSeq)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.chain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transaction-graph derivation (SURVEY.md §2.4 J7, §2.3 P15, §2.2 K5 —
+  * reference TxGraphWriter.scala:18-74): per tx, summed input values by
+  * script become `from` edges, non-payback output values by script become
+  * `to` edges; protocol scripts and dust (< 1 ERG) are dropped.
+  *
+  * The graph is plain edge DataFrames — the reference's JanusGraph layer is
+  * embryonic (JanusGraphWriter.scala:43-55 `fixMe`) and 1–2 hop traversals
+  * are self-joins here.
+  */
+object GraphEdges {
+
+  /** tx_edges(txId, ergoTreeHash, direction, value, height, timestamp). */
+  def txEdges(t: ChainTables, blacklist: Seq[String] = Nil,
+    dust: Long = ChainConst.DustThreshold): DataFrame = {
+
+    val inScripts = UtxoQueries.resolvedInputs(t)
+      .groupBy("txId", "ergoTreeHash")
+      .agg(sum("ergValue").as("value"))
+    val fromEdges = inScripts.withColumn("direction", lit("from"))
+
+    // J8: payback exclusion — outputs to a script that also appears among
+    // the tx's inputs are self-transfers (TxGraphWriter.scala:56-57).
+    val toEdges = t.outputs
+      .groupBy("txId", "ergoTreeHash")
+      .agg(sum("ergValue").as("value"))
+      .join(inScripts.select("txId", "ergoTreeHash"), Seq("txId", "ergoTreeHash"), "left_anti")
+      .withColumn("direction", lit("to"))
+
+    val edges = fromEdges.unionByName(toEdges)
+      .filter(col("value") >= dust) // P15 dust filter
+    val filtered =
+      if (blacklist.isEmpty) edges
+      else edges.filter(!col("ergoTreeHash").isin(blacklist: _*))
+    filtered.join(
+      t.txs.select(col("txId"), col("height"), col("timestamp")), Seq("txId"))
+  }
+
+  /** 1-hop neighbourhood of a script: every counterparty script that shares
+    * a tx with it (address→tx→address traversal, one self-join).
+    */
+  def neighbours(edges: DataFrame, ergoTreeHash: String): DataFrame = {
+    val mine = edges.filter(col("ergoTreeHash") === ergoTreeHash)
+      .select(col("txId"), col("direction").as("myDirection"))
+    edges.join(mine, "txId")
+      .filter(col("ergoTreeHash") =!= ergoTreeHash)
+      .groupBy("ergoTreeHash")
+      .agg(count(lit(1)).as("sharedTxs"), sum("value").as("totalValue"))
+      .orderBy(desc("sharedTxs"), asc("ergoTreeHash"))
+  }
+}

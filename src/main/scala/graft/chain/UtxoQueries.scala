@@ -1,0 +1,136 @@
+package graft.chain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The UTXO state + box-query surface (SURVEY.md §2.4 J1–J6, §2.5 A6–A7,
+  * §2.6–2.7, §3.1): the reference's 45 REST endpoints collapse to a handful
+  * of parameterized DataFrame builders.
+  *
+  * Scale notes: `utxos`/`spentBoxes` are one anti/semi join on `boxId` — a
+  * uniform 64-hex key, so the shuffle is skew-free; AQE handles residual
+  * imbalance. The *address*-keyed aggregations (top-K) are where the chain's
+  * real skew lives (one script can hold millions of boxes — readme.md:12-16
+  * "supernode problem"); they are expressed as partial-agg-friendly
+  * `groupBy.agg` (map-side combine collapses per-partition duplicates
+  * before the shuffle, the two-phase equivalent of the reference's
+  * supernode maps) followed by `orderBy+limit` (TakeOrderedAndProject).
+  */
+object UtxoQueries {
+
+  /** J5: unspent = outputs ∖ inputs (the project's core trick —
+    * BoxService.scala:132-138, MvStorage.removeInputBoxes*), with the
+    * protocol-box blacklist (P14, PersistentRepo.scala:29-31).
+    */
+  def utxos(t: ChainTables, blacklist: Seq[String] = Nil): DataFrame = {
+    val base = t.outputs.join(t.inputs.select("boxId"), Seq("boxId"), "left_anti")
+    if (blacklist.isEmpty) base else base.filter(!col("boxId").isin(blacklist: _*))
+  }
+
+  /** E1: spent = outputs ∩ inputs. */
+  def spentBoxes(t: ChainTables): DataFrame =
+    t.outputs.join(t.inputs.select("boxId"), Seq("boxId"), "left_semi")
+
+  /** J6: input enrichment — resolve each input's value/script from the box
+    * it spends (MvStorage.removeInputBoxesByErgoTree:132-147).
+    */
+  def resolvedInputs(t: ChainTables): DataFrame =
+    t.inputs.join(
+      t.outputs.select(col("boxId"), col("ergValue"), col("ergoTreeHash")),
+      Seq("boxId"))
+
+  /** P12: whitelisted equality-filter pushdown surface
+    * (BoxService.scala:370-371) — a fold of `.filter` so every predicate
+    * reaches the parquet scan.
+    */
+  def withIndexFilters(df: DataFrame, filters: Map[String, Any]): DataFrame =
+    filters.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+
+  sealed trait BoxMode
+  case object Unspent extends BoxMode
+  case object Spent extends BoxMode
+  case object Any extends BoxMode
+
+  private def boxesFor(t: ChainTables, mode: BoxMode): DataFrame = mode match {
+    case Unspent => utxos(t)
+    case Spent   => spentBoxes(t)
+    case Any     => t.outputs
+  }
+
+  /** The {unspent|spent|any} × by-{ergoTreeHash|t8Hash|address|tokenId}
+    * query matrix (§3.1). `byAddress` inverts address → script hash with a
+    * broadcast dim join (the reference uses a codec, P7 — a join keeps the
+    * inverse consistent with however addresses were rendered).
+    */
+  def boxesByErgoTreeHash(t: ChainTables, mode: BoxMode, hash: String,
+    filters: Map[String, Any] = Map.empty): DataFrame =
+    withIndexFilters(boxesFor(t, mode).filter(col("ergoTreeHash") === hash), filters)
+
+  def boxesByErgoTreeT8Hash(t: ChainTables, mode: BoxMode, t8Hash: String,
+    filters: Map[String, Any] = Map.empty): DataFrame =
+    withIndexFilters(boxesFor(t, mode).filter(col("ergoTreeT8Hash") === t8Hash), filters)
+
+  def boxesByAddress(t: ChainTables, mode: BoxMode, address: String,
+    filters: Map[String, Any] = Map.empty): DataFrame = {
+    val hash = broadcast(
+      t.ergoTrees.filter(col("address") === address).select(col("hash")))
+    withIndexFilters(
+      boxesFor(t, mode).join(hash, col("ergoTreeHash") === col("hash"), "left_semi"),
+      filters)
+  }
+
+  /** J3: boxes holding a token (PersistentBoxRepo.lookupUtxoIdsByTokenId). */
+  def boxesByTokenId(t: ChainTables, mode: BoxMode, tokenId: String): DataFrame =
+    boxesFor(t, mode).join(
+      t.assets.filter(col("tokenId") === tokenId).select("boxId"),
+      Seq("boxId"), "left_semi")
+
+  /** J1: box enriched with script hex and block metadata
+    * (PersistentBoxRepo.joinUtxoWithErgoTreeAndBlock:72-86). The dims are
+    * broadcast; the fact side never shuffles.
+    */
+  def enrichedBoxes(t: ChainTables, boxes: DataFrame): DataFrame =
+    boxes
+      .join(broadcast(t.ergoTrees.select(col("hash"), col("hex"), col("address"))),
+        boxes("ergoTreeHash") === col("hash"))
+      .drop("hash")
+      .join(broadcast(t.blocks.select(col("blockId"), col("height").as("blockHeight"),
+        col("timestamp").as("blockTimestamp"))), Seq("blockId"))
+
+  // ---- stats (A6/A7/A11, O1–O4) ----
+
+  def topAddressesByUtxoCount(t: ChainTables, limit: Int, minCount: Long = 1): DataFrame =
+    utxos(t)
+      .groupBy("ergoTreeHash")
+      .agg(count(lit(1)).as("utxoCount"))
+      .filter(col("utxoCount") >= minCount)
+      .orderBy(desc("utxoCount"), asc("ergoTreeHash"))
+      .limit(limit)
+
+  def topAddressesByValue(t: ChainTables, limit: Int): DataFrame =
+    utxos(t)
+      .groupBy("ergoTreeHash")
+      .agg(sum("ergValue").as("totalValue"))
+      .orderBy(desc("totalValue"), asc("ergoTreeHash"))
+      .limit(limit)
+
+  /** A11: per-epoch roll-up (readme.md:174-183 counters). */
+  def epochRollup(t: ChainTables): DataFrame =
+    t.blocks
+      .groupBy(floor(col("height") / ChainConst.StatsEpochLength).as("epoch"))
+      .agg(count(lit(1)).as("nBlocks"), sum("txsCount").as("nTxs"),
+        sum("blockFee").as("fees"), max("height").as("maxHeight"))
+      .orderBy("epoch")
+
+  /** O1: last-N blocks by height (PersistentBlockRepo.getLastBlocks). */
+  def lastBlocks(t: ChainTables, n: Int): DataFrame =
+    t.blocks.orderBy(desc("height")).limit(n)
+
+  /** O4/E3: height-gap detection (MvStorage.findMissingHeights:284-290). */
+  def missingHeights(t: ChainTables, upTo: Int): DataFrame = {
+    val spark = t.blocks.sparkSession
+    spark.range(1, upTo + 1).select(col("id").cast("int").as("height"))
+      .join(t.blocks.select("height"), Seq("height"), "left_anti")
+      .orderBy("height")
+  }
+}

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Domain hash/encoding scalars for the chain pipeline (SURVEY.md §2.8):
+  * sha256 maps to the built-in `sha2`; blake2b-256 and Base58 have no Spark
+  * built-in, so they are implemented from their public specs (RFC 7693;
+  * the bitcoin Base58 alphabet) and exposed as deterministic Scala UDFs.
+  *
+  * UDF note (scale): both are per-row CPU work with no data exchange — they
+  * scale linearly and the reference reports the analogous parsing stage at
+  * ~2% of runtime (RewardCalculator.scala:20). Registered UDFs break the
+  * codegen span they appear in, so derivations isolate them in one narrow
+  * projection rather than sprinkling them through the plan.
+  */
+object CryptoFunctions {
+
+  /** sha256 of a hex-encoded payload, as lowercase hex (the reference hashes
+    * decoded ErgoTree bytes — ErgoTreeParser.scala:32).
+    */
+  def sha256OfHex(c: Column): Column = lower(sha2(unhex(c), 256))
+
+  // ---- blake2b-256 (RFC 7693, unkeyed, 64-bit words, 12 rounds) ----
+
+  private val IV = Array(
+    0x6a09e667f3bcc908L, 0xbb67ae8584caa73bL, 0x3c6ef372fe94f82bL,
+    0xa54ff53a5f1d36f1L, 0x510e527fade682d1L, 0x9b05688c2b3e6c1fL,
+    0x1f83d9abfb41bd6bL, 0x5be0cd19137e2179L)
+
+  private val Sigma: Array[Array[Int]] = Array(
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    Array(14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    Array(11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    Array(7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    Array(9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    Array(2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    Array(12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    Array(13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    Array(6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    Array(10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0),
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    Array(14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3))
+
+  @inline private def rotr(x: Long, n: Int): Long = (x >>> n) | (x << (64 - n))
+
+  private def compress(h: Array[Long], block: Array[Byte], t: Long, last: Boolean): Unit = {
+    val m = new Array[Long](16)
+    var i = 0
+    while (i < 16) {
+      var w = 0L
+      var j = 7
+      while (j >= 0) { w = (w << 8) | (block(i * 8 + j) & 0xffL); j -= 1 }
+      m(i) = w
+      i += 1
+    }
+    val v = new Array[Long](16)
+    System.arraycopy(h, 0, v, 0, 8)
+    System.arraycopy(IV, 0, v, 8, 8)
+    v(12) ^= t // message lengths here never exceed 2^64
+    if (last) v(14) = ~v(14)
+    def g(a: Int, b: Int, c: Int, d: Int, x: Long, y: Long): Unit = {
+      v(a) = v(a) + v(b) + x; v(d) = rotr(v(d) ^ v(a), 32)
+      v(c) = v(c) + v(d); v(b) = rotr(v(b) ^ v(c), 24)
+      v(a) = v(a) + v(b) + y; v(d) = rotr(v(d) ^ v(a), 16)
+      v(c) = v(c) + v(d); v(b) = rotr(v(b) ^ v(c), 63)
+    }
+    var r = 0
+    while (r < 12) {
+      val s = Sigma(r)
+      g(0, 4, 8, 12, m(s(0)), m(s(1))); g(1, 5, 9, 13, m(s(2)), m(s(3)))
+      g(2, 6, 10, 14, m(s(4)), m(s(5))); g(3, 7, 11, 15, m(s(6)), m(s(7)))
+      g(0, 5, 10, 15, m(s(8)), m(s(9))); g(1, 6, 11, 12, m(s(10)), m(s(11)))
+      g(2, 7, 8, 13, m(s(12)), m(s(13))); g(3, 4, 9, 14, m(s(14)), m(s(15)))
+      r += 1
+    }
+    i = 0
+    while (i < 8) { h(i) ^= v(i) ^ v(i + 8); i += 1 }
+  }
+
+  /** blake2b with a 32-byte digest (the reference's vertex/address hash). */
+  def blake2b256(input: Array[Byte]): Array[Byte] = {
+    val h = IV.clone()
+    h(0) ^= 0x01010000L ^ 32L
+    val nBlocks = math.max(1, (input.length + 127) / 128)
+    var t = 0L
+    var i = 0
+    while (i < nBlocks) {
+      val off = i * 128
+      val len = math.min(128, input.length - off)
+      val block = new Array[Byte](128)
+      if (len > 0) System.arraycopy(input, off, block, 0, len)
+      t += len
+      compress(h, block, t, i == nBlocks - 1)
+      i += 1
+    }
+    val out = new Array[Byte](32)
+    var j = 0
+    while (j < 32) { out(j) = (h(j / 8) >>> (8 * (j % 8))).toByte; j += 1 }
+    out
+  }
+
+  // ---- Base58 (bitcoin alphabet) ----
+
+  private val B58Alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+  private val B58Index: Map[Char, Int] = B58Alphabet.zipWithIndex.toMap
+
+  def base58Encode(bytes: Array[Byte]): String = {
+    if (bytes.isEmpty) return ""
+    val zeros = bytes.takeWhile(_ == 0).length
+    var bi = BigInt(1, bytes)
+    val sb = new StringBuilder
+    while (bi > 0) {
+      val (q, r) = bi /% 58
+      sb.append(B58Alphabet(r.toInt))
+      bi = q
+    }
+    ("1" * zeros) + sb.reverse.toString
+  }
+
+  def base58Decode(s: String): Option[Array[Byte]] =
+    if (s.isEmpty) Some(Array.empty)
+    else if (!s.forall(B58Index.contains)) None
+    else {
+      val zeros = s.takeWhile(_ == '1').length
+      val bi = s.foldLeft(BigInt(0))((acc, ch) => acc * 58 + B58Index(ch))
+      val body = bi.toByteArray.dropWhile(_ == 0)
+      Some(Array.fill[Byte](zeros)(0) ++ body)
+    }
+
+  private def hexToBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
+
+  /** Deterministic miner-address stand-in for the reference's
+    * minerPk → ProveDlog → P2S derivation (RewardCalculator.scala:21-36),
+    * which needs the sigmastate EC stack (not available offline): here the
+    * address is base58(0x01 ++ blake2b256(pkBytes)). Same shape — a pure
+    * per-row scalar of the header — and an isolated plug point for the real
+    * codec.
+    */
+  def minerAddressFromPk(pkHex: String): String =
+    base58Encode(1.toByte +: blake2b256(hexToBytes(pkHex)))
+
+  val minerAddressUdf = udf((pkHex: String) => minerAddressFromPk(pkHex))
+  val blake2b256HexUdf = udf((hex: String) =>
+    blake2b256(hexToBytes(hex)).map("%02x".format(_)).mkString)
+  val base58EncodeHexUdf = udf((hex: String) => base58Encode(hexToBytes(hex)))
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.chain._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Chain-domain query surface exercised end-to-end over the deterministic
+  * block fixture (SURVEY.md §2 / §3 — the reference's actual domain). These
+  * have no DuckDB oracle (the nested fixture lives in the JVM, and the
+  * domain invariants are relational laws, not SQL-reducible values), so the
+  * driver records rows-only checks; ChainSpec asserts the invariants:
+  * spent ∪ unspent partitions boxes, Σinputs = Σoutputs per non-coinbase tx,
+  * cumulative monotonicity, the token-minting rule, and fork resolution.
+  */
+object ChainQueries extends QueryModule {
+
+  private val FixtureBlocks = 80
+
+  private def tables(s: SparkSession): ChainTables = {
+    import s.implicits._
+    BlockDerivation.derive(s.createDataset(ChainFixture.generate(FixtureBlocks)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Blocks with reward economics + cumulative chain stats (A1-A3, A5, P4).
+    "q33_chain_blocks" -> ((s, _) => {
+      tables(s).blocks.select(
+        "height", "blockId", "parentId", "txsCount", "blockFee", "minerReward",
+        "blockCoins", "blockMiningTime", "totalTxsCount", "totalFees",
+        "totalCoinsIssued", "maxTxGix", "maxBoxGix")
+        .orderBy("height")
+    }),
+
+    // Live UTXO set grouped by script (J5 + A4-kept-flat).
+    "q34_chain_utxo" -> ((s, _) => {
+      UtxoQueries.utxos(tables(s))
+        .groupBy("ergoTreeHash")
+        .agg(count(lit(1)).as("utxoCount"), sum("ergValue").as("totalValue"))
+        .orderBy("ergoTreeHash")
+    }),
+
+    // Box lifecycle partition: |any| = |spent| + |unspent| per script (E1).
+    "q35_chain_box_lifecycle" -> ((s, _) => {
+      val t = tables(s)
+      val any = t.outputs.groupBy("ergoTreeHash").agg(count(lit(1)).as("nAny"))
+      val spent = UtxoQueries.spentBoxes(t).groupBy("ergoTreeHash").agg(count(lit(1)).as("nSpent"))
+      val unspent = UtxoQueries.utxos(t).groupBy("ergoTreeHash").agg(count(lit(1)).as("nUnspent"))
+      any.join(spent, Seq("ergoTreeHash"), "left_outer")
+        .join(unspent, Seq("ergoTreeHash"), "left_outer")
+        .na.fill(0L)
+        .orderBy("ergoTreeHash")
+    }),
+
+    // Top-K addresses by held value (A7) with address rendering (J1/P7).
+    "q36_chain_top_addresses" -> ((s, _) => {
+      val t = tables(s)
+      UtxoQueries.topAddressesByValue(t, 10)
+        .join(broadcast(t.ergoTrees.select(col("hash"), col("address"))),
+          col("ergoTreeHash") === col("hash"))
+        .select("address", "ergoTreeHash", "totalValue")
+        .orderBy(desc("totalValue"), asc("ergoTreeHash"))
+    }),
+
+    // Transaction graph edge roll-up (J7/P15/K5).
+    "q37_chain_tx_graph" -> ((s, _) => {
+      GraphEdges.txEdges(tables(s), dust = 1000000L)
+        .groupBy("direction")
+        .agg(count(lit(1)).as("nEdges"), sum("value").as("totalValue"))
+        .orderBy("direction")
+    }),
+
+    // Fork resolution (ST3): longer branch wins; cumulative stats computed
+    // only over the winning chain.
+    "q38_chain_fork" -> ((s, _) => {
+      import s.implicits._
+      val (allBlocks, _) = ChainFixture.generateWithFork(forkAt = 40, shortLen = 2, longLen = 5)
+      val resolved = ForkResolver.mainChain(s.createDataset(allBlocks))
+      BlockDerivation.derive(resolved).blocks
+        .select("height", "blockId", "totalTxsCount", "maxBoxGix")
+        .orderBy("height")
+    }),
+
+    // Minted tokens with EIP-004 props (P9/P10).
+    "q39_chain_tokens" -> ((s, _) => {
+      tables(s).assets
+        .filter(col("minted"))
+        .select("tokenId", "boxId", "amount", "tokenName", "tokenDecimals")
+        .orderBy("tokenId")
+    }),
+
+    // Unspent boxes by address — the reference's flagship REST query (§3.1).
+    "q40_chain_boxes_by_address" -> ((s, _) => {
+      val t = tables(s)
+      val someAddress = t.ergoTrees
+        .orderBy("hash").limit(1).select("address").collect()(0).getString(0)
+      UtxoQueries.enrichedBoxes(t,
+        UtxoQueries.boxesByAddress(t, UtxoQueries.Unspent, someAddress))
+        .select("boxId", "txId", "ergValue", "settlementHeight", "address", "blockHeight")
+        .orderBy("boxId")
+    })
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}

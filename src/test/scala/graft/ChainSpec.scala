@@ -1,0 +1,153 @@
+package graft
+
+import graft.chain._
+import graft.functions.CryptoFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metamorphic/domain invariants of the chain pipeline (SURVEY.md §5):
+  * the laws the reference's API tests assert (BoxRoutesSpec.scala:89-98)
+  * plus conservation, cumulative monotonicity, minting and fork semantics.
+  */
+class ChainSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val tables: ChainTables = {
+    import spark.implicits._
+    BlockDerivation.derive(spark.createDataset(ChainFixture.generate(80)))
+  }
+
+  test("spent and unspent partition the box set") {
+    val all = tables.outputs.count()
+    val spent = UtxoQueries.spentBoxes(tables).count()
+    val unspent = UtxoQueries.utxos(tables).count()
+    assert(spent + unspent == all, s"$spent + $unspent != $all")
+    val overlap = UtxoQueries.utxos(tables)
+      .join(UtxoQueries.spentBoxes(tables).select("boxId"), Seq("boxId"), "left_semi")
+      .count()
+    assert(overlap == 0)
+  }
+
+  test("value conservation: every non-coinbase tx spends exactly what it creates") {
+    val inSums = UtxoQueries.resolvedInputs(tables)
+      .groupBy("txId").agg(sum("ergValue").as("inValue"))
+    val outSums = tables.outputs.groupBy("txId").agg(sum("ergValue").as("outValue"))
+    val violations = tables.txs.filter(!col("coinbase"))
+      .join(inSums, "txId").join(outSums, "txId")
+      .filter(col("inValue") =!= col("outValue"))
+      .count()
+    assert(violations == 0)
+  }
+
+  test("coinbase mints exactly minerReward + blockFee") {
+    val cbOut = tables.txs.filter(col("coinbase"))
+      .join(tables.outputs.groupBy("txId").agg(sum("ergValue").as("cbValue")), "txId")
+      .select("blockId", "cbValue")
+    val violations = tables.blocks.join(cbOut, "blockId")
+      .filter(col("cbValue") =!= col("minerReward") + col("blockFee"))
+      .count()
+    assert(violations == 0)
+  }
+
+  test("cumulative stats are monotone and global indexes are dense") {
+    val rows = tables.blocks.orderBy("height")
+      .select("height", "totalTxsCount", "totalFees", "maxTxGix", "maxBoxGix")
+      .collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) > a.getLong(1), "totalTxsCount must strictly grow")
+      assert(b.getLong(2) >= a.getLong(2))
+      assert(b.getLong(3) > a.getLong(3))
+      assert(b.getLong(4) > a.getLong(4))
+    }
+    // dense 0..N-1 global indexes with no duplicates (A5)
+    val n = tables.txs.count()
+    assert(tables.txs.select("globalIndex").distinct().count() == n)
+    assert(tables.txs.agg(max("globalIndex")).head.getLong(0) == n - 1)
+    val nb = tables.outputs.count()
+    assert(tables.outputs.select("globalIndex").distinct().count() == nb)
+    assert(tables.outputs.agg(max("globalIndex")).head.getLong(0) == nb - 1)
+    assert(tables.blocks.agg(max("maxBoxGix")).head.getLong(0) == nb - 1)
+  }
+
+  test("tokens are minted iff tokenId equals the first input boxId, with props") {
+    val minted = tables.assets.filter(col("minted"))
+    assert(minted.count() > 0, "fixture must mint tokens")
+    assert(minted.filter(col("tokenName").isNull).count() == 0)
+    assert(minted.filter(col("tokenDecimals") =!= 2).count() == 0)
+    // each minted tokenId is a real box spent by its minting tx
+    val bad = minted.join(
+      tables.inputs.select(col("boxId").as("tokenId"), col("txId")),
+      Seq("tokenId", "txId"), "left_anti").count()
+    assert(bad == 0)
+  }
+
+  test("fork resolution keeps the longer branch and drops the loser entirely") {
+    import spark.implicits._
+    val (all, winnerIds) = ChainFixture.generateWithFork(forkAt = 40, shortLen = 2, longLen = 5)
+    val resolved = ForkResolver.mainChain(spark.createDataset(all))
+    val ids = resolved.select(col("header.id")).as[String].collect().toSet
+    assert(winnerIds.forall(ids.contains), "winning branch must survive")
+    assert(resolved.count() == 45, "40 trunk + 5 winning blocks")
+    // heights are unique and contiguous after resolution
+    val derived = BlockDerivation.derive(resolved)
+    assert(UtxoQueries.missingHeights(derived, 45).count() == 0)
+    assert(derived.blocks.groupBy("height").count().filter(col("count") > 1).count() == 0)
+    // parent links verify across the fork point (J4 linkage law)
+    val broken = derived.blocks.as("c")
+      .join(derived.blocks.as("p"), col("c.parentId") === col("p.blockId"))
+      .filter(col("c.height") =!= col("p.height") + 1)
+      .count()
+    assert(broken == 0)
+  }
+
+  test("emission closed forms match the iterative definitions") {
+    val heights = Seq(1L, 100L, 525599L, 525600L, 525601L, 590400L, 777216L,
+      777217L, 1000000L, 2080800L, 2145600L, 3000000L)
+    import spark.implicits._
+    val df = heights.toDF("h").select(
+      col("h"),
+      ChainConst.emissionAt(col("h")).as("em"),
+      ChainConst.issuedCoinsAt(col("h")).as("issued"),
+      ChainConst.minerRewardAt(col("h")).as("reward"))
+    df.collect().foreach { r =>
+      val h = r.getLong(0)
+      assert(r.getLong(1) == ChainConst.emissionAtScala(h), s"emission @$h")
+      assert(r.getLong(2) == ChainConst.issuedCoinsAtScala(h), s"issued @$h")
+      assert(r.getLong(3) == ChainConst.minerRewardAtScala(h), s"reward @$h")
+    }
+  }
+
+  test("tx graph edges respect dust + payback exclusion") {
+    val edges = GraphEdges.txEdges(tables, dust = 1000000L)
+    assert(edges.count() > 0)
+    assert(edges.filter(col("value") < 1000000L).count() == 0)
+    // no (txId, script) appears as both from and to (payback exclusion)
+    val both = edges.groupBy("txId", "ergoTreeHash")
+      .agg(countDistinct("direction").as("d"))
+      .filter(col("d") > 1).count()
+    assert(both == 0)
+  }
+}
+
+class CryptoSpec extends AnyFunSuite {
+
+  test("blake2b-256 matches RFC 7693 vectors") {
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    assert(hex(CryptoFunctions.blake2b256("abc".getBytes)) ==
+      "bddd813c634239723171ef3fee98579b94964e3bb1cb3e427262c8c068d52319")
+    assert(hex(CryptoFunctions.blake2b256(Array.empty)) ==
+      "0e5751c026e543b2e8ab2eb06099daa1d1e5df47778f7787faab45cdf12fe3a8")
+  }
+
+  test("base58 round-trips and matches the known vector") {
+    assert(CryptoFunctions.base58Encode("Hello World!".getBytes) == "2NEpo7TZRRrLZSi2U")
+    val cases = Seq(
+      Array[Byte](0, 0, 1, 2, 3), Array[Byte](0), Array[Byte](),
+      Array.tabulate[Byte](64)(_.toByte))
+    cases.foreach { bytes =>
+      val enc = CryptoFunctions.base58Encode(bytes)
+      assert(CryptoFunctions.base58Decode(enc).get.sameElements(bytes),
+        s"round-trip failed for ${bytes.toSeq}")
+    }
+  }
+}
