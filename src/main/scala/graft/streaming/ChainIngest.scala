@@ -1,0 +1,195 @@
+package graft.streaming
+
+import graft.chain._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.nio.file.{Files, Paths}
+
+/** Streaming chain ingest (SURVEY.md §2.9 ST1–ST4): a Structured Streaming
+  * source of raw blocks driven through `foreachBatch`, maintaining the
+  * entity tables incrementally and the UTXO set as versioned snapshots.
+  *
+  * Design (vs the reference's MVStore/H2 pair, PersistentRepo.scala:58-73):
+  *  - the COMMON path appends only the batch's own entity rows; cumulative
+  *    stats are carried forward from the stored tip exactly like
+  *    `BlockBuilder(prev)` — no re-scan of history per batch;
+  *  - UTXO maintenance is the K2 delta: next = (current ∪ batch-outputs) ∖
+  *    batch-inputs, written as a NEW versioned snapshot dir (MVCC revisions,
+  *    MvStorage.scala:296-298 keeps 10) — fork rollback = rebuild from
+  *    outputs ∖ inputs (J5), which is always possible (SURVEY §7.4 risk 2);
+  *  - a FORK in a batch (incoming height ≤ stored tip) falls back to
+  *    re-deriving from the resolved main chain; at warehouse scale that
+  *    rewrite is a partition overwrite of `heightBucket ≥ fork bucket`, and
+  *    the bucket column below partitions every entity table by
+  *    height/10000 (the reference's compaction cadence) to make that cheap.
+  *
+  * Checkpointing replaces the reference's Initializer integrity check: the
+  * source offset and the tables advance together in foreachBatch, and
+  * reprocessing a batch is idempotent (same ids → same rows; utxo version
+  * dirs are keyed by batch id).
+  */
+class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
+
+  private def p(name: String) = s"$warehouse/$name"
+  private def exists(name: String) = Files.exists(Paths.get(p(name), "_SUCCESS")) ||
+    Files.exists(Paths.get(p(name)))
+
+  /** Height-bucket partition column (application.conf compaction cadence). */
+  private def withBucket(df: DataFrame, heightCol: String): DataFrame =
+    df.withColumn("heightBucket", floor(col(heightCol) / 10000).cast("int"))
+
+  def start(spark: SparkSession, sourceDir: String, checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(Encoders.product[RawBlock].schema)
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds")) // ST1 cadence
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        import df.sparkSession.implicits._
+        processBatch(df.as[RawBlock], batchId)
+      }
+      .start()
+
+  /** The per-batch pipeline — public so tests (and backfills) can drive it
+    * directly (ST2).
+    */
+  def processBatch(batch: Dataset[RawBlock], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    batch.toDF().write.mode(SaveMode.Append).parquet(p("raw"))
+
+    val tip: Option[org.apache.spark.sql.Row] =
+      if (exists("blocks"))
+        spark.read.parquet(p("blocks")).orderBy(desc("height")).limit(1)
+          .collect().headOption
+      else None
+
+    val minBatchHeight = batch.select(min(col("header.height"))).head().getInt(0)
+    val isFork = tip.exists(t => minBatchHeight <= t.getAs[Int]("height"))
+
+    if (isFork) reprocessFromRaw(spark, batchId) // ST3
+    else appendIncremental(batch, tip, batchId)
+  }
+
+  /** Common path: derive the batch alone, shift cumulative/global columns by
+    * the stored tip's totals, append.
+    */
+  private def appendIncremental(
+    batch: Dataset[RawBlock], tip: Option[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val t = BlockDerivation.derive(batch)
+
+    val (txBase, boxBase) = tip
+      .map(r => (r.getAs[Long]("maxTxGix") + 1, r.getAs[Long]("maxBoxGix") + 1))
+      .getOrElse((0L, 0L))
+    val offsets = Map(
+      "blockChainTotalSize" -> "blockChainTotalSize", "totalTxsCount" -> "totalTxsCount",
+      "totalMiningTime" -> "totalMiningTime", "totalFees" -> "totalFees",
+      "totalMinersReward" -> "totalMinersReward", "totalCoinsInTxs" -> "totalCoinsInTxs")
+
+    val blocksShifted0 = offsets.foldLeft(t.blocks) { case (df, (c, _)) =>
+      tip.map(r => df.withColumn(c, col(c) + r.getAs[Long](c))).getOrElse(df)
+    }
+      .withColumn("maxTxGix", col("maxTxGix") + txBase)
+      .withColumn("maxBoxGix", col("maxBoxGix") + boxBase)
+    // The batch's first block computed miningTime=0 (no lag row in-batch);
+    // the true value is firstTs − tipTs, a per-batch constant folded into
+    // both the first row's blockMiningTime and every row's cumulative.
+    val blocksShifted = tip.map { r =>
+      val firstTs = batch.select(min(col("header.timestamp"))).head().getLong(0)
+      val firstDelta = firstTs - r.getAs[Long]("timestamp")
+      val firstH = col("height") === lit(r.getAs[Int]("height") + 1)
+      blocksShifted0
+        .withColumn("blockMiningTime",
+          when(firstH, lit(firstDelta)).otherwise(col("blockMiningTime")))
+        .withColumn("totalMiningTime", col("totalMiningTime") + firstDelta)
+    }.getOrElse(blocksShifted0)
+
+    withBucket(blocksShifted, "height").write.mode(SaveMode.Append)
+      .partitionBy("heightBucket").parquet(p("blocks"))
+    withBucket(t.txs.withColumn("globalIndex", col("globalIndex") + txBase), "height")
+      .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p("txs"))
+    withBucket(t.outputs.withColumn("globalIndex", col("globalIndex") + boxBase),
+      "settlementHeight")
+      .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p("outputs"))
+    withBucket(t.inputs, "height").write.mode(SaveMode.Append)
+      .partitionBy("heightBucket").parquet(p("inputs"))
+    withBucket(t.assets, "height").write.mode(SaveMode.Append)
+      .partitionBy("heightBucket").parquet(p("assets"))
+
+    // K2 delta: next utxo = (current ∪ batch outputs) ∖ batch inputs.
+    val batchOutputs = t.outputs
+      .select("boxId", "txId", "blockId", "settlementHeight", "ergValue", "ergoTreeHash")
+    val current =
+      if (currentUtxoVersion().isDefined) spark.read.parquet(utxoPath(currentUtxoVersion().get))
+      else spark.emptyDataFrame.to(batchOutputs.schema)
+    val next = current.unionByName(batchOutputs)
+      .join(t.inputs.select("boxId"), Seq("boxId"), "left_anti")
+    commitUtxoVersion(next, batchId)
+  }
+
+  /** Fork path: resolve the main chain over the full raw stream and rewrite.
+    * (At warehouse scale: overwrite only heightBucket partitions ≥ the fork
+    * bucket; rare by construction — depth ≤ 10.)
+    */
+  private def reprocessFromRaw(spark: SparkSession, batchId: Long): Unit = {
+    import spark.implicits._
+    val raw = spark.read.parquet(p("raw")).as[RawBlock]
+    val resolved = ForkResolver.mainChain(raw)
+    val t = BlockDerivation.derive(resolved)
+    withBucket(t.blocks, "height").write.mode(SaveMode.Overwrite)
+      .partitionBy("heightBucket").parquet(p("blocks"))
+    withBucket(t.txs, "height").write.mode(SaveMode.Overwrite)
+      .partitionBy("heightBucket").parquet(p("txs"))
+    withBucket(t.outputs, "settlementHeight").write.mode(SaveMode.Overwrite)
+      .partitionBy("heightBucket").parquet(p("outputs"))
+    withBucket(t.inputs, "height").write.mode(SaveMode.Overwrite)
+      .partitionBy("heightBucket").parquet(p("inputs"))
+    withBucket(t.assets, "height").write.mode(SaveMode.Overwrite)
+      .partitionBy("heightBucket").parquet(p("assets"))
+    val rebuilt = UtxoQueries.utxos(t)
+      .select("boxId", "txId", "blockId", "settlementHeight", "ergValue", "ergoTreeHash")
+    commitUtxoVersion(rebuilt, batchId)
+  }
+
+  // ---- versioned UTXO snapshots (MVCC revisions) ----
+
+  private def utxoPath(v: Long) = p(s"utxo/v=$v")
+
+  def currentUtxoVersion(): Option[Long] = {
+    val dir = Paths.get(p("utxo"))
+    if (!Files.exists(dir)) None
+    else {
+      val vs = Files.list(dir).toArray.toSeq
+        .map(_.toString).filter(_.contains("v="))
+        .map(s => s.substring(s.lastIndexOf("v=") + 2).toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def commitUtxoVersion(df: DataFrame, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite).parquet(utxoPath(batchId))
+    // retain only the last `keepVersions` revisions (rollbackTo window)
+    val dir = Paths.get(p("utxo"))
+    val vs = Files.list(dir).toArray.toSeq.map(_.toString)
+      .filter(_.contains("v=")).map(s => s.substring(s.lastIndexOf("v=") + 2).toLong)
+      .sorted
+    vs.dropRight(keepVersions).foreach { v =>
+      val victim = Paths.get(utxoPath(v))
+      Files.walk(victim).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
+  def utxo(spark: SparkSession): DataFrame =
+    currentUtxoVersion() match {
+      case Some(v) => spark.read.parquet(utxoPath(v))
+      case None => throw new IllegalStateException("no utxo snapshot yet")
+    }
+
+  def blocks(spark: SparkSession): DataFrame = spark.read.parquet(p("blocks"))
+}

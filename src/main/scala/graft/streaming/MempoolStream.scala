@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.chain.{ChainConst, RawInput, RawOutput}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mempool transaction with its fetch time (the event-time axis for the
+  * dedup watermark — ST5, MempoolSyncer.scala:21-52).
+  */
+case class MempoolTx(
+  txId: String,
+  fetchTime: java.sql.Timestamp,
+  inputs: Seq[RawInput],
+  outputs: Seq[RawOutput])
+
+/** Mempool streaming operators (SURVEY.md §2.9 ST5–ST7). */
+object MempoolStream {
+
+  /** ST5: the reference's set-diff of successive mempool snapshots becomes
+    * watermarked dropDuplicates — state-store backed, bounded by the
+    * watermark horizon instead of an unbounded in-memory snapshot.
+    */
+  def dedupedTxs(raw: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    raw.withWatermark("fetchTime", watermark).dropDuplicates("txId")
+
+  /** ST6: per-micro-batch analyzer contract (Plugin.scala:11-30). Receives
+    * the batch's new txs (nested) plus the current UTXO snapshot and returns
+    * an alert/result DataFrame for the sink.
+    */
+  trait TxAnalyzer extends Serializable {
+    def name: String
+    def onNewTransactions(txs: DataFrame, utxo: DataFrame): DataFrame
+  }
+
+  /** ST7: high-value transfer detector (HighValueDetector.scala:19-62).
+    * Per tx: input value resolved from the UTXO set grouped by script (J6),
+    * outputs minus paybacks (scripts already among the inputs — J8) minus
+    * fee outputs, summed (A9) and thresholded.
+    */
+  class HighValueDetector(threshold: Long, feeTreeHash: String) extends TxAnalyzer {
+    val name = "high-value-detector"
+
+    def onNewTransactions(txs: DataFrame, utxo: DataFrame): DataFrame = {
+      val inputs = txs.select(col("txId"),
+        explode(col("inputs")).as("i")).select(col("txId"), col("i.boxId").as("boxId"))
+      // J6: resolve spent boxes against the live UTXO snapshot
+      val inScripts = inputs
+        .join(utxo.select("boxId", "ergValue", "ergoTreeHash"), Seq("boxId"))
+        .groupBy("txId", "ergoTreeHash").agg(sum("ergValue").as("inValue"))
+
+      val outputs = txs.select(col("txId"), explode(col("outputs")).as("o"))
+        .select(col("txId"), col("o.value").as("value"),
+          lower(sha2(unhex(col("o.ergoTree")), 256)).as("ergoTreeHash"))
+        .filter(col("ergoTreeHash") =!= feeTreeHash)
+      // J8: payback exclusion
+      val external = outputs.join(
+        inScripts.select("txId", "ergoTreeHash"), Seq("txId", "ergoTreeHash"), "left_anti")
+
+      external
+        .groupBy("txId")
+        .agg(sum("value").as("transferredValue"), count(lit(1)).as("nOutputs"))
+        .filter(col("transferredValue") >= threshold)
+        .withColumn("alert", lit(name))
+    }
+  }
+
+  /** Drive analyzers per micro-batch (PluginManager.executePlugins:19-49 —
+    * failures are logged per-plugin, not propagated).
+    */
+  def runAnalyzers(
+    analyzers: Seq[TxAnalyzer], txs: DataFrame, utxo: DataFrame): Map[String, DataFrame] =
+    analyzers.flatMap { a =>
+      try Some(a.name -> a.onNewTransactions(txs, utxo))
+      catch {
+        case e: Exception =>
+          System.err.println(s"[analyzer ${a.name}] failed: ${e.getMessage}")
+          None
+      }
+    }.toMap
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.chain._
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Streaming-layer tests (SURVEY.md §2.9): incremental ingest equals batch
+  * rebuild, fork rollback mid-stream, watermarked mempool dedup, and the
+  * high-value analyzer.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("incremental ingest over 3 batches equals one-shot derivation") {
+    import spark.implicits._
+    val all = ChainFixture.generate(30)
+    val ingest = new ChainIngest(tmpDir("graft-ingest"))
+    all.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      ingest.processBatch(spark.createDataset(chunk), i.toLong)
+    }
+
+    val oneShot = BlockDerivation.derive(spark.createDataset(all))
+    val streamedBlocks = ingest.blocks(spark)
+    assert(streamedBlocks.count() == 30)
+
+    // cumulative columns at the tip must match the one-shot derivation
+    val cols = Seq("totalTxsCount", "totalFees", "totalMinersReward",
+      "totalCoinsInTxs", "totalMiningTime", "maxTxGix", "maxBoxGix")
+    val sTip = streamedBlocks.orderBy(desc("height")).limit(1).collect()(0)
+    val bTip = oneShot.blocks.orderBy(desc("height")).limit(1).collect()(0)
+    cols.foreach { c =>
+      assert(sTip.getAs[Long](c) == bTip.getAs[Long](c), s"tip $c mismatch")
+    }
+
+    // the maintained utxo snapshot == rebuild from scratch (J5 law)
+    val streamedUtxo = ingest.utxo(spark).select("boxId")
+      .collect().map(_.getString(0)).toSet
+    val rebuiltUtxo = UtxoQueries.utxos(oneShot).select("boxId")
+      .collect().map(_.getString(0)).toSet
+    assert(streamedUtxo == rebuiltUtxo)
+  }
+
+  test("fork mid-stream rolls back the losing branch") {
+    import spark.implicits._
+    val (all, winnerIds) = ChainFixture.generateWithFork(forkAt = 20, shortLen = 2, longLen = 4)
+    val trunk = all.filter(_.header.height <= 20)
+    val shortBranch = all.filter(b => b.header.height > 20 && !winnerIds.contains(b.header.id))
+    val longBranch = all.filter(b => winnerIds.contains(b.header.id))
+
+    val ingest = new ChainIngest(tmpDir("graft-fork"))
+    ingest.processBatch(spark.createDataset(trunk), 0L)
+    ingest.processBatch(spark.createDataset(shortBranch), 1L)
+    ingest.processBatch(spark.createDataset(longBranch), 2L) // heights overlap → fork path
+
+    val blocks = ingest.blocks(spark)
+    assert(blocks.count() == 24, "20 trunk + 4 winner blocks")
+    val ids = blocks.select("blockId").collect().map(_.getString(0)).toSet
+    assert(winnerIds.toSet.subsetOf(ids))
+    assert(blocks.groupBy("height").count().filter(col("count") > 1).count() == 0)
+
+    // utxo rebuilt over the winning chain only
+    val expected = UtxoQueries.utxos(
+      BlockDerivation.derive(spark.createDataset(trunk ++ longBranch)))
+      .select("boxId").collect().map(_.getString(0)).toSet
+    val got = ingest.utxo(spark).select("boxId").collect().map(_.getString(0)).toSet
+    assert(got == expected)
+  }
+
+  test("mempool dedup drops replayed txIds within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[MempoolTx]
+    val deduped = MempoolStream.dedupedTxs(stream.toDF())
+    val query = deduped.writeStream
+      .format("memory").queryName("mempool_dedup").outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      def tx(id: String) = MempoolTx(id, t0, Nil, Nil)
+      stream.addData(tx("a"), tx("b"), tx("a"))
+      query.processAllAvailable()
+      stream.addData(tx("b"), tx("c")) // b replayed across batches
+      query.processAllAvailable()
+      val seen = spark.table("mempool_dedup").select("txId")
+        .collect().map(_.getString(0)).sorted
+      assert(seen.toSeq == Seq("a", "b", "c"))
+    } finally query.stop()
+  }
+
+  test("high-value detector alerts only above threshold, net of paybacks and fees") {
+    import spark.implicits._
+    val t = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(40)))
+    val utxo = UtxoQueries.utxos(t)
+    // craft mempool txs spending real utxos
+    val boxes = utxo.select("boxId", "ergValue", "ergoTreeHash")
+      .orderBy(desc("ergValue")).limit(2).collect()
+    val big = boxes(0)
+    val detector = new MempoolStream.HighValueDetector(
+      threshold = 1000000000L, feeTreeHash = "nofee")
+    val mempool = Seq(
+      // large external transfer: spends the biggest utxo to a fresh script
+      MempoolTx("bigtx", new java.sql.Timestamp(0), Seq(RawInput(big.getString(0))),
+        Seq(RawOutput("newbox1", big.getAs[Long]("ergValue"), "aabbccdd" + "e" * 24, 1, Nil, Map.empty))),
+      // dust transfer: below threshold
+      MempoolTx("smalltx", new java.sql.Timestamp(0), Seq(RawInput(boxes(1).getString(0))),
+        Seq(RawOutput("newbox2", 1000L, "aabbccdd" + "f" * 24, 1, Nil, Map.empty)))
+    ).toDF()
+    val alerts = detector.onNewTransactions(mempool, utxo).collect()
+    assert(alerts.length == 1 && alerts(0).getAs[String]("txId") == "bigtx")
+  }
+}
