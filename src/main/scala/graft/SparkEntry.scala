@@ -15,7 +15,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
-    ChainQueries
+    ChainQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

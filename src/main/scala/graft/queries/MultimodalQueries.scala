@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TokenCountExpression
+import graft.multimodal._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (binary media + typed metadata, stubbed
+  * decode — SURVEY.md §7.5) and the native-Expression text path. Media
+  * queries are fixture-driven (rows-only checks; MultimodalSpec holds the
+  * invariants); q44 runs the custom Catalyst `token_count` expression and
+  * IS oracle-checked — its values must match the portable split-based SQL.
+  */
+object MultimodalQueries extends QueryModule {
+
+  private val MediaRows = 90
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Decode stage: header parse per row, batched mapPartitions.
+    "q41_media_decode" -> ((s, _) => {
+      MediaFunctions.decodeFrames(MediaFixture.generate(s, MediaRows))
+        .toDF().orderBy("mediaId")
+    }),
+
+    // Feature extraction → fixed-width embeddings, roll-up per kind.
+    "q42_media_features" -> ((s, _) => {
+      MediaFunctions.extractFeatures(MediaFixture.generate(s, MediaRows))
+        .toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("mediaId").as("nMedia"),
+          max(size(col("embedding"))).as("dim"),
+          sum("nBytes").as("totalBytes"))
+        .orderBy("kind")
+    }),
+
+    // Video frame sampling (stride 4).
+    "q43_media_frames" -> ((s, _) => {
+      MediaFunctions.sampleFrames(MediaFixture.generate(s, MediaRows), stride = 4)
+        .toDF()
+        .groupBy("mediaId")
+        .agg(count(lit(1)).as("nFrames"), max("width").as("width"))
+        .orderBy("mediaId")
+    }),
+
+    // Native Catalyst expression in the hot path: token_count(text) without
+    // array materialization; values must equal the split-based oracle.
+    "q44_token_count_native" -> ((s, dir) => {
+      TokenCountExpression.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), expr("token_count(text)").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q44_token_count_native" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+         max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+         FROM documents GROUP BY lang ORDER BY lang"""
+  )
+}

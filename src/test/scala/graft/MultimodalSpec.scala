@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.TokenCountExpression
+import graft.multimodal._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("decode recovers the dimensions carried in the typed metadata") {
+    val media = MediaFixture.generate(spark, 60)
+    val decoded = MediaFunctions.decodeFrames(media).toDF()
+    val joined = media.toDF()
+      .select(col("mediaId"), col("meta.width").as("mw"), col("meta.height").as("mh"))
+      .join(decoded, "mediaId")
+    assert(joined.count() == 60)
+    assert(joined.filter(col("mw") =!= col("width") || col("mh") =!= col("height")).count() == 0)
+  }
+
+  test("feature extraction is deterministic with fixed dimensionality") {
+    val a = MediaFunctions.extractFeatures(MediaFixture.generate(spark, 30)).collect()
+    val b = MediaFunctions.extractFeatures(MediaFixture.generate(spark, 30)).collect()
+    assert(a.length == 30)
+    assert(a.forall(_.embedding.length == MediaFunctions.EmbeddingDim))
+    val am = a.map(r => r.mediaId -> r.embedding.toSeq).toMap
+    b.foreach(r => assert(am(r.mediaId) == r.embedding.toSeq, s"media ${r.mediaId} not deterministic"))
+  }
+
+  test("frame sampling only covers video and respects the stride") {
+    val media = MediaFixture.generate(spark, 60)
+    val frames = MediaFunctions.sampleFrames(media, stride = 4).toDF()
+    val kinds = frames.join(media.toDF().select("mediaId", "kind"), "mediaId")
+      .select("kind").distinct().collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("video"))
+    assert(frames.filter(col("frameIndex") % 4 =!= 0).count() == 0)
+  }
+
+  test("token_count matches size(split) on real documents and edge cases") {
+    TokenCountExpression.register(spark)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val mismatches = docs.select(
+      expr("token_count(text)").as("native"),
+      size(split(trim(col("text")), "\\s+")).as("viaSplit"))
+      .filter(col("native") =!= col("viaSplit"))
+      .count()
+    assert(mismatches == 0)
+
+    import spark.implicits._
+    val edge = Seq("", "   ", "a", " a ", "a b\tc\nd", "\t\n x \r\n y").toDF("text")
+    val rows = edge.select(expr("token_count(text)")).collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(0, 0, 1, 1, 4, 2))
+  }
+
+  test("token_count participates in whole-stage codegen") {
+    TokenCountExpression.register(spark)
+    val plan = Tables.load(spark, sf0001, "documents")
+      .select(expr("token_count(text)").as("n"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen span
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[token_count.*"),
+      s"expected token_count inside a codegen stage:\n$plan")
+  }
+}
