@@ -11,6 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM once (classloading, codegen, parquet reader, shuffle,
+    // json parser init) so the first measured query isn't charged ~5s of
+    // one-time setup.
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").count().count()
+      li.limit(100).join(li.limit(100), "l_orderkey").count()
+      spark.range(10).select(get_json_object(lit("""{"k":1}"""), "$.k")).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

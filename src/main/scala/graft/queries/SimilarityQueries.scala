@@ -23,9 +23,13 @@ object SimilarityQueries extends QueryModule {
   private val TopK = 10
   private val NProbe = 3
 
+  /** Corpus with the l2 norm precomputed once per vector — every downstream
+    * pairwise stage is then a single dot product.
+    */
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
 
   /** Rank candidate (q_id, nbr_id, cos) triples and keep the top-k per query.
     * Ranking uses cosine rounded to 6 dp with nbr_id tie-break so the order
@@ -47,10 +51,10 @@ object SimilarityQueries extends QueryModule {
     "q31_cosine_topk" -> ((s, dir) => {
       val e = corpus(s, dir)
       val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"))
       val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
-          cosine(col("qv"), col("v")).as("cos"))
+          (dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
       topK(cand)
     }),
 
@@ -74,19 +78,20 @@ object SimilarityQueries extends QueryModule {
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(round(col("c_cos"), 6).desc, col("c_id").asc)
       val ranked = e.join(broadcast(cent))
-        .withColumn("c_cos", cosine(col("v"), col("cv")))
+        .withColumn("c_cos", dot(col("v"), col("cv")) / (col("n") * l2Norm(col("cv"))))
         .withColumn("rn", row_number().over(wAssign))
       // corpus vectors live in exactly one bucket (rn=1)...
       val assigned = ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+        .select(col("vec_id"), col("v"), col("n"), col("c_id").as("bucket"))
       // ...while queries probe their NProbe nearest buckets.
       val q = ranked.filter(col("vec_id") < NumQueries && col("rn") <= NProbe)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id").as("bucket"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+          col("c_id").as("bucket"))
       // (c) probe: equi-join on the bucket key only — scans NProbe/K of the corpus.
       val cand = assigned.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
-          cosine(col("qv"), col("v")).as("cos"))
+          (dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
       topK(cand)
     })
   )

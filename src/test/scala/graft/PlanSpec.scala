@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (the "would this survive 100×" checks): filters
+  * and projections must reach the parquet scan, small dims must broadcast,
+  * top-K must plan as TakeOrderedAndProject (no global sort), and the UTXO
+  * trick must stay a single shuffle-stage anti join.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("aggregation scan prunes columns and uses partial aggregation") {
+    val plan = planOf("q1_agg")
+    assert(plan.contains("ReadSchema: struct<l_quantity"), "column pruning missing")
+    assert(!plan.contains("l_shipdate"), "reads columns the query never touches")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      "expected two-phase aggregation")
+  }
+
+  test("dim filter is pushed into the scan and the small dim broadcasts") {
+    val plan = planOf("q2_join3")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "nation should broadcast")
+  }
+
+  test("top-K plans as TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q8_topk_count").contains("TakeOrderedAndProject"))
+    assert(planOf("q10_last_n").contains("TakeOrderedAndProject"))
+  }
+
+  test("the UTXO trick is a hash anti join") {
+    val plan = planOf("q5_anti_join")
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+  }
+
+  test("IVF probe joins on the bucket key, not a cartesian corpus scan") {
+    val plan = planOf("q32_ivf_topk")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "bucket probe must be an equi-join")
+  }
+
+  test("per-doc text pipeline has no shuffle before the final sort") {
+    val plan = planOf("q24_fingerprint")
+    // one Exchange max (the presentation orderBy) — the md5/split work is map-side
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"text pipeline shuffles too much ($exchanges):\n$plan")
+  }
+}
