@@ -110,12 +110,13 @@ object BlockDerivation {
         col("boxId"), col("txId"), col("blockId"), col("height"), col("index"),
         col("a.amount").as("amount"),
         (col("a.tokenId") === col("firstInputBoxId")).as("minted"),
+        // P8/P9: EIP-004 props via the sigma register parser
         when(col("a.tokenId") === col("firstInputBoxId"),
-          decode(unhex(col("r4")), "UTF-8")).as("tokenName"),
+          RegisterParser.renderUtf8Udf(col("r4"))).as("tokenName"),
         when(col("a.tokenId") === col("firstInputBoxId"),
-          decode(unhex(col("r5")), "UTF-8")).as("tokenDescription"),
+          RegisterParser.renderUtf8Udf(col("r5"))).as("tokenDescription"),
         when(col("a.tokenId") === col("firstInputBoxId"),
-          decode(unhex(col("r6")), "UTF-8").cast("int")).as("tokenDecimals"))
+          RegisterParser.renderLongUdf(col("r6")).cast("int")).as("tokenDecimals"))
 
     // Script dims with P7 address rendering (first block that saw the tree).
     val ergoTrees = outputs

@@ -31,8 +31,8 @@ object ChainFixture {
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  private def utf8Hex(s: String): String =
-    s.getBytes(StandardCharsets.UTF_8).map("%02x".format(_)).mkString
+  /** Registers use the real sigma primitive encodings (RegisterParser). */
+  private def collHex(s: String): String = RegisterParser.encodeUtf8(s)
 
   /** The fixture's fee-contract script (FeeContract.ergoTreeHex analog). */
   val FeeTree: String = md5Hex("fee-contract")
@@ -94,7 +94,10 @@ object ChainFixture {
           creationHeight = h,
           assets = if (mint) Seq(RawAsset(b1, 1000L + h)) else Nil,
           registers =
-            if (mint) Map("R4" -> utf8Hex(s"token$h"), "R5" -> utf8Hex("minted"), "R6" -> utf8Hex("2"))
+            if (mint) Map(
+              "R4" -> collHex(s"token$h"),
+              "R5" -> collHex("minted"),
+              "R6" -> RegisterParser.encodeInt(2))
             else Map.empty)
         val out2 = RawOutput(sha256Hex(s"box:$salt:$h:$i:1"), o2v,
           script((h + i + 3) % 8), h, Nil, Map.empty)

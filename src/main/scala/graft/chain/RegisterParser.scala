@@ -1,0 +1,109 @@
+package graft.chain
+
+import org.apache.spark.sql.functions.udf
+
+import java.nio.charset.StandardCharsets
+
+/** Register value expansion (SURVEY.md §2.3 P8, reference
+  * RegistersParser.scala:20-88): raw register hex → (sigmaType, rendered
+  * value). Implements the public sigma primitive encodings that cover the
+  * overwhelming majority of on-chain registers —
+  *   0x04 SInt (zigzag VLQ), 0x05 SLong (zigzag VLQ),
+  *   0x0e Coll[SByte] (VLQ length + bytes) —
+  * and passes anything else through as an opaque hex payload (the
+  * reference's behaviour for unrenderable values). The recursive
+  * Coll/Tuple/Option cases of the full SigmaType ADT (SigmaType.scala:18-46)
+  * plug in here.
+  */
+object RegisterParser {
+
+  case class ParsedRegister(sigmaType: String, rendered: String)
+
+  /** Unsigned LEB128 (VLQ) decode: (value, bytes consumed). */
+  private def vlq(bytes: Array[Byte], off: Int): (Long, Int) = {
+    var result = 0L
+    var shift = 0
+    var i = off
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      result |= (b & 0x7fL) << shift
+      i += 1
+      if ((b & 0x80) == 0) return (result, i - off)
+      shift += 7
+    }
+    (result, i - off)
+  }
+
+  private def zigzagDecode(n: Long): Long = (n >>> 1) ^ -(n & 1)
+
+  private def hexToBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
+
+  def parse(hex: String): ParsedRegister = {
+    if (hex == null || hex.length < 2 || hex.length % 2 != 0 ||
+      !hex.forall(c => Character.digit(c, 16) >= 0))
+      return ParsedRegister("SUnparsed", if (hex == null) "" else hex)
+    val bytes = hexToBytes(hex)
+    bytes(0) match {
+      case 0x04 =>
+        val (raw, _) = vlq(bytes, 1)
+        ParsedRegister("SInt", zigzagDecode(raw).toString)
+      case 0x05 =>
+        val (raw, _) = vlq(bytes, 1)
+        ParsedRegister("SLong", zigzagDecode(raw).toString)
+      case 0x0e =>
+        val (len, consumed) = vlq(bytes, 1)
+        val start = 1 + consumed
+        if (start + len <= bytes.length)
+          ParsedRegister("Coll[SByte]",
+            bytes.slice(start, start + len.toInt).map("%02x".format(_)).mkString)
+        else ParsedRegister("SUnparsed", hex)
+      case _ => ParsedRegister("SUnparsed", hex)
+    }
+  }
+
+  /** Coll[SByte] rendered as UTF-8 (TokenPropsParser.scala:14-42 — token
+    * name/description); null when the register isn't a byte coll.
+    */
+  def renderUtf8(hex: String): Option[String] = {
+    val p = parse(hex)
+    if (p.sigmaType != "Coll[SByte]") None
+    else Some(new String(hexToBytes(p.rendered), StandardCharsets.UTF_8))
+  }
+
+  /** Rendered integral value (SInt/SLong) or None. */
+  def renderLong(hex: String): Option[Long] = {
+    val p = parse(hex)
+    if (p.sigmaType == "SInt" || p.sigmaType == "SLong") Some(p.rendered.toLong) else None
+  }
+
+  // ---- encode side (fixture + tests) ----
+
+  private def vlqEncode(n: Long): Array[Byte] = {
+    var v = n
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    while ((v & ~0x7fL) != 0) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+    out += v.toByte
+    out.toArray
+  }
+
+  private def zigzagEncode(n: Long): Long = (n << 1) ^ (n >> 63)
+
+  def encodeInt(n: Int): String =
+    ("04" +: vlqEncode(zigzagEncode(n.toLong)).map("%02x".format(_)).toSeq).mkString
+
+  def encodeLong(n: Long): String =
+    ("05" +: vlqEncode(zigzagEncode(n)).map("%02x".format(_)).toSeq).mkString
+
+  def encodeUtf8(s: String): String = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    ("0e" +: vlqEncode(b.length.toLong).map("%02x".format(_)).toSeq).mkString +
+      b.map("%02x".format(_)).mkString
+  }
+
+  // ---- UDFs for the derivation pipeline ----
+
+  val parseUdf = udf((hex: String) => if (hex == null) null else parse(hex))
+  val renderUtf8Udf = udf((hex: String) => if (hex == null) None else renderUtf8(hex))
+  val renderLongUdf = udf((hex: String) => if (hex == null) None else renderLong(hex))
+}

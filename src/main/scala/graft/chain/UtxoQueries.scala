@@ -85,6 +85,15 @@ object UtxoQueries {
       t.assets.filter(col("tokenId") === tokenId).select("boxId"),
       Seq("boxId"), "left_semi")
 
+  /** Point lookups by id(s) — isin for small sets pushes into the scan. */
+  def boxesByIds(t: ChainTables, mode: BoxMode, boxIds: Seq[String]): DataFrame =
+    boxesFor(t, mode).filter(col("boxId").isin(boxIds: _*))
+
+  /** `numConfirmations(bestHeight)` derived column (FullBlockModel.scala:118). */
+  def withConfirmations(boxes: DataFrame, bestHeight: Int): DataFrame =
+    boxes.withColumn("numConfirmations",
+      lit(bestHeight) - col("settlementHeight") + 1)
+
   /** J1: box enriched with script hex and block metadata
     * (PersistentBoxRepo.joinUtxoWithErgoTreeAndBlock:72-86). The dims are
     * broadcast; the fact side never shuffles.

@@ -21,6 +21,16 @@ object CryptoFunctions {
     */
   def sha256OfHex(c: Column): Column = lower(sha2(unhex(c), 256))
 
+  // ---- P13: API-edge input validation (uexplorer.scala:42-119 refinement) ----
+
+  /** Even-length lowercase hex (the HexString refinement). */
+  def isHexString(c: Column): Column =
+    c.rlike("^(?:[0-9a-f]{2})+$")
+
+  /** Base58 alphabet check (full checksum validation happens on decode). */
+  def isBase58(c: Column): Column =
+    c.rlike("^[1-9A-HJ-NP-Za-km-z]+$")
+
   // ---- blake2b-256 (RFC 7693, unkeyed, 64-bit words, 12 rounds) ----
 
   private val IV = Array(

@@ -1,0 +1,105 @@
+package graft
+
+import graft.chain._
+import graft.functions.{CryptoFunctions, SkewFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Golden replay through the file source (the reference's
+  * StreamSchedulerSpec shape: canned blocks → full pipeline → end-state
+  * assertions) plus skew-handling and register-parser checks.
+  */
+class ReplayAndSkewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("golden replay: json-lines file source → derivation → exact end state") {
+    import spark.implicits._
+    val n = 64
+    val dir = Files.createTempDirectory("graft-replay").toString + "/blocks"
+    BlockSource.writeJsonLines(spark.createDataset(ChainFixture.generate(n)), dir)
+
+    val replayed = BlockSource.fromJsonLines(spark, dir)
+    assert(replayed.count() == n)
+    val t = BlockDerivation.derive(replayed)
+    // end-state assertions à la StreamSchedulerSpec: tip height, no gaps,
+    // utxo cardinality matches the in-memory derivation exactly
+    assert(t.blocks.agg(max("height")).head.getInt(0) == n)
+    assert(UtxoQueries.missingHeights(t, n).count() == 0)
+    val direct = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(n)))
+    assert(UtxoQueries.utxos(t).count() == UtxoQueries.utxos(direct).count())
+    assert(t.outputs.count() == direct.outputs.count())
+
+    // height offset pushes into the source
+    assert(BlockSource.fromJsonLines(spark, dir, fromHeight = 33).count() == 32)
+  }
+
+  test("register parser round-trips sigma primitive encodings") {
+    assert(RegisterParser.parse(RegisterParser.encodeInt(2)) ==
+      RegisterParser.ParsedRegister("SInt", "2"))
+    assert(RegisterParser.parse(RegisterParser.encodeInt(-300)) ==
+      RegisterParser.ParsedRegister("SInt", "-300"))
+    assert(RegisterParser.parse(RegisterParser.encodeLong(1234567890123L)) ==
+      RegisterParser.ParsedRegister("SLong", "1234567890123"))
+    val coll = RegisterParser.parse(RegisterParser.encodeUtf8("token42"))
+    assert(coll.sigmaType == "Coll[SByte]")
+    assert(RegisterParser.renderUtf8(RegisterParser.encodeUtf8("token42")).contains("token42"))
+    // opaque passthrough for unknown type tags / garbage
+    assert(RegisterParser.parse("ff00").sigmaType == "SUnparsed")
+    assert(RegisterParser.parse("zz").sigmaType == "SUnparsed")
+  }
+
+  test("minted token props flow through the sigma parser in the pipeline") {
+    import spark.implicits._
+    val t = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(40)))
+    val minted = t.assets.filter(col("minted")).select("tokenName", "tokenDecimals").collect()
+    assert(minted.nonEmpty)
+    minted.foreach { r =>
+      assert(r.getString(0).startsWith("token"))
+      assert(r.getInt(1) == 2)
+    }
+  }
+
+  test("salted aggregation matches plain aggregation under a hot key") {
+    import spark.implicits._
+    // 100k rows, 90% on one hot key (the supernode shape)
+    val df = spark.range(100000)
+      .select(when(col("id") % 10 =!= 0, "hotkey")
+        .otherwise(concat(lit("k"), col("id"))).as("k"),
+        (col("id") % 97).cast("double").as("v"))
+    val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("k")).limit(5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val salted = SkewFunctions.saltedSum(df, "k", "v", salts = 16)
+      .orderBy(desc("count"), asc("k")).limit(5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(plain.toSeq == salted.toSeq)
+
+    val topk = SkewFunctions.saltedTopKByCount(df, "k", 1).collect()
+    assert(topk(0).getString(0) == "hotkey" && topk(0).getLong(1) == 90000L)
+  }
+
+  test("hot-key stats flag only keys above the op threshold") {
+    import spark.implicits._
+    val changes = (Seq.fill(600)("whale") ++ Seq.fill(100)("minnow"))
+      .zipWithIndex
+      .map { case (k, i) => (k, if (i % 3 == 0) "remove" else "add") }
+      .toDF("key", "op")
+    val hot = SkewFunctions.hotKeyStats(changes, "key", threshold = 500).collect()
+    assert(hot.length == 1 && hot(0).getString(0) == "whale")
+    assert(hot(0).getAs[Long]("added") + hot(0).getAs[Long]("removed") == 600)
+  }
+
+  test("P13 validation columns accept domain ids and reject malformed input") {
+    import spark.implicits._
+    val df = Seq(
+      ("deadbeef", true), ("DEADBEEF", false), ("abc", false), ("", false),
+      ("0008cd" + "a" * 26, true)).toDF("s", "expectHex")
+    val wrong = df.filter(CryptoFunctions.isHexString(col("s")) =!= col("expectHex")).count()
+    assert(wrong == 0)
+    val b58 = Seq(("2NEpo7TZRRrLZSi2U", true), ("0OIl", false), ("", false))
+      .toDF("s", "expect")
+    assert(b58.filter(CryptoFunctions.isBase58(col("s")) =!= col("expect")).count() == 0)
+  }
+}
