@@ -258,6 +258,59 @@ object RelationalQueries extends QueryModule {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("sum_value"))
         .orderBy("c_nationkey")
+    }),
+
+    // Beyond-parity (SURVEY §2.5 note): hierarchical subtotal roll-up —
+    // the reference's epoch roll-ups generalized to grouping sets.
+    "q45_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // Post-aggregation predicate (HAVING) — repeat-customer detection.
+    "q46_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("n_orders") >= 8)
+        .orderBy("o_custkey")
+    }),
+
+    // Ranking window functions (rank/dense_rank) within partitions.
+    "q47_rank_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rnk"), col("drnk"))
+        .orderBy("o_orderstatus", "rnk", "o_orderkey")
+    }),
+
+    // RANGE-frame window: trailing-7-day revenue per day (value-based frame,
+    // not row count — the moving-aggregate shape the reference lacks).
+    "q48_range_window" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("dnum"))
+        .agg(round(sum("o_totalprice"), 2).as("day_rev"))
+      val w = Window.orderBy("dnum").rangeBetween(-6, 0)
+      daily
+        .withColumn("trailing7_rev", round(sum("day_rev").over(w), 2))
+        .orderBy("dnum")
+    }),
+
+    // HLL cardinality (approx_count_distinct) — the datasketches TODO the
+    // reference never built (readme.md:226). Approximate ⇒ no value oracle;
+    // PipelineSpec bounds the error against the exact count.
+    "q49_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct("o_custkey").as("approx_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -367,6 +420,29 @@ object RelationalQueries extends QueryModule {
          round(sum(value), 2) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          WHERE event_type = 'purchase'
-         GROUP BY c_nationkey ORDER BY c_nationkey"""
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q45_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS rev
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q46_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+         ORDER BY o_custkey""",
+    "q47_rank_window" ->
+      """SELECT o_orderstatus, o_orderkey, price, rnk, drnk FROM (
+           SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price,
+             rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rnk <= 5 ORDER BY o_orderstatus, rnk, o_orderkey""",
+    "q48_range_window" ->
+      """SELECT dnum, day_rev, round(sum(day_rev) OVER (ORDER BY dnum
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing7_rev
+         FROM (SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+                 round(sum(o_totalprice), 2) AS day_rev
+               FROM orders GROUP BY 1)
+         ORDER BY dnum"""
   )
 }

@@ -22,6 +22,7 @@ object SimilarityQueries extends QueryModule {
   private val NumQueries = 5
   private val TopK = 10
   private val NProbe = 3
+  private val NumPlanes = 6 // hyperplane-LSH code width (64 buckets)
 
   /** Corpus with the l2 norm precomputed once per vector — every downstream
     * pairwise stage is then a single dot product.
@@ -92,6 +93,42 @@ object SimilarityQueries extends QueryModule {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      topK(cand)
+    }),
+
+    // Hyperplane (signed-random-projection) LSH ANN: bucket = sign bits of
+    // NumPlanes pseudo-random hyperplane dot products (planes derived from
+    // md5 of (plane, dim) — deterministic, no shared RNG state needed on a
+    // cluster). Queries multi-probe their own bucket plus all 1-bit flips.
+    // Candidate generation is an equi-join on the bucket code → scans
+    // ~(NumPlanes+1)/2^NumPlanes of the corpus. Rows-only check;
+    // PipelineSpec measures recall vs the exact q31.
+    "q50_hyperplane_lsh_topk" -> ((s, dir) => {
+      val e = corpus(s, dir)
+      val dim = 64
+      // plane components in [-0.5, 0.5): md5-derived per (plane, dim)
+      val planes = broadcast(s.range(NumPlanes).toDF("plane").select(
+        col("plane"),
+        array((0 until dim).map(d =>
+          (conv(substring(md5(concat(lit(s"pl:$d:"), col("plane"))), 1, 8), 16, 10)
+            .cast("long").cast("double") / 4294967296.0) - 0.5): _*).as("pv")))
+      val coded = e.crossJoin(planes)
+        .withColumn("bit",
+          when(dot(col("v"), col("pv")) >= 0,
+            expr("shiftleft(1L, cast(plane as int))")).otherwise(0L))
+        .groupBy("vec_id").agg(sum("bit").as("code"))
+      val codedE = e.join(coded, "vec_id")
+      // queries probe their code and every 1-bit flip of it
+      val q = codedE.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"), col("code"))
+        .withColumn("probe", explode(array(
+          col("code") +: (0 until NumPlanes).map(b => col("code").bitwiseXOR(lit(1L << b))): _*)))
+        .drop("code")
+      val cand = codedE.join(broadcast(q), col("code") === col("probe"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nbr_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+        .distinct()
       topK(cand)
     })
   )

@@ -40,6 +40,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall < 0.3 — bucketing is broken")
   }
 
+  test("hyperplane LSH achieves nonzero recall with bounded probe cost") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf001)
+        .select("q_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q31_cosine_topk")
+    val lsh = pairs("q50_hyperplane_lsh_topk")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.1, s"hyperplane LSH recall $recall below floor")
+  }
+
+  test("approx_count_distinct lands within 10% of the exact cardinality") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q49_approx_distinct")(spark, sf001)
+      .join(Tables.load(spark, sf001, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("exact_custs")), "o_orderstatus")
+      .collect()
+    df.foreach { r =>
+      val approx = r.getAs[Long]("approx_custs").toDouble
+      val exact = r.getAs[Long]("exact_custs").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getAs[String]("o_orderstatus")}: approx $approx vs exact $exact")
+    }
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>
