@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Small-file compaction (SURVEY.md §2.9 ST4 — the reference compacts its
+  * MVStore every 10,000 blocks, application.conf:49-57; a streaming parquet
+  * warehouse accumulates one file set per micro-batch instead, and the read
+  * path degrades with file count, not bytes).
+  *
+  * Rewrite is atomic-by-rename: compact into a sibling temp dir, swap. At
+  * cluster scale run per height-bucket partition (only buckets with more
+  * than `targetFiles` files), which bounds the rewrite to recent data.
+  */
+object Compaction {
+
+  def fileCount(dir: String): Int = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0
+    else Files.walk(p).filter(f => f.toString.endsWith(".parquet")).count().toInt
+  }
+
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 4): Unit = {
+    val tmp = dir + ".compact-tmp"
+    val old = dir + ".compact-old"
+    spark.read.parquet(dir).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dirP = Paths.get(dir)
+    Files.move(dirP, Paths.get(old))
+    Files.move(Paths.get(tmp), dirP)
+    delete(Paths.get(old))
+  }
+
+  private def delete(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+}

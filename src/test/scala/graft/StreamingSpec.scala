@@ -93,6 +93,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("tumbling event-time windows aggregate incrementally and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case object T { def at(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L) }
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = stream.toDF().toDF("ts", "event_type", "value")
+    val windowed = EventTimeWindows.tumbling(events, "ts", "event_type",
+      width = "10 minutes", watermark = "10 minutes")
+    val query = windowed.writeStream
+      .format("memory").queryName("etw").outputMode("append").start()
+    try {
+      stream.addData((T.at(1), "a", 1.0), (T.at(5), "a", 2.0), (T.at(12), "b", 5.0))
+      query.processAllAvailable()
+      // advance the watermark far enough to close the first two windows
+      stream.addData((T.at(40), "c", 1.0))
+      query.processAllAvailable()
+      // this event is behind the watermark → dropped
+      stream.addData((T.at(2), "a", 100.0))
+      query.processAllAvailable()
+      stream.addData((T.at(60), "d", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("etw")
+        .select(col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("a", 2L, 3.0)), s"window a wrong: $rows") // late 100.0 dropped
+      assert(rows.contains(("b", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("compaction collapses micro-batch file sprawl without changing data") {
+    import spark.implicits._
+    val dir = tmpDir("graft-compact") + "/t"
+    (1 to 8).foreach { i =>
+      Seq.tabulate(100)(j => (i, j)).toDF("batch", "v")
+        .repartition(4).write.mode("append").parquet(dir)
+    }
+    val before = Compaction.fileCount(dir)
+    assert(before >= 32)
+    val checksum = spark.read.parquet(dir).agg(sum(col("v")), count(lit(1))).collect()(0)
+    Compaction.compact(spark, dir, targetFiles = 4)
+    assert(Compaction.fileCount(dir) <= 4)
+    val after = spark.read.parquet(dir).agg(sum(col("v")), count(lit(1))).collect()(0)
+    assert(checksum == after)
+  }
+
   test("high-value detector alerts only above threshold, net of paybacks and fees") {
     import spark.implicits._
     val t = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(40)))
