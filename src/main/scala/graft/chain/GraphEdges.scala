@@ -52,4 +52,21 @@ object GraphEdges {
       .agg(count(lit(1)).as("sharedTxs"), sum("value").as("totalValue"))
       .orderBy(desc("sharedTxs"), asc("ergoTreeHash"))
   }
+
+  /** 2-hop traversal (address→tx→address→tx→address): the motif query shape
+    * — two self-joins, each an equi-join on txId then on the intermediate
+    * script. `maxHop1` caps fan-out so a supernode in the middle cannot
+    * explode the frontier (the graph analog of the skew guard).
+    */
+  def twoHop(edges: DataFrame, ergoTreeHash: String, maxHop1: Int = 100): DataFrame = {
+    val hop1 = neighbours(edges, ergoTreeHash).limit(maxHop1)
+      .select(col("ergoTreeHash").as("mid"))
+    val midTxs = edges.join(hop1, col("ergoTreeHash") === col("mid"))
+      .select(col("txId"), col("mid"))
+    edges.join(midTxs, "txId")
+      .filter(col("ergoTreeHash") =!= ergoTreeHash && col("ergoTreeHash") =!= col("mid"))
+      .groupBy(col("ergoTreeHash"))
+      .agg(countDistinct("mid").as("nPaths"), sum("value").as("totalValue"))
+      .orderBy(desc("nPaths"), asc("ergoTreeHash"))
+  }
 }

@@ -63,12 +63,19 @@ object RegisterParser {
   }
 
   /** Coll[SByte] rendered as UTF-8 (TokenPropsParser.scala:14-42 — token
-    * name/description); null when the register isn't a byte coll.
+    * name/description); None when the register isn't a byte coll or the
+    * bytes aren't plausibly text (the reference's UTF-8 heuristic,
+    * TokenPropsParser.scala:21-42: binary payloads masquerading as names
+    * are rejected rather than rendered as mojibake).
     */
   def renderUtf8(hex: String): Option[String] = {
     val p = parse(hex)
     if (p.sigmaType != "Coll[SByte]") None
-    else Some(new String(hexToBytes(p.rendered), StandardCharsets.UTF_8))
+    else {
+      val s = new String(hexToBytes(p.rendered), StandardCharsets.UTF_8)
+      val bad = s.count(c => c == '�' || Character.isISOControl(c))
+      if (s.nonEmpty && bad * 10 <= s.length) Some(s) else None
+    }
   }
 
   /** Rendered integral value (SInt/SLong) or None. */

@@ -53,4 +53,33 @@ object SkewFunctions {
       .agg(sum("_pcount").as("count"))
       .orderBy(desc("count"), asc(key))
       .limit(k)
+
+  // ---- learned hot-key list (S6 + SuperNodeCollector.scala:13-65) ----
+
+  /** S6: load the persisted hot-key list (plain or gzipped line file — the
+    * reference ships `*.gz` defaults and appends learned keys) for use as a
+    * broadcast salt-list.
+    */
+  def loadHotKeys(spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
+    spark.read.textFile(path).collect().map(_.trim).filter(_.nonEmpty).toSet
+
+  /** Targeted salting — the faithful translation of the reference's
+    * supernode design: ONLY keys on the learned hot list are salted (cold
+    * keys keep salt 0 and aggregate in one pass); the hot list is tiny and
+    * broadcast inside the `isin` literal.
+    */
+  def saltedSumWithHotList(df: DataFrame, key: String, valueCol: String,
+    hotKeys: Set[String], salts: Int = 16): DataFrame = {
+    val salt =
+      if (hotKeys.isEmpty) lit(0L)
+      else when(col(key).isin(hotKeys.toSeq: _*),
+        pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+        .otherwise(0L)
+    df
+      .withColumn("_salt", salt)
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueCol).as("_partial"), count(lit(1)).as("_pcount"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as(s"sum_$valueCol"), sum("_pcount").as("count"))
+  }
 }

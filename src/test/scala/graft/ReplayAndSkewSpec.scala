@@ -91,6 +91,57 @@ class ReplayAndSkewSpec extends AnyFunSuite {
     assert(hot(0).getAs[Long]("added") + hot(0).getAs[Long]("removed") == 600)
   }
 
+  test("sigma type strings parse and render round-trip") {
+    import graft.functions.SigmaTypes
+    val cases = Seq(
+      "SInt", "Coll[SByte]", "Option[SLong]", "Coll[Coll[SByte]]",
+      "(SInt, SLong)", "Coll[(SInt, Option[SLong])]", "(SByte, SByte, SBoolean)")
+    cases.foreach { s =>
+      val parsed = SigmaTypes.parse(s)
+      assert(parsed.isDefined, s"failed to parse $s")
+      assert(parsed.get.render == s, s"round-trip broke: $s -> ${parsed.get.render}")
+    }
+    Seq("Coll[", "SFoo", "Coll[SByte", "(SInt,)", "", "Coll[SByte]]").foreach { bad =>
+      assert(graft.functions.SigmaTypes.parse(bad).isEmpty, s"should reject: $bad")
+    }
+  }
+
+  test("token-name UTF-8 heuristic rejects binary payloads") {
+    // real text renders; raw binary (invalid utf-8 continuation bytes) → None
+    assert(RegisterParser.renderUtf8(RegisterParser.encodeUtf8("My Token")).contains("My Token"))
+    val binaryColl = "0e" + "04" + "fffefdfc" // coll of 4 invalid-utf8 bytes
+    assert(RegisterParser.renderUtf8(binaryColl).isEmpty)
+  }
+
+  test("hot-list salting matches plain aggregation and loads from file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hotkeys").toString + "/keys"
+    spark.createDataset(Seq("hotkey")).write.text(dir)
+    val hot = SkewFunctions.loadHotKeys(spark, dir)
+    assert(hot == Set("hotkey"))
+    val df = spark.range(20000)
+      .select(when(col("id") % 10 =!= 0, "hotkey")
+        .otherwise(concat(lit("k"), col("id"))).as("k"),
+        (col("id") % 7).cast("double").as("v"))
+    val plain = df.groupBy("k").agg(sum("v").as("s")).filter(col("k") === "hotkey")
+      .head.getDouble(1)
+    val salted = SkewFunctions.saltedSumWithHotList(df, "k", "v", hot)
+      .filter(col("k") === "hotkey").head.getAs[Double]("sum_v")
+    assert(plain == salted)
+  }
+
+  test("2-hop graph traversal finds paths through intermediate scripts") {
+    import spark.implicits._
+    val t = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(60)))
+    val edges = GraphEdges.txEdges(t, dust = 1000000L)
+    val someScript = edges.groupBy("ergoTreeHash").count()
+      .orderBy(desc("count")).head.getString(0)
+    val hop2 = GraphEdges.twoHop(edges, someScript)
+    assert(hop2.count() > 0, "busiest script should reach 2-hop neighbours")
+    assert(hop2.filter(col("ergoTreeHash") === someScript).count() == 0,
+      "origin must not appear in its own 2-hop frontier")
+  }
+
   test("P13 validation columns accept domain ids and reject malformed input") {
     import spark.implicits._
     val df = Seq(
