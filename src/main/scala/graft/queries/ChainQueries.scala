@@ -16,10 +16,15 @@ object ChainQueries extends QueryModule {
 
   private val FixtureBlocks = 80
 
-  private def tables(s: SparkSession): ChainTables = {
+  // one fixture derivation per session, entity tables cached — the chain
+  // queries share state exactly like real queries share warehouse tables.
+  private val memo = scala.collection.concurrent.TrieMap[SparkSession, ChainTables]()
+  private def tables(s: SparkSession): ChainTables = memo.getOrElseUpdate(s, {
     import s.implicits._
-    BlockDerivation.derive(s.createDataset(ChainFixture.generate(FixtureBlocks)))
-  }
+    val t = BlockDerivation.derive(s.createDataset(ChainFixture.generate(FixtureBlocks)))
+    ChainTables(t.blocks.cache(), t.txs.cache(), t.outputs.cache(),
+      t.inputs.cache(), t.assets.cache(), t.ergoTrees.cache(), t.ergoTreeT8s.cache())
+  })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Blocks with reward economics + cumulative chain stats (A1-A3, A5, P4).
@@ -86,6 +91,22 @@ object ChainQueries extends QueryModule {
         .filter(col("minted"))
         .select("tokenId", "boxId", "amount", "tokenName", "tokenDecimals")
         .orderBy("tokenId")
+    }),
+
+    // Backfill throughput probe: 2000 blocks through the full derivation +
+    // UTXO materialization. BASELINE.md's bar is ~255 blocks/s on 16 vCPU
+    // for the reference's full pipeline; the bench JSON's seconds for this
+    // entry / 2000 gives the engine's per-core-comparable rate (fixture
+    // generation is driver-side and included — the measured number is
+    // conservative).
+    "q51_chain_backfill" -> ((s, _) => {
+      import s.implicits._
+      val t = BlockDerivation.derive(s.createDataset(ChainFixture.generate(2000)))
+      val utxoCount = UtxoQueries.utxos(t).count()
+      val boxCount = t.outputs.count()
+      val tip = t.blocks.agg(max("height").as("tipHeight"),
+        max("maxBoxGix").as("maxBoxGix"))
+      tip.withColumn("utxoCount", lit(utxoCount)).withColumn("boxCount", lit(boxCount))
     }),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).
