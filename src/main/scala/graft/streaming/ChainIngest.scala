@@ -137,7 +137,14 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
     */
   private def reprocessFromRaw(spark: SparkSession, batchId: Long): Unit = {
     import spark.implicits._
-    val raw = spark.read.parquet(p("raw")).as[RawBlock]
+    // a replayed batch (foreachBatch redelivery after a crash) appends its
+    // raw blocks twice — dedupe by block id before resolving, so replay is
+    // idempotent end-to-end.
+    val raw = spark.read.parquet(p("raw"))
+      .withColumn("_bid", col("header.id"))
+      .dropDuplicates("_bid")
+      .drop("_bid")
+      .as[RawBlock]
     val resolved = ForkResolver.mainChain(raw)
     val t = BlockDerivation.derive(resolved)
     withBucket(t.blocks, "height").write.mode(SaveMode.Overwrite)

@@ -66,6 +66,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass MinHash Aggregator equals the column-wise signature form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(toks(col("text")), 3)).as("s"))
+      .select(col("doc_id"), hash64(col("s"), 0).as("h0"),
+        (hash64(col("s"), 1) % (1L << 56)).as("h1"))
+    // column-wise: 12 min() aggregates
+    val colWise = sh.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.min(col("h0") + lit(0L) * col("h1")).as("m0"),
+        (1 until 12).map(k => org.apache.spark.sql.functions.min(col("h0") + lit(k.toLong) * col("h1")).as(s"m$k")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 12).map(i => r.getLong(i)).toSeq).toMap
+    // one-pass typed Aggregator
+    val mh = udaf(new graft.functions.MinHashAggregator(12))
+    val agged = sh.groupBy("doc_id").agg(mh(col("h0"), col("h1")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(agged.keySet == colWise.keySet)
+    agged.foreach { case (id, sig) => assert(sig == colWise(id), s"doc $id differs") }
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>
