@@ -1,0 +1,78 @@
+package graft
+
+import graft.chain._
+import graft.streaming.ChainIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing facade — what a reference (ergo-uexplorer) user calls
+  * instead of its REST/service layer (SURVEY.md §3.1's BoxService matrix,
+  * §2.5's stats, §2.4's graph), backed by a parquet warehouse maintained by
+  * [[graft.streaming.ChainIngest]].
+  *
+  * Every method returns a lazy DataFrame — callers compose further
+  * (filters/joins/limits) before any job runs, and Catalyst sees the whole
+  * plan. Dim tables (scripts, templates) are derived from `outputs` on
+  * demand; at warehouse scale they'd be materialized by the ingest the same
+  * way the entity tables are.
+  */
+class GraftEngine(spark: SparkSession, warehouse: String) {
+
+  val ingest = new ChainIngest(warehouse)
+
+  /** Batch backfill from a json-lines block file/dir (S3). */
+  def backfill(blocksPath: String, fromHeight: Int = 0): Unit =
+    ingest.processBatch(BlockSource.fromJsonLines(spark, blocksPath, fromHeight), 0L)
+
+  /** Startup integrity check (Initializer.scala:15-37 analog): if the raw
+    * stream is ahead of the derived tables (crash between the raw append and
+    * the entity writes), re-derive from raw. Returns true if healing ran.
+    */
+  def heal(): Boolean = ingest.heal(spark)
+
+  /** The entity tables as a ChainTables view over the warehouse. */
+  def tables: ChainTables = {
+    val outputs = spark.read.parquet(s"$warehouse/outputs")
+    val ergoTrees = outputs
+      .groupBy(col("ergoTreeHash").as("hash"))
+      .agg(first("ergoTree").as("hex"), min("blockId").as("blockId"))
+      .withColumn("address",
+        graft.functions.CryptoFunctions.base58EncodeHexUdf(concat(lit("01"), col("hex"))))
+    val t8 = outputs.filter(col("ergoTreeT8Hash").isNotNull)
+      .groupBy(col("ergoTreeT8Hash").as("hash"))
+      .agg(first("ergoTreeT8Hex").as("hex"), min("blockId").as("blockId"))
+    ChainTables(
+      blocks = spark.read.parquet(s"$warehouse/blocks"),
+      txs = spark.read.parquet(s"$warehouse/txs"),
+      outputs = outputs,
+      inputs = spark.read.parquet(s"$warehouse/inputs"),
+      assets = spark.read.parquet(s"$warehouse/assets"),
+      ergoTrees = ergoTrees,
+      ergoTreeT8s = t8)
+  }
+
+  // ---- the BoxService matrix (§3.1) ----
+
+  def utxos: DataFrame = ingest.utxo(spark)
+  def spentBoxes: DataFrame = UtxoQueries.spentBoxes(tables)
+  def boxesByAddress(mode: UtxoQueries.BoxMode, address: String,
+    filters: Map[String, Any] = Map.empty): DataFrame =
+    UtxoQueries.boxesByAddress(tables, mode, address, filters)
+  def boxesByErgoTreeHash(mode: UtxoQueries.BoxMode, hash: String): DataFrame =
+    UtxoQueries.boxesByErgoTreeHash(tables, mode, hash)
+  def boxesByTokenId(mode: UtxoQueries.BoxMode, tokenId: String): DataFrame =
+    UtxoQueries.boxesByTokenId(tables, mode, tokenId)
+  def boxesByIds(mode: UtxoQueries.BoxMode, ids: Seq[String]): DataFrame =
+    UtxoQueries.boxesByIds(tables, mode, ids)
+
+  // ---- stats + graph ----
+
+  def topAddressesByValue(k: Int): DataFrame = UtxoQueries.topAddressesByValue(tables, k)
+  def topAddressesByUtxoCount(k: Int): DataFrame = UtxoQueries.topAddressesByUtxoCount(tables, k)
+  def epochRollup: DataFrame = UtxoQueries.epochRollup(tables)
+  def lastBlocks(n: Int): DataFrame = UtxoQueries.lastBlocks(tables, n)
+  def missingHeights(upTo: Int): DataFrame = UtxoQueries.missingHeights(tables, upTo)
+  def txEdges: DataFrame = GraphEdges.txEdges(tables)
+  def neighbours(ergoTreeHash: String): DataFrame =
+    GraphEdges.neighbours(txEdges, ergoTreeHash)
+}

@@ -192,6 +192,25 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
     }
   }
 
+  /** Startup integrity check + self-heal (the Initializer.scala:15-37
+    * analog): processBatch appends raw FIRST, then derives — a crash in
+    * between leaves raw ahead of the tables. Detect by tip-height mismatch
+    * and re-derive from (deduped) raw. Idempotent; returns whether healing
+    * was needed.
+    */
+  def heal(spark: SparkSession): Boolean = {
+    if (!exists("raw")) return false
+    val rawTip = spark.read.parquet(p("raw"))
+      .agg(org.apache.spark.sql.functions.max(col("header.height"))).head().getInt(0)
+    val derivedTip =
+      if (exists("blocks"))
+        spark.read.parquet(p("blocks"))
+          .agg(org.apache.spark.sql.functions.max(col("height"))).head().getInt(0)
+      else -1
+    if (rawTip != derivedTip) { reprocessFromRaw(spark, System.nanoTime()); true }
+    else false
+  }
+
   def utxo(spark: SparkSession): DataFrame =
     currentUtxoVersion() match {
       case Some(v) => spark.read.parquet(utxoPath(v))

@@ -1,0 +1,64 @@
+package graft
+
+import graft.chain._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end facade test: the reference-user workflow (backfill → query
+  * surface) through GraftEngine, plus the crash-heal integrity path.
+  */
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("backfill then serve the full query surface through the facade") {
+    import spark.implicits._
+    val n = 50
+    val base = Files.createTempDirectory("graft-engine").toString
+    BlockSource.writeJsonLines(
+      spark.createDataset(ChainFixture.generate(n)), s"$base/blocks")
+
+    val engine = new GraftEngine(spark, s"$base/warehouse")
+    engine.backfill(s"$base/blocks")
+
+    val direct = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(n)))
+    assert(engine.utxos.count() == UtxoQueries.utxos(direct).count())
+    assert(engine.lastBlocks(5).collect().map(_.getAs[Int]("height")).toSeq ==
+      Seq(n, n - 1, n - 2, n - 3, n - 4))
+    assert(engine.missingHeights(n).count() == 0)
+    assert(engine.topAddressesByValue(3).count() == 3)
+    assert(engine.epochRollup.count() == 1) // 50 blocks < one 1024 epoch
+    assert(engine.txEdges.count() > 0)
+
+    // box matrix through the facade: pick a real address, flagship query
+    val addr = engine.tables.ergoTrees.orderBy("hash").limit(1)
+      .select("address").head.getString(0)
+    val unspent = engine.boxesByAddress(UtxoQueries.Unspent, addr).count()
+    val spent = engine.boxesByAddress(UtxoQueries.Spent, addr).count()
+    val any = engine.boxesByAddress(UtxoQueries.Any, addr).count()
+    assert(unspent + spent == any && any > 0)
+  }
+
+  test("heal detects a crash between raw append and derivation and repairs it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-heal").toString
+    val engine = new GraftEngine(spark, s"$base/warehouse")
+    val all = ChainFixture.generate(30)
+    engine.ingest.processBatch(spark.createDataset(all.take(20)), 0L)
+    assert(!engine.heal(), "consistent state must not trigger healing")
+
+    // simulate the crash: raw gets the last 10 blocks, entities don't
+    spark.createDataset(all.drop(20)).toDF()
+      .write.mode("append").parquet(s"$base/warehouse/raw")
+    assert(engine.heal(), "raw ahead of tables must trigger healing")
+
+    val blocks = engine.ingest.blocks(spark)
+    assert(blocks.count() == 30)
+    val expected = UtxoQueries.utxos(
+      BlockDerivation.derive(spark.createDataset(all)))
+      .select("boxId").collect().map(_.getString(0)).toSet
+    val got = engine.utxos.select("boxId").collect().map(_.getString(0)).toSet
+    assert(got == expected)
+  }
+}
