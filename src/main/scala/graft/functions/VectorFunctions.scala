@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise dot product, sequential left-to-right accumulation. */
+  /** Elementwise dot product, sequential left-to-right accumulation.
+    * Built-in fallback form — see [[dotNative]] for the hot-path version.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** The native `vec_dot` Catalyst expression (no intermediate array, stays
+    * in codegen) — requires `DotProductExpression.register(spark)` first.
+    * Bit-identical to [[dot]] (same accumulation order).
+    */
+  def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def l2NormNative(a: Column): Column = sqrt(dotNative(a, a))
 
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))

@@ -80,8 +80,14 @@ object DedupQueries extends QueryModule {
     "q26_shingle_jaccard" -> ((s, dir) => {
       val sh = shingleHashes(s, dir)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shared = sh.as("a")
-        .join(sh.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      // result-identical prefilter: a shingle present in only one doc can't
+      // produce a pair — dropping singletons removes ~95% of the join input
+      // (and bounds the k² blow-up of genuinely hot shingles to real ones).
+      val multi = sh.groupBy("hs").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+        .select("hs")
+      val shMulti = sh.join(multi, Seq("hs"), "left_semi")
+      val shared = shMulti.as("a")
+        .join(shMulti.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("c"))
       shared
@@ -148,13 +154,14 @@ object DedupQueries extends QueryModule {
     // keyed shuffle, never a global cross join.
     "q30_embedding_neardup" -> ((s, dir) => {
       // norms are precomputed per vector (not per pair): the pairwise kernel
-      // is then one dot product, a 3× flop cut on the O(pairs) stage.
+      // is then one native vec_dot, a 3× flop cut on the O(pairs) stage.
+      graft.functions.DotProductExpression.register(s)
       val e = embs(s, dir)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-        .withColumn("n", l2Norm(col("v")))
+        .withColumn("n", l2NormNative(col("v")))
       e.as("a")
         .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+        .withColumn("cos", dotNative(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
         .filter(round(col("cos"), 4) >= 0.4)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           round(col("cos"), 4).as("cos_sim"))

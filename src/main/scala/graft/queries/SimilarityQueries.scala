@@ -27,10 +27,12 @@ object SimilarityQueries extends QueryModule {
   /** Corpus with the l2 norm precomputed once per vector — every downstream
     * pairwise stage is then a single dot product.
     */
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProductExpression.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("n", l2Norm(col("v")))
+      .withColumn("n", l2NormNative(col("v")))
+  }
 
   /** Rank candidate (q_id, nbr_id, cos) triples and keep the top-k per query.
     * Ranking uses cosine rounded to 6 dp with nbr_id tie-break so the order
@@ -55,7 +57,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"))
       val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+          (dotNative(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
       topK(cand)
     }),
 
@@ -79,7 +81,7 @@ object SimilarityQueries extends QueryModule {
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(round(col("c_cos"), 6).desc, col("c_id").asc)
       val ranked = e.join(broadcast(cent))
-        .withColumn("c_cos", dot(col("v"), col("cv")) / (col("n") * l2Norm(col("cv"))))
+        .withColumn("c_cos", dotNative(col("v"), col("cv")) / (col("n") * l2NormNative(col("cv"))))
         .withColumn("rn", row_number().over(wAssign))
       // corpus vectors live in exactly one bucket (rn=1)...
       val assigned = ranked.filter(col("rn") === 1)
@@ -92,7 +94,7 @@ object SimilarityQueries extends QueryModule {
       val cand = assigned.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+          (dotNative(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
       topK(cand)
     }),
 
@@ -114,7 +116,7 @@ object SimilarityQueries extends QueryModule {
             .cast("long").cast("double") / 4294967296.0) - 0.5): _*).as("pv")))
       val coded = e.crossJoin(planes)
         .withColumn("bit",
-          when(dot(col("v"), col("pv")) >= 0,
+          when(dotNative(col("v"), col("pv")) >= 0,
             expr("shiftleft(1L, cast(plane as int))")).otherwise(0L))
         .groupBy("vec_id").agg(sum("bit").as("code"))
       val codedE = e.join(coded, "vec_id")
@@ -127,7 +129,7 @@ object SimilarityQueries extends QueryModule {
       val cand = codedE.join(broadcast(q), col("code") === col("probe"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("nbr_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+          (dotNative(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
         .distinct()
       topK(cand)
     })
