@@ -37,7 +37,7 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
       .groupBy(col("ergoTreeHash").as("hash"))
       .agg(first("ergoTree").as("hex"), min("blockId").as("blockId"))
       .withColumn("address",
-        graft.functions.CryptoFunctions.base58EncodeHexUdf(concat(lit("01"), col("hex"))))
+        graft.functions.CryptoFunctions.ergoTreeToAddressUdf(col("hex")))
     val t8 = outputs.filter(col("ergoTreeT8Hash").isNotNull)
       .groupBy(col("ergoTreeT8Hash").as("hash"))
       .agg(first("ergoTreeT8Hex").as("hex"), min("blockId").as("blockId"))

@@ -122,7 +122,7 @@ object BlockDerivation {
     val ergoTrees = outputs
       .groupBy(col("ergoTreeHash").as("hash"))
       .agg(first("ergoTree").as("hex"), min("blockId").as("blockId"))
-      .withColumn("address", base58EncodeHexUdf(concat(lit("01"), col("hex"))))
+      .withColumn("address", ergoTreeToAddressUdf(col("hex")))
     val ergoTreeT8s = outputs
       .filter(col("ergoTreeT8Hash").isNotNull)
       .groupBy(col("ergoTreeT8Hash").as("hash"))

@@ -141,18 +141,67 @@ object CryptoFunctions {
   private def hexToBytes(hex: String): Array[Byte] =
     hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
 
-  /** Deterministic miner-address stand-in for the reference's
-    * minerPk → ProveDlog → P2S derivation (RewardCalculator.scala:21-36),
-    * which needs the sigmastate EC stack (not available offline): here the
-    * address is base58(0x01 ++ blake2b256(pkBytes)). Same shape — a pure
-    * per-row scalar of the header — and an isolated plug point for the real
-    * codec.
+  // ---- Ergo address codec (P7, public address format: head byte =
+  // network + type, body, 4-byte blake2b256 checksum, base58) ----
+
+  val MainnetPrefix: Byte = 0
+  private val P2pkType: Byte = 1
+  private val P2sType: Byte = 3
+  /** P2PK trees serialize as `0008cd` + 33-byte compressed pubkey
+    * (ErgoTreeParser.isErgoTreeT8:25-28 discriminates on the same shape).
+    */
+  private val P2pkTreePrefix = "0008cd"
+
+  private def checksum(payload: Array[Byte]): Array[Byte] =
+    blake2b256(payload).take(4)
+
+  private def encodeAddress(headByte: Byte, body: Array[Byte]): String = {
+    val payload = headByte +: body
+    base58Encode(payload ++ checksum(payload))
+  }
+
+  /** ErgoTree hex → base58 address (ErgoTreeParser.scala:87-131): P2PK trees
+    * render as P2PK addresses (body = the 33 pubkey bytes), everything else
+    * as Pay2S (body = the serialized tree). Network prefix 0 = mainnet.
+    */
+  def ergoTreeToAddress(treeHex: String, network: Byte = MainnetPrefix): String =
+    if (treeHex.startsWith(P2pkTreePrefix) && treeHex.length == 6 + 66)
+      encodeAddress((network + P2pkType).toByte, hexToBytes(treeHex.drop(6)))
+    else
+      encodeAddress((network + P2sType).toByte, hexToBytes(treeHex))
+
+  /** base58 address → ErgoTree hex; None when the checksum or structure is
+    * invalid (the codec side of P13 validation).
+    */
+  def addressToErgoTree(address: String): Option[String] =
+    base58Decode(address).flatMap { payload =>
+      if (payload.length < 5) None
+      else {
+        val (body, check) = payload.splitAt(payload.length - 4)
+        if (!checksum(body).sameElements(check)) None
+        else (body(0) % 16).toByte match {
+          case P2pkType if body.length == 34 =>
+            Some(P2pkTreePrefix + body.drop(1).map("%02x".format(_)).mkString)
+          case P2sType =>
+            Some(body.drop(1).map("%02x".format(_)).mkString)
+          case _ => None
+        }
+      }
+    }
+
+  /** Miner address from the header's minerPk: the reference wraps the pk in
+    * a reward script via the sigmastate stack (RewardCalculator.scala:21-36,
+    * unavailable offline); here the pk renders as its P2PK address — the
+    * same determinism and per-row cost, isolated as the plug point.
     */
   def minerAddressFromPk(pkHex: String): String =
-    base58Encode(1.toByte +: blake2b256(hexToBytes(pkHex)))
+    if (pkHex.length == 66) ergoTreeToAddress(P2pkTreePrefix + pkHex)
+    else ergoTreeToAddress(P2pkTreePrefix + blake2b256(hexToBytes(pkHex))
+      .take(33).map("%02x".format(_)).mkString)
 
   val minerAddressUdf = udf((pkHex: String) => minerAddressFromPk(pkHex))
   val blake2b256HexUdf = udf((hex: String) =>
     blake2b256(hexToBytes(hex)).map("%02x".format(_)).mkString)
   val base58EncodeHexUdf = udf((hex: String) => base58Encode(hexToBytes(hex)))
+  val ergoTreeToAddressUdf = udf((treeHex: String) => ergoTreeToAddress(treeHex))
 }

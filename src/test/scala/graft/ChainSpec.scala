@@ -139,6 +139,24 @@ class CryptoSpec extends AnyFunSuite {
       "0e5751c026e543b2e8ab2eb06099daa1d1e5df47778f7787faab45cdf12fe3a8")
   }
 
+  test("ergo address codec round-trips P2PK and P2S trees with checksum validation") {
+    // P2PK: 0008cd + 33-byte pubkey
+    val pk = "02" + "ab" * 32
+    val p2pkTree = "0008cd" + pk
+    val addr = CryptoFunctions.ergoTreeToAddress(p2pkTree)
+    assert(CryptoFunctions.addressToErgoTree(addr).contains(p2pkTree))
+    assert(addr.startsWith("9"), s"mainnet P2PK addresses start with 9, got $addr")
+    // P2S: arbitrary script
+    val script = "d19683030191a38cc7a701"
+    val p2s = CryptoFunctions.ergoTreeToAddress(script)
+    assert(CryptoFunctions.addressToErgoTree(p2s).contains(script))
+    assert(p2s != addr)
+    // checksum tampering is rejected
+    val tampered = addr.init + (if (addr.last == '1') '2' else '1')
+    assert(CryptoFunctions.addressToErgoTree(tampered).isEmpty)
+    assert(CryptoFunctions.addressToErgoTree("not-base58-0OIl").isEmpty)
+  }
+
   test("base58 round-trips and matches the known vector") {
     assert(CryptoFunctions.base58Encode("Hello World!".getBytes) == "2NEpo7TZRRrLZSi2U")
     val cases = Seq(
