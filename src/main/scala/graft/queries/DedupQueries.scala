@@ -33,15 +33,18 @@ object DedupQueries extends QueryModule {
   // double-hashing modulus: keeps h0 + 11 * (h1 % Mod) well inside Long.
   private val DoubleHashMod = 1L << 56
 
-  /** doc_id + distinct 3-gram word shingles, the unit of near-dup identity.
-    * Cached per (session, sf dir): q26–q29 all start from this stage, like
-    * dedup pipelines materialize their shingle table once.
+  /** doc_id + distinct 3-gram word shingles + both base hashes, cached per
+    * (session, sf dir): q26–q29 all start from this stage — materialized
+    * once with the md5 work done, like dedup pipelines persist their
+    * shingle table.
     */
   private val shMemo = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def shingledDocs(s: SparkSession, dir: String): DataFrame =
     shMemo.getOrElseUpdate((s, dir),
       docs(s, dir)
         .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("s"))
+        .withColumn("h0", hash64(col("s"), 0))
+        .withColumn("h1c", hash64(col("s"), 1) % DoubleHashMod)
         .cache())
 
   /** doc_id + 60-bit shingle hash — joins/compares on longs, not 3-word
@@ -49,16 +52,15 @@ object DedupQueries extends QueryModule {
     * on the oracle side, which uses the same md5-derived hash).
     */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    shingledDocs(s, dir).select(col("doc_id"), hash64(col("s"), 0).as("hs"))
+    shingledDocs(s, dir).select(col("doc_id"), col("h0").as("hs"))
 
   /** MinHash signature via Kirsch–Mitzenmacher double hashing: two md5-based
     * hashes per shingle expand to all NumHashes functions as
     * g_k = h0 + k·(h1 mod 2^56) — same collision behaviour, 6× less md5.
     */
   private def signatures(sh: DataFrame): DataFrame = {
-    val h0 = hash64(col("s"), 0)
-    val h1 = hash64(col("s"), 1) % DoubleHashMod
-    val mins = (0 until NumHashes).map(k => min(h0 + lit(k.toLong) * h1).as(s"mh$k"))
+    val mins = (0 until NumHashes)
+      .map(k => min(col("h0") + lit(k.toLong) * col("h1c")).as(s"mh$k"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
