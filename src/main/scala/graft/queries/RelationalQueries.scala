@@ -311,6 +311,31 @@ object RelationalQueries extends QueryModule {
         .agg(approx_count_distinct("o_custkey").as("approx_custs"),
           count(lit(1)).as("n_orders"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Fact ⋈ part-dim aggregation (completes the star-schema coverage).
+    "q52_part_join" -> ((s, dir) => {
+      val part = t(s, dir, "part").select("p_partkey", "p_brand")
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_quantity")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("revenue"),
+          round(avg("l_quantity"), 2).as("avg_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Snowflake chain region ⋈ nation ⋈ customer (the full dim hierarchy).
+    "q53_region_rollup" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_nationkey", "c_acctbal")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("r_name", "n_name")
     })
   )
 
@@ -443,6 +468,18 @@ object RelationalQueries extends QueryModule {
          FROM (SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dnum,
                  round(sum(o_totalprice), 2) AS day_rev
                FROM orders GROUP BY 1)
-         ORDER BY dnum"""
+         ORDER BY dnum""",
+    "q52_part_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS revenue,
+         round(avg(l_quantity), 2) AS avg_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q53_region_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+         round(sum(c_acctbal), 2) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name"""
   )
 }

@@ -40,13 +40,14 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
   private def withBucket(df: DataFrame, heightCol: String): DataFrame =
     df.withColumn("heightBucket", floor(col(heightCol) / 10000).cast("int"))
 
-  def start(spark: SparkSession, sourceDir: String, checkpoint: String): StreamingQuery =
+  def start(spark: SparkSession, sourceDir: String, checkpoint: String,
+    trigger: Trigger = Trigger.ProcessingTime("5 seconds") /* ST1 cadence */): StreamingQuery =
     spark.readStream
       .schema(Encoders.product[RawBlock].schema)
       .json(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("5 seconds")) // ST1 cadence
+      .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         import df.sparkSession.implicits._
         processBatch(df.as[RawBlock], batchId)

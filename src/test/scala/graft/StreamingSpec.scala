@@ -47,6 +47,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedUtxo == rebuiltUtxo)
   }
 
+  test("the readStream wiring ingests a growing block directory with checkpointing") {
+    import spark.implicits._
+    val base = tmpDir("graft-stream-e2e")
+    val srcDir = s"$base/blocks"
+    val all = ChainFixture.generate(30)
+    // wave 1: first 20 blocks as one json-lines file
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/wave1.json"),
+      spark.createDataset(all.take(20)).toJSON.collect().mkString("\n"))
+    val ingest = new ChainIngest(s"$base/warehouse")
+    val query = ingest.start(spark, srcDir, s"$base/checkpoint")
+    try {
+      query.processAllAvailable()
+      assert(ingest.blocks(spark).count() == 20)
+      // wave 2: ten more blocks appear in the source dir
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/wave2.json"),
+        spark.createDataset(all.drop(20)).toJSON.collect().mkString("\n"))
+      query.processAllAvailable()
+      assert(ingest.blocks(spark).count() == 30)
+      val expected = UtxoQueries.utxos(
+        BlockDerivation.derive(spark.createDataset(all)))
+        .select("boxId").collect().map(_.getString(0)).toSet
+      assert(ingest.utxo(spark).select("boxId")
+        .collect().map(_.getString(0)).toSet == expected)
+    } finally query.stop()
+  }
+
   test("replaying a delivered batch leaves the warehouse unchanged (idempotency)") {
     import spark.implicits._
     val all = ChainFixture.generate(20)
