@@ -33,14 +33,7 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   /** The entity tables as a ChainTables view over the warehouse. */
   def tables: ChainTables = {
     val outputs = spark.read.parquet(s"$warehouse/outputs")
-    val ergoTrees = outputs
-      .groupBy(col("ergoTreeHash").as("hash"))
-      .agg(first("ergoTree").as("hex"), min("blockId").as("blockId"))
-      .withColumn("address",
-        graft.functions.CryptoFunctions.ergoTreeToAddressUdf(col("hex")))
-    val t8 = outputs.filter(col("ergoTreeT8Hash").isNotNull)
-      .groupBy(col("ergoTreeT8Hash").as("hash"))
-      .agg(first("ergoTreeT8Hex").as("hex"), min("blockId").as("blockId"))
+    val (ergoTrees, t8) = BlockDerivation.scriptDims(outputs)
     ChainTables(
       blocks = spark.read.parquet(s"$warehouse/blocks"),
       txs = spark.read.parquet(s"$warehouse/txs"),

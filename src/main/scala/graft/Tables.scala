@@ -27,7 +27,10 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integral division: `/` on longs is double division, which loses
+        // sub-µs exactness for epoch-nanos ≳ 2^53 and could shift a value
+        // by 1µs vs the oracle's exact integer division.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

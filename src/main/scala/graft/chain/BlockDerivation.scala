@@ -42,7 +42,26 @@ object BlockDerivation {
     */
   private def templateHex(tree: org.apache.spark.sql.Column) =
     when(tree.startsWith("0008cd") || length(tree) <= 8, lit(null))
-      .otherwise(expr("substring(ergoTree, 9)"))
+      .otherwise(tree.substr(lit(9), length(tree)))
+
+  /** Script dim tables from the outputs entity — shared by the derivation
+    * and the warehouse-backed engine view. "First block that saw the tree" =
+    * earliest by height with block-id tie-break (a bare min(blockId) would
+    * pick a lexicographic minimum of hashes, not the earliest block).
+    */
+  def scriptDims(outputs: DataFrame): (DataFrame, DataFrame) = {
+    val firstSeen = min(struct(col("settlementHeight"), col("blockId")))
+      .getField("blockId").as("blockId")
+    val ergoTrees = outputs
+      .groupBy(col("ergoTreeHash").as("hash"))
+      .agg(first("ergoTree").as("hex"), firstSeen)
+      .withColumn("address", ergoTreeToAddressUdf(col("hex")))
+    val t8 = outputs
+      .filter(col("ergoTreeT8Hash").isNotNull)
+      .groupBy(col("ergoTreeT8Hash").as("hash"))
+      .agg(first("ergoTreeT8Hex").as("hex"), firstSeen)
+    (ergoTrees, t8)
+  }
 
   def derive(raw: Dataset[RawBlock], feeTree: String = ChainFixture.FeeTree): ChainTables = {
     val spark = raw.sparkSession
@@ -119,14 +138,7 @@ object BlockDerivation {
           RegisterParser.renderLongUdf(col("r6")).cast("int")).as("tokenDecimals"))
 
     // Script dims with P7 address rendering (first block that saw the tree).
-    val ergoTrees = outputs
-      .groupBy(col("ergoTreeHash").as("hash"))
-      .agg(first("ergoTree").as("hex"), min("blockId").as("blockId"))
-      .withColumn("address", ergoTreeToAddressUdf(col("hex")))
-    val ergoTreeT8s = outputs
-      .filter(col("ergoTreeT8Hash").isNotNull)
-      .groupBy(col("ergoTreeT8Hash").as("hash"))
-      .agg(first("ergoTreeT8Hex").as("hex"), min("blockId").as("blockId"))
+    val (ergoTrees, ergoTreeT8s) = scriptDims(outputs)
 
     // A1/A2: per-block sums. The fee filter (P3) and coinbase value are
     // column conditions; everything reduces in one partial-agg pass.

@@ -196,8 +196,13 @@ object CryptoFunctions {
     */
   def minerAddressFromPk(pkHex: String): String =
     if (pkHex.length == 66) ergoTreeToAddress(P2pkTreePrefix + pkHex)
-    else ergoTreeToAddress(P2pkTreePrefix + blake2b256(hexToBytes(pkHex))
-      .take(33).map("%02x".format(_)).mkString)
+    else {
+      // non-66-hex pk (e.g. test fixtures): derive a synthetic 33-byte
+      // compressed-point stand-in (0x02 marker + 32-byte digest) so the
+      // result is still a structurally-valid P2PK address.
+      val body = 0x02.toByte +: blake2b256(hexToBytes(pkHex))
+      ergoTreeToAddress(P2pkTreePrefix + body.map("%02x".format(_)).mkString)
+    }
 
   val minerAddressUdf = udf((pkHex: String) => minerAddressFromPk(pkHex))
   val blake2b256HexUdf = udf((hex: String) =>

@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * vs `size(split(str, '\\s+'))`: no regex engine, no `ArrayData`
   * allocation, and `doGenCode` emits a static call that stays inside the
   * WholeStageCodegen span — on a 100 TB text corpus the token-count pass
-  * becomes a byte scan. Counting rule matches `split(trim(s), "\\s+")` for
-  * ASCII whitespace: number of maximal non-whitespace runs.
+  * becomes a byte scan. Counting rule: number of maximal non-whitespace
+  * (ASCII) runs — equal to `size(split(trim(s), "\\s+"))` for non-blank
+  * input; blank/empty input counts 0 where the split form yields 1 (the
+  * `[""]` artifact), which is the more useful semantics.
   */
 case class TokenCountExpression(child: Expression)
   extends UnaryExpression {

@@ -46,9 +46,13 @@ object MultimodalQueries extends QueryModule {
 
     // Native Catalyst expression in the hot path: token_count(text) without
     // array materialization; values must equal the split-based oracle.
+    // Empty/whitespace-only docs are excluded on BOTH sides: there
+    // token_count (0 runs) and len(string_split_regex) ([""] → 1)
+    // legitimately disagree.
     "q44_token_count_native" -> ((s, dir) => {
       TokenCountExpression.register(s)
       Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
         .select(col("lang"), expr("token_count(text)").as("n_tokens"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
@@ -62,6 +66,7 @@ object MultimodalQueries extends QueryModule {
       """SELECT lang, count(*) AS n_docs,
          sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
          max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents WHERE length(trim(text)) > 0
+         GROUP BY lang ORDER BY lang"""
   )
 }

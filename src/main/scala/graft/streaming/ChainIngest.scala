@@ -27,14 +27,14 @@ import java.nio.file.{Files, Paths}
   *
   * Checkpointing replaces the reference's Initializer integrity check: the
   * source offset and the tables advance together in foreachBatch, and
-  * reprocessing a batch is idempotent (same ids → same rows; utxo version
-  * dirs are keyed by batch id).
+  * reprocessing a batch is idempotent (a redelivered batch lands on the
+  * fork path, which rebuilds from id-deduped raw; [[heal]] covers the
+  * crash window between the raw append and the entity writes).
   */
 class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
 
   private def p(name: String) = s"$warehouse/$name"
-  private def exists(name: String) = Files.exists(Paths.get(p(name), "_SUCCESS")) ||
-    Files.exists(Paths.get(p(name)))
+  private def exists(name: String) = Files.exists(Paths.get(p(name)))
 
   /** Height-bucket partition column (application.conf compaction cadence). */
   private def withBucket(df: DataFrame, heightCol: String): DataFrame =
@@ -71,7 +71,7 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
     val minBatchHeight = batch.select(min(col("header.height"))).head().getInt(0)
     val isFork = tip.exists(t => minBatchHeight <= t.getAs[Int]("height"))
 
-    if (isFork) reprocessFromRaw(spark, batchId) // ST3
+    if (isFork) reprocessFromRaw(spark) // ST3
     else appendIncremental(batch, tip, batchId)
   }
 
@@ -129,14 +129,14 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
       else spark.emptyDataFrame.to(batchOutputs.schema)
     val next = current.unionByName(batchOutputs)
       .join(t.inputs.select("boxId"), Seq("boxId"), "left_anti")
-    commitUtxoVersion(next, batchId)
+    commitUtxoVersion(next)
   }
 
   /** Fork path: resolve the main chain over the full raw stream and rewrite.
     * (At warehouse scale: overwrite only heightBucket partitions ≥ the fork
     * bucket; rare by construction — depth ≤ 10.)
     */
-  private def reprocessFromRaw(spark: SparkSession, batchId: Long): Unit = {
+  private def reprocessFromRaw(spark: SparkSession): Unit = {
     import spark.implicits._
     // a replayed batch (foreachBatch redelivery after a crash) appends its
     // raw blocks twice — dedupe by block id before resolving, so replay is
@@ -160,36 +160,41 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
       .partitionBy("heightBucket").parquet(p("assets"))
     val rebuilt = UtxoQueries.utxos(t)
       .select("boxId", "txId", "blockId", "settlementHeight", "ergValue", "ergoTreeHash")
-    commitUtxoVersion(rebuilt, batchId)
+    commitUtxoVersion(rebuilt)
   }
 
   // ---- versioned UTXO snapshots (MVCC revisions) ----
+  // Versions are a monotonic counter independent of batch ids: every commit
+  // writes current+1, so a commit can never overwrite the snapshot its own
+  // plan is lazily reading, and heal/backfill/stream interleavings stay
+  // ordered. (A redelivered batch lands on the fork path — full rebuild —
+  // so correctness never depends on version reuse.)
 
   private def utxoPath(v: Long) = p(s"utxo/v=$v")
 
-  def currentUtxoVersion(): Option[Long] = {
+  private def listVersions(): Seq[Long] = {
     val dir = Paths.get(p("utxo"))
-    if (!Files.exists(dir)) None
+    if (!Files.exists(dir)) Nil
     else {
-      val vs = Files.list(dir).toArray.toSeq
-        .map(_.toString).filter(_.contains("v="))
-        .map(s => s.substring(s.lastIndexOf("v=") + 2).toLong)
-      if (vs.isEmpty) None else Some(vs.max)
+      val stream = Files.list(dir)
+      try stream.toArray.toSeq.map(_.toString).filter(_.contains("v="))
+        .map(s => s.substring(s.lastIndexOf("v=") + 2).toLong).sorted
+      finally stream.close()
     }
   }
 
-  private def commitUtxoVersion(df: DataFrame, batchId: Long): Unit = {
-    val spark = df.sparkSession
-    df.write.mode(SaveMode.Overwrite).parquet(utxoPath(batchId))
+  def currentUtxoVersion(): Option[Long] = listVersions().lastOption
+
+  private def commitUtxoVersion(df: DataFrame): Unit = {
+    val next = currentUtxoVersion().getOrElse(-1L) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(utxoPath(next))
     // retain only the last `keepVersions` revisions (rollbackTo window)
-    val dir = Paths.get(p("utxo"))
-    val vs = Files.list(dir).toArray.toSeq.map(_.toString)
-      .filter(_.contains("v=")).map(s => s.substring(s.lastIndexOf("v=") + 2).toLong)
-      .sorted
-    vs.dropRight(keepVersions).foreach { v =>
+    listVersions().dropRight(keepVersions).foreach { v =>
       val victim = Paths.get(utxoPath(v))
-      Files.walk(victim).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(victim)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
   }
 
@@ -208,7 +213,7 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
         spark.read.parquet(p("blocks"))
           .agg(org.apache.spark.sql.functions.max(col("height"))).head().getInt(0)
       else -1
-    if (rawTip != derivedTip) { reprocessFromRaw(spark, System.nanoTime()); true }
+    if (rawTip != derivedTip) { reprocessFromRaw(spark); true }
     else false
   }
 

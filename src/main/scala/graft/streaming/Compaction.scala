@@ -19,7 +19,11 @@ object Compaction {
   def fileCount(dir: String): Int = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) 0
-    else Files.walk(p).filter(f => f.toString.endsWith(".parquet")).count().toInt
+    else {
+      val walk = Files.walk(p)
+      try walk.filter(f => f.toString.endsWith(".parquet")).count().toInt
+      finally walk.close()
+    }
   }
 
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 4): Unit = {
@@ -34,7 +38,9 @@ object Compaction {
   }
 
   private def delete(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder()).forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
 }

@@ -50,7 +50,7 @@ object MempoolStream {
 
       val outputs = txs.select(col("txId"), explode(col("outputs")).as("o"))
         .select(col("txId"), col("o.value").as("value"),
-          lower(sha2(unhex(col("o.ergoTree")), 256)).as("ergoTreeHash"))
+          graft.functions.CryptoFunctions.sha256OfHex(col("o.ergoTree")).as("ergoTreeHash"))
         .filter(col("ergoTreeHash") =!= feeTreeHash)
       // J8: payback exclusion
       val external = outputs.join(
