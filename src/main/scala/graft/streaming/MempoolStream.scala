@@ -77,4 +77,26 @@ object MempoolStream {
           None
       }
     }.toMap
+
+  /** The full mempool pipeline as one streaming query (ST5+ST6+ST7):
+    * watermarked dedup → per-batch analyzer dispatch against the CURRENT
+    * UTXO snapshot (`utxo` is re-evaluated each batch, so a concurrently
+    * running chain ingest is always joined at its latest revision) → alert
+    * sink callback.
+    */
+  def start(
+    rawTxs: DataFrame,
+    utxo: () => DataFrame,
+    analyzers: Seq[TxAnalyzer],
+    checkpoint: String,
+    onResult: (String, DataFrame) => Unit,
+    watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupedTxs(rawTxs, watermark).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          runAnalyzers(analyzers, batch, utxo()).foreach { case (n, df) => onResult(n, df) }
+      }
+      .start()
 }

@@ -188,6 +188,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(checksum == after)
   }
 
+  test("mempool pipeline streams dedup → analyzer → alert sink end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(40)))
+    val utxo = UtxoQueries.utxos(t).cache()
+    val big = utxo.orderBy(org.apache.spark.sql.functions.desc("ergValue"))
+      .limit(1).collect()(0)
+    val alerts = scala.collection.mutable.ArrayBuffer[String]()
+    val stream = MemoryStream[MempoolTx]
+    val detector = new MempoolStream.HighValueDetector(1000000000L, "nofee")
+    val query = MempoolStream.start(
+      stream.toDF(), () => utxo, Seq(detector),
+      tmpDir("graft-mempool-cp"),
+      (_, df) => alerts ++= df.collect().map(_.getAs[String]("txId")))
+    try {
+      // NB: event times must be past the initial watermark (epoch 0) or the
+      // dedup operator drops them as late.
+      val bigTx = MempoolTx("whale", new java.sql.Timestamp(1700000000000L),
+        Seq(RawInput(big.getString(0))),
+        Seq(RawOutput("nb", big.getAs[Long]("ergValue"), "aa" * 16, 1, Nil, Map.empty)))
+      stream.addData(bigTx, bigTx) // duplicate within batch → one alert
+      query.processAllAvailable()
+      stream.addData(bigTx) // replay across batches → deduped, no new alert
+      query.processAllAvailable()
+      assert(alerts.toSeq == Seq("whale"))
+    } finally query.stop()
+  }
+
   test("high-value detector alerts only above threshold, net of paybacks and fees") {
     import spark.implicits._
     val t = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(40)))
