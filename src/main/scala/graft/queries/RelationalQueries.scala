@@ -326,6 +326,42 @@ object RelationalQueries extends QueryModule {
         .orderBy("p_brand")
     }),
 
+    // Batch sessionization (islands and gaps): an event starts a new session
+    // when > 30 min from the user's previous event; session id = running sum
+    // of the start flags. The batch twin of the streaming session_window.
+    "q54_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = t(s, dir, "events")
+        .select("user_id", "event_id", "ts")
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_session_events"))
+        .filter(col("n_sessions") >= 3)
+        .orderBy("user_id")
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
+    // quantile_cont — both linear interpolation over the sorted set).
+    "q55_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Snowflake chain region ⋈ nation ⋈ customer (the full dim hierarchy).
     "q53_region_rollup" -> ((s, dir) => {
       t(s, dir, "customer").select("c_nationkey", "c_acctbal")
@@ -480,6 +516,32 @@ object RelationalQueries extends QueryModule {
          round(sum(c_acctbal), 2) AS total_bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q54_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
+                    OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         per_session AS (
+           SELECT user_id, session_id, count(*) AS n_events
+           FROM sessions GROUP BY user_id, session_id)
+         SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+         FROM per_session GROUP BY user_id HAVING count(*) >= 3
+         ORDER BY user_id""",
+    "q55_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+         round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }
