@@ -100,7 +100,11 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
     // the true value is firstTs − tipTs, a per-batch constant folded into
     // both the first row's blockMiningTime and every row's cumulative.
     val blocksShifted = tip.map { r =>
-      val firstTs = batch.select(min(col("header.timestamp"))).head().getLong(0)
+      // timestamp OF the lowest block, not min(timestamp): block timestamps
+      // are not monotonic on real chains (miner clocks skew).
+      val firstTs = batch.toDF()
+        .orderBy(col("header.height")).limit(1)
+        .select(col("header.timestamp")).head().getLong(0)
       val firstDelta = firstTs - r.getAs[Long]("timestamp")
       val firstH = col("height") === lit(r.getAs[Int]("height") + 1)
       blocksShifted0

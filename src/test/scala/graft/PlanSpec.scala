@@ -44,6 +44,15 @@ class PlanSpec extends AnyFunSuite {
       "bucket probe must be an equi-join")
   }
 
+  test("snowflake dims broadcast and the part join prunes to the joined columns") {
+    val snowflake = planOf("q53_region_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(snowflake).length >= 2,
+      s"nation and region should both broadcast:\n$snowflake")
+    val part = planOf("q52_part_join")
+    assert(part.contains("ReadSchema: struct<l_partkey"))
+    assert(!part.contains("l_shipdate"), "part join must not read unused lineitem columns")
+  }
+
   test("per-doc text pipeline has no shuffle before the final sort") {
     val plan = planOf("q24_fingerprint")
     // one Exchange max (the presentation orderBy) — the md5/split work is map-side
