@@ -68,18 +68,32 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
           .collect().headOption
       else None
 
-    val minBatchHeight = batch.select(min(col("header.height"))).head().getInt(0)
-    val isFork = tip.exists(t => minBatchHeight <= t.getAs[Int]("height"))
+    // one aggregate pass over the batch: lowest height, duplicate-height
+    // detection, and the lowest block's timestamp (min over (height, ts)
+    // structs — deterministic under same-height forks, unlike a sort+take).
+    val stats = batch.toDF().select(
+      min(col("header.height")).as("minH"),
+      count(lit(1)).as("n"),
+      countDistinct(col("header.height")).as("nh"),
+      min(struct(col("header.height"), col("header.timestamp")))
+        .getField("timestamp").as("firstTs")).head()
+    val minBatchHeight = stats.getAs[Int]("minH")
+    val hasInBatchFork = stats.getAs[Long]("n") != stats.getAs[Long]("nh")
+    // ST3: fork vs the stored tip, OR competing same-height blocks inside
+    // the batch itself — both resolve through the raw rebuild.
+    val isFork = hasInBatchFork || tip.exists(t => minBatchHeight <= t.getAs[Int]("height"))
 
-    if (isFork) reprocessFromRaw(spark) // ST3
-    else appendIncremental(batch, tip, batchId)
+    if (isFork) reprocessFromRaw(spark)
+    else appendIncremental(batch, tip, minBatchHeight,
+      if (stats.isNullAt(3)) None else Some(stats.getAs[Long]("firstTs")))
   }
 
   /** Common path: derive the batch alone, shift cumulative/global columns by
     * the stored tip's totals, append.
     */
   private def appendIncremental(
-    batch: Dataset[RawBlock], tip: Option[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    batch: Dataset[RawBlock], tip: Option[org.apache.spark.sql.Row],
+    minBatchHeight: Int, firstTs: Option[Long]): Unit = {
     val spark = batch.sparkSession
     val t = BlockDerivation.derive(batch)
 
@@ -98,15 +112,14 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
       .withColumn("maxBoxGix", col("maxBoxGix") + boxBase)
     // The batch's first block computed miningTime=0 (no lag row in-batch);
     // the true value is firstTs − tipTs, a per-batch constant folded into
-    // both the first row's blockMiningTime and every row's cumulative.
+    // both the lowest block's blockMiningTime and every row's cumulative.
+    // Targeting the batch's OWN lowest height (not tip+1) keeps
+    // totalMiningTime == tipTotal + Σ batch blockMiningTime even when the
+    // source delivers a non-contiguous batch; a null tip/first timestamp
+    // degrades to delta 0 rather than corrupting the cumulative.
     val blocksShifted = tip.map { r =>
-      // timestamp OF the lowest block, not min(timestamp): block timestamps
-      // are not monotonic on real chains (miner clocks skew).
-      val firstTs = batch.toDF()
-        .orderBy(col("header.height")).limit(1)
-        .select(col("header.timestamp")).head().getLong(0)
-      val firstDelta = firstTs - r.getAs[Long]("timestamp")
-      val firstH = col("height") === lit(r.getAs[Int]("height") + 1)
+      val firstDelta = firstTs.map(_ - r.getAs[Long]("timestamp")).getOrElse(0L)
+      val firstH = col("height") === lit(minBatchHeight)
       blocksShifted0
         .withColumn("blockMiningTime",
           when(firstH, lit(firstDelta)).otherwise(col("blockMiningTime")))

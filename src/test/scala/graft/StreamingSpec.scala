@@ -97,6 +97,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(tip.getAs[Long]("maxBoxGix") == expectTip.getAs[Long]("maxBoxGix"))
   }
 
+  test("competing same-height blocks inside one batch resolve through the fork path") {
+    import spark.implicits._
+    val (all, winnerIds) = ChainFixture.generateWithFork(forkAt = 15, shortLen = 2, longLen = 4)
+    val trunk = all.filter(_.header.height <= 15)
+    val branches = all.filter(_.header.height > 15) // both branches in ONE batch
+    val ingest = new ChainIngest(tmpDir("graft-inbatch-fork"))
+    ingest.processBatch(spark.createDataset(trunk), 0L)
+    ingest.processBatch(spark.createDataset(branches), 1L)
+    val blocks = ingest.blocks(spark)
+    assert(blocks.count() == 19, "15 trunk + 4 winner blocks")
+    assert(blocks.groupBy("height").count().filter(col("count") > 1).count() == 0,
+      "no height may hold two blocks after resolution")
+    val ids = blocks.select("blockId").collect().map(_.getString(0)).toSet
+    assert(winnerIds.toSet.subsetOf(ids))
+  }
+
   test("fork mid-stream rolls back the losing branch") {
     import spark.implicits._
     val (all, winnerIds) = ChainFixture.generateWithFork(forkAt = 20, shortLen = 2, longLen = 4)
