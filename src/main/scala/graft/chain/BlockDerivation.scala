@@ -72,8 +72,8 @@ object BlockDerivation {
         col("header.id").as("blockId"),
         col("header.height").as("height"),
         col("header.timestamp").as("timestamp"),
-        size(col("transactions")).as("ntx"),
-        posexplode(col("transactions")).as(Seq("txIndex", "tx")))
+        size(col("transactions.transactions")).as("ntx"),
+        posexplode(col("transactions.transactions")).as(Seq("txIndex", "tx")))
       .select(
         col("blockId"), col("height"), col("timestamp"),
         col("tx.id").as("txId"),
@@ -100,12 +100,12 @@ object BlockDerivation {
         col("txIndex"), col("coinbase"), col("firstInputBoxId"),
         col("o.ergoTree").as("ergoTree"),
         col("o.assets").as("rawAssets"),
-        element_at(col("o.registers"), "R4").as("r4"),
-        element_at(col("o.registers"), "R5").as("r5"),
-        element_at(col("o.registers"), "R6").as("r6"),
-        element_at(col("o.registers"), "R7").as("r7"),
-        element_at(col("o.registers"), "R8").as("r8"),
-        element_at(col("o.registers"), "R9").as("r9"))
+        element_at(col("o.additionalRegisters"), "R4").as("r4"),
+        element_at(col("o.additionalRegisters"), "R5").as("r5"),
+        element_at(col("o.additionalRegisters"), "R6").as("r6"),
+        element_at(col("o.additionalRegisters"), "R7").as("r7"),
+        element_at(col("o.additionalRegisters"), "R8").as("r8"),
+        element_at(col("o.additionalRegisters"), "R9").as("r9"))
       .withColumn("ergoTreeHash", sha256OfHex(col("ergoTree")))
       .withColumn("ergoTreeT8Hex", templateHex(col("ergoTree")))
       .withColumn("ergoTreeT8Hash",

@@ -87,38 +87,59 @@ object ChainFixture {
         val o1v = spendTotal * 2 / 3
         val o2v = spendTotal - o1v
         val mint = (h + i) % 4 == 0
+        // register menu per FIXTURES.md §1: SInt/SLong/Coll[SByte] decode,
+        // an SSigmaProp-style constant and an opaque tuple blob degrade to
+        // raw hex (RegistersParser.scala:80-88 behaviour).
+        val mintRegs = Map(
+          "R4" -> collHex(s"token$h"),
+          "R5" -> collHex("minted"),
+          "R6" -> RegisterParser.encodeInt(2),
+          "R7" -> ("08cd" + md5Hex(s"sigmaprop:$h")),
+          "R8" -> RegisterParser.encodeLong(1000L + h),
+          "R9" -> ("3c0e0e" + md5Hex(s"blob:$h").take(8)))
         val out1 = RawOutput(
           boxId = sha256Hex(s"box:$salt:$h:$i:0"),
           value = o1v,
-          ergoTree = script((h + i) % 8),
           creationHeight = h,
+          ergoTree = script((h + i) % 8),
           assets = if (mint) Seq(RawAsset(b1, 1000L + h)) else Nil,
-          registers =
-            if (mint) Map(
-              "R4" -> collHex(s"token$h"),
-              "R5" -> collHex("minted"),
-              "R6" -> RegisterParser.encodeInt(2))
-            else Map.empty)
-        val out2 = RawOutput(sha256Hex(s"box:$salt:$h:$i:1"), o2v,
-          script((h + i + 3) % 8), h, Nil, Map.empty)
-        val feeOut = RawOutput(sha256Hex(s"box:$salt:$h:$i:f"), TxFee, FeeTree, h, Nil, Map.empty)
+          additionalRegisters = if (mint) mintRegs else Map.empty)
+        val out2 = RawOutput(sha256Hex(s"box:$salt:$h:$i:1"), o2v, h,
+          script((h + i + 3) % 8), Nil, Map.empty)
+        val feeOut = RawOutput(sha256Hex(s"box:$salt:$h:$i:f"), TxFee, h, FeeTree, Nil, Map.empty)
         spendable.enqueue(out1.boxId -> o1v, out2.boxId -> o2v)
-        RawTx(sha256Hex(s"tx:$salt:$h:$i"), Seq(RawInput(b1), RawInput(b2)),
-          Seq(out1, out2, feeOut), 300 + (h + i) % 100)
+        val proof = SpendingProof(Some(md5Hex(s"proof:$salt:$h:$i")), "{}")
+        RawTx(sha256Hex(s"tx:$salt:$h:$i"),
+          Seq(RawInput(b1, Some(proof)), RawInput(b2, Some(proof))),
+          if ((h + i) % 5 == 0) Seq(RawDataInput(b1)) else Nil,
+          Seq(out1, out2, feeOut), Some(300 + (h + i) % 100))
       }
       val blockFee = nUser * TxFee
       val reward = ChainConst.minerRewardAtScala(h.toLong)
-      val cbOut = RawOutput(sha256Hex(s"cb:$salt:$h"), reward + blockFee,
-        minerScript(h), h, Nil, Map.empty)
+      val cbOut = RawOutput(sha256Hex(s"cb:$salt:$h"), reward + blockFee, h,
+        minerScript(h), Nil, Map.empty)
       spendable.enqueue(cbOut.boxId -> cbOut.value)
-      val coinbase = RawTx(sha256Hex(s"cbtx:$salt:$h"), Nil, Seq(cbOut), 200)
+      val coinbase = RawTx(sha256Hex(s"cbtx:$salt:$h"), Nil, Nil, Seq(cbOut), Some(200))
       val txs = userTxs :+ coinbase // coinbase is always last
       val id = sha256Hex(s"blk:$salt:$h")
       blocks += RawBlock(
-        RawHeader(id, parent, h, 1600000000000L + h.toLong * 120000L, 2,
-          md5Hex(s"minerpk:${h % 5}")),
-        txs,
-        size = 1000 + txs.map(_.size).sum)
+        RawHeader(
+          id = id, parentId = parent, version = 2, height = h,
+          nBits = 0x1b03a30cL,
+          difficulty = new java.math.BigDecimal(1000000L + h),
+          timestamp = 1600000000000L + h.toLong * 120000L,
+          stateRoot = md5Hex(s"state:$salt:$h"),
+          adProofsRoot = md5Hex(s"adp:$salt:$h"),
+          transactionsRoot = md5Hex(s"txr:$salt:$h"),
+          extensionHash = md5Hex(s"ext:$salt:$h"),
+          minerPk = md5Hex(s"minerpk:${h % 5}"),
+          w = md5Hex(s"w:$h"), n = md5Hex(s"n:$h").take(16),
+          d = java.math.BigDecimal.ZERO,
+          votes = "000000"),
+        RawTransactions(id, txs),
+        RawExtension(id, md5Hex(s"extd:$salt:$h"), "{}"),
+        adProofs = None,
+        size = 1000 + txs.flatMap(_.size).sum)
       parent = id
     }
     (blocks.result(), spendable.toSeq)

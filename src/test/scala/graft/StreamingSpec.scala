@@ -223,7 +223,7 @@ class StreamingSpec extends AnyFunSuite {
       // dedup operator drops them as late.
       val bigTx = MempoolTx("whale", new java.sql.Timestamp(1700000000000L),
         Seq(RawInput(big.getString(0))),
-        Seq(RawOutput("nb", big.getAs[Long]("ergValue"), "aa" * 16, 1, Nil, Map.empty)))
+        Seq(RawOutput("nb", big.getAs[Long]("ergValue"), 1, "aa" * 16, Nil, Map.empty)))
       stream.addData(bigTx, bigTx) // duplicate within batch → one alert
       query.processAllAvailable()
       stream.addData(bigTx) // replay across batches → deduped, no new alert
@@ -245,10 +245,10 @@ class StreamingSpec extends AnyFunSuite {
     val mempool = Seq(
       // large external transfer: spends the biggest utxo to a fresh script
       MempoolTx("bigtx", new java.sql.Timestamp(0), Seq(RawInput(big.getString(0))),
-        Seq(RawOutput("newbox1", big.getAs[Long]("ergValue"), "aabbccdd" + "e" * 24, 1, Nil, Map.empty))),
+        Seq(RawOutput("newbox1", big.getAs[Long]("ergValue"), 1, "aabbccdd" + "e" * 24, Nil, Map.empty))),
       // dust transfer: below threshold
       MempoolTx("smalltx", new java.sql.Timestamp(0), Seq(RawInput(boxes(1).getString(0))),
-        Seq(RawOutput("newbox2", 1000L, "aabbccdd" + "f" * 24, 1, Nil, Map.empty)))
+        Seq(RawOutput("newbox2", 1000L, 1, "aabbccdd" + "f" * 24, Nil, Map.empty)))
     ).toDF()
     val alerts = detector.onNewTransactions(mempool, utxo).collect()
     assert(alerts.length == 1 && alerts(0).getAs[String]("txId") == "bigtx")
