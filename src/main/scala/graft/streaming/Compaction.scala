@@ -26,11 +26,28 @@ object Compaction {
     }
   }
 
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 4): Unit = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 4): Unit =
+    swapIn(dir, spark.read.parquet(dir).coalesce(targetFiles))
+
+  /** Sorted compaction (the "index later" phase of the reference's two-step
+    * load, SURVEY §4): range-partition + sort within partitions on the
+    * lookup key, so every file owns a disjoint key range and parquet min/max
+    * statistics prune point/range scans to one file — the columnar stand-in
+    * for the reference's post-load secondary indexes.
+    */
+  def compactSorted(spark: SparkSession, dir: String, sortCol: String,
+    targetFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.functions.col
+    swapIn(dir,
+      spark.read.parquet(dir)
+        .repartitionByRange(targetFiles, col(sortCol))
+        .sortWithinPartitions(sortCol))
+  }
+
+  private def swapIn(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
     val tmp = dir + ".compact-tmp"
     val old = dir + ".compact-old"
-    spark.read.parquet(dir).coalesce(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dirP = Paths.get(dir)
     Files.move(dirP, Paths.get(old))
     Files.move(Paths.get(tmp), dirP)

@@ -204,6 +204,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(checksum == after)
   }
 
+  test("sorted compaction yields files with disjoint key ranges") {
+    import spark.implicits._
+    val dir = tmpDir("graft-sortcompact") + "/t"
+    // write deliberately shuffled data across many files
+    (1 to 6).foreach { i =>
+      Seq.tabulate(200)(j => (j * 31 + i) % 1200).toDF("k")
+        .repartition(3).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).count()
+    Compaction.compactSorted(spark, dir, "k", targetFiles = 4)
+    assert(spark.read.parquet(dir).count() == before)
+    // per-file min/max ranges must not overlap → min/max stats prune to 1 file
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+    assert(files.length <= 4 && files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).head
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, maxA), (minB, _)) =>
+        assert(maxA <= minB, s"file ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   test("mempool pipeline streams dedup → analyzer → alert sink end-to-end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
