@@ -362,6 +362,43 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // Pivot (wide aggregation): revenue per priority × status matrix, with
+    // explicit pivot values so the output schema is static.
+    "q56_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Scalar string-function surface: upper/substr/replace/length/concat —
+    // pure per-row projection, no shuffle until the presentation sort.
+    "q57_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          regexp_replace(col("c_name"), "0", "#").as("masked"),
+          concat_ws("|", col("c_mktsegment"), col("c_nationkey")).as("seg_key"))
+        .orderBy("c_custkey")
+    }),
+
+    // Ordered array aggregation fingerprint: per-nation sorted member list
+    // digest (collect_list is unordered by contract — sorting restores
+    // determinism before hashing).
+    "q58_array_fingerprint" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          count(lit(1)).as("n"),
+          md5(concat_ws(",", array_sort(collect_list(col("c_name"))))).as("members_fp"))
+        .orderBy("c_nationkey")
+    }),
+
     // Snowflake chain region ⋈ nation ⋈ customer (the full dim hierarchy).
     "q53_region_rollup" -> ((s, dir) => {
       t(s, dir, "customer").select("c_nationkey", "c_acctbal")
@@ -542,6 +579,23 @@ object RelationalQueries extends QueryModule {
          round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
          round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
          count(*) AS n
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q56_pivot" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q57_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+         substr(c_name, 1, 8) AS prefix,
+         length(c_name) AS name_len,
+         regexp_replace(c_name, '0', '#', 'g') AS masked,
+         concat_ws('|', c_mktsegment, c_nationkey) AS seg_key
+         FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
+    "q58_array_fingerprint" ->
+      """SELECT c_nationkey, count(*) AS n,
+         md5(string_agg(c_name, ',' ORDER BY c_name)) AS members_fp
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
   )
 }
