@@ -16,6 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump the chain-domain fixture entity tables + raw fork/backfill
+    // fixtures so the DuckDB gate can recompute q33–q40/q51 independently.
+    queries.ChainOracle.dump(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.chain._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hard-correctness bridge for the chain domain: dumps the deterministic
+  * fixture-derived entity tables (plus the raw fork/backfill fixtures) to
+  * parquet at a fixed path so the driver's DuckDB gate can re-execute every
+  * chain query as portable SQL over them.
+  *
+  * The oracle SQL does NOT echo Spark's derived values — it *recomputes* the
+  * relational layer independently: cumulative chain stats as SQL window
+  * functions, the UTXO set as a NOT EXISTS anti-join, graph edges as
+  * join+group+anti-join, fork resolution as a recursive CTE walking parent
+  * links from the best tip, and the backfill metrics by `unnest`-ing the raw
+  * nested blocks (which independently re-verifies the posexplode flatten).
+  * Only JVM-bound scalars (emission schedule, address rendering, sigma
+  * register decoding) are taken from the dump as input data — the same trust
+  * stance the sf-table oracles take toward the parquet inputs.
+  */
+object ChainOracle {
+
+  /** Fixed absolute location referenced by the oracle SQL via read_parquet().
+    * Lives under the (gitignored) sbt target dir inside the repo.
+    */
+  val Dir: String =
+    sys.env.getOrElse("GRAFT_CHAIN_ORACLE_DIR", "/root/repo/target/chain-oracle")
+
+  val BackfillBlocks = 2000
+
+  /** Glob for one dumped table, as DuckDB sees it. */
+  def p(name: String): String = s"$Dir/$name/*.parquet"
+
+  private def write(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"$Dir/$name")
+
+  /** Dump the 80-block fixture entity tables + fork headers; idempotent,
+    * cheap (the fixture tables are the memoized ones the queries use).
+    * Called by Verify before the query loop and by Bench's untimed warmup.
+    */
+  def dump(s: SparkSession): Unit = synchronized {
+    val t = ChainQueries.fixtureTables(s)
+    write(t.blocks, "blocks")
+    write(t.txs, "txs")
+    write(t.outputs, "outputs")
+    write(t.inputs, "inputs")
+    write(t.assets, "assets")
+    write(t.ergoTrees, "ergo_trees")
+    // Raw per-block facts for BOTH fork branches: the oracle re-resolves the
+    // winner itself (recursive CTE), so ForkResolver is verified, not echoed.
+    import s.implicits._
+    val (allBlocks, _) = ChainFixture.generateWithFork(
+      ChainQueries.ForkAt, ChainQueries.ForkShortLen, ChainQueries.ForkLongLen)
+    val forkHeaders = s.createDataset(allBlocks).toDF().select(
+      col("header.id").as("blockId"),
+      col("header.parentId").as("parentId"),
+      col("header.height").as("height"),
+      size(col("transactions.transactions")).as("txsCount"),
+      aggregate(col("transactions.transactions"), lit(0),
+        (acc, tx) => acc + size(tx.getField("outputs"))).as("boxCount"))
+    write(forkHeaders, "fork_headers")
+    ensureBackfill(s)
+  }
+
+  /** Write the 2000-block raw backfill fixture once (outside any timed
+    * region — Bench calls this in warmup so q51 measures the engine, not
+    * driver-side fixture generation). 16 files so the derivation reads in
+    * parallel.
+    */
+  def ensureBackfill(s: SparkSession): Unit = synchronized {
+    if (!new java.io.File(s"$Dir/backfill/_SUCCESS").exists()) {
+      import s.implicits._
+      s.createDataset(ChainFixture.generate(BackfillBlocks))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$Dir/backfill")
+    }
+  }
+
+  /** The UTXO set as portable SQL (J5 anti-join, recomputed). */
+  private def utxoSql(alias: String): String =
+    s"""FROM read_parquet('${p("outputs")}') $alias
+        WHERE NOT EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
+                          WHERE i.boxId = $alias.boxId)"""
+
+  /** DuckDB oracles for q33–q40 + q51 (chain domain — SURVEY.md §2/§3). */
+  val oracles: Map[String, String] = Map(
+    // A1–A3/A5/P4: per-block economics from the dump; every cumulative
+    // column recomputed as a SQL window over height.
+    "q33_chain_blocks" ->
+      s"""SELECT height, blockId, parentId, txsCount, blockFee, minerReward,
+            blockCoins,
+            timestamp - coalesce(lag(timestamp) OVER (ORDER BY height), timestamp)
+              AS blockMiningTime,
+            CAST(sum(txsCount) OVER w AS BIGINT) AS totalTxsCount,
+            CAST(sum(blockFee) OVER w AS BIGINT) AS totalFees,
+            totalCoinsIssued,
+            CAST(sum(txsCount) OVER w - 1 AS BIGINT) AS maxTxGix,
+            CAST(sum(boxCount) OVER w - 1 AS BIGINT) AS maxBoxGix
+          FROM read_parquet('${p("blocks")}')
+          WINDOW w AS (ORDER BY height ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY height""",
+
+    // J5 + A4-flat: live UTXO grouped by script, anti-join recomputed.
+    "q34_chain_utxo" ->
+      s"""SELECT o.ergoTreeHash, count(*) AS utxoCount,
+            CAST(sum(o.ergValue) AS BIGINT) AS totalValue
+          ${utxoSql("o")}
+          GROUP BY o.ergoTreeHash ORDER BY o.ergoTreeHash""",
+
+    // E1: |any| = |spent| + |unspent| per script.
+    "q35_chain_box_lifecycle" ->
+      s"""SELECT ergoTreeHash, count(*) AS nAny,
+            count(CASE WHEN spent THEN 1 END) AS nSpent,
+            count(CASE WHEN NOT spent THEN 1 END) AS nUnspent
+          FROM (SELECT o.ergoTreeHash,
+                  EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
+                          WHERE i.boxId = o.boxId) AS spent
+                FROM read_parquet('${p("outputs")}') o)
+          GROUP BY ergoTreeHash ORDER BY ergoTreeHash""",
+
+    // A7 + P7: top-K scripts by held value, address from the dim dump.
+    "q36_chain_top_addresses" ->
+      s"""SELECT e.address, u.ergoTreeHash, u.totalValue
+          FROM (SELECT o.ergoTreeHash,
+                  CAST(sum(o.ergValue) AS BIGINT) AS totalValue
+                ${utxoSql("o")}
+                GROUP BY o.ergoTreeHash
+                ORDER BY totalValue DESC, o.ergoTreeHash LIMIT 10) u
+          JOIN read_parquet('${p("ergo_trees")}') e ON u.ergoTreeHash = e.hash
+          ORDER BY u.totalValue DESC, u.ergoTreeHash""",
+
+    // J7/J8/P15: edges recomputed — input resolution join, per-(tx,script)
+    // sums, payback anti-join, dust filter.
+    "q37_chain_tx_graph" ->
+      s"""WITH in_scripts AS (
+            SELECT i.txId, o.ergoTreeHash, sum(o.ergValue) AS value
+            FROM read_parquet('${p("inputs")}') i
+            JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId
+            GROUP BY i.txId, o.ergoTreeHash),
+          out_scripts AS (
+            SELECT txId, ergoTreeHash, sum(ergValue) AS value
+            FROM read_parquet('${p("outputs")}')
+            GROUP BY txId, ergoTreeHash),
+          edges AS (
+            SELECT 'from' AS direction, value FROM in_scripts
+            UNION ALL
+            SELECT 'to' AS direction, o.value FROM out_scripts o
+            WHERE NOT EXISTS (SELECT 1 FROM in_scripts i
+                              WHERE i.txId = o.txId
+                                AND i.ergoTreeHash = o.ergoTreeHash))
+          SELECT direction, count(*) AS nEdges,
+            CAST(sum(value) AS BIGINT) AS totalValue
+          FROM edges WHERE value >= 1000000
+          GROUP BY direction ORDER BY direction""",
+
+    // ST3: fork resolution re-derived — best tip = (max height, min id),
+    // recursive walk over parent links, cumulative stats over the winners.
+    "q38_chain_fork" ->
+      s"""WITH RECURSIVE win AS (
+            (SELECT blockId, parentId, height, txsCount, boxCount
+             FROM read_parquet('${p("fork_headers")}')
+             ORDER BY height DESC, blockId LIMIT 1)
+            UNION ALL
+            SELECT f.blockId, f.parentId, f.height, f.txsCount, f.boxCount
+            FROM read_parquet('${p("fork_headers")}') f
+            JOIN win w ON f.blockId = w.parentId)
+          SELECT height, blockId,
+            CAST(sum(txsCount) OVER w2 AS BIGINT) AS totalTxsCount,
+            CAST(sum(boxCount) OVER w2 - 1 AS BIGINT) AS maxBoxGix
+          FROM win
+          WINDOW w2 AS (ORDER BY height ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY height""",
+
+    // P9/P10: minted tokens with EIP-004 props.
+    "q39_chain_tokens" ->
+      s"""SELECT tokenId, boxId, amount, tokenName, tokenDecimals
+          FROM read_parquet('${p("assets")}')
+          WHERE minted ORDER BY tokenId""",
+
+    // §3.1 flagship: unspent boxes of one deterministic address (min hash),
+    // enriched with block height — anti-join + two dim joins recomputed.
+    "q40_chain_boxes_by_address" ->
+      s"""WITH target AS (SELECT hash, address
+                          FROM read_parquet('${p("ergo_trees")}')
+                          ORDER BY hash LIMIT 1)
+          SELECT o.boxId, o.txId, o.ergValue, o.settlementHeight,
+            t.address, b.height AS blockHeight
+          FROM read_parquet('${p("outputs")}') o
+          JOIN target t ON o.ergoTreeHash = t.hash
+          JOIN read_parquet('${p("blocks")}') b ON o.blockId = b.blockId
+          WHERE NOT EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
+                            WHERE i.boxId = o.boxId)
+          ORDER BY o.boxId""",
+
+    // Backfill result re-derived from the RAW nested blocks: unnest replays
+    // the flatten, NOT EXISTS replays the UTXO anti-join.
+    "q51_chain_backfill" ->
+      s"""WITH b AS (SELECT header.height AS height,
+                       transactions.transactions AS txs
+                     FROM read_parquet('${p("backfill")}')),
+          tx AS (SELECT height, unnest(txs) AS t FROM b),
+          outs AS (SELECT unnest(t.outputs) AS o FROM tx),
+          ins AS (SELECT unnest(t.inputs) AS i FROM tx)
+          SELECT (SELECT max(height) FROM b) AS tipHeight,
+                 (SELECT count(*) - 1 FROM outs) AS maxBoxGix,
+                 (SELECT count(*) FROM outs o
+                  WHERE NOT EXISTS (SELECT 1 FROM ins
+                                    WHERE ins.i.boxId = o.o.boxId)) AS utxoCount,
+                 (SELECT count(*) FROM outs) AS boxCount"""
+  )
+}

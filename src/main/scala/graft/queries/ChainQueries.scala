@@ -16,9 +16,16 @@ object ChainQueries extends QueryModule {
 
   private val FixtureBlocks = 80
 
+  // Fork-fixture parameters — shared with ChainOracle so the DuckDB side
+  // re-resolves exactly the same branch set.
+  private[queries] val ForkAt = 40
+  private[queries] val ForkShortLen = 2
+  private[queries] val ForkLongLen = 5
+
   // one fixture derivation per session, entity tables cached — the chain
   // queries share state exactly like real queries share warehouse tables.
   private val memo = scala.collection.concurrent.TrieMap[SparkSession, ChainTables]()
+  private[graft] def fixtureTables(s: SparkSession): ChainTables = tables(s)
   private def tables(s: SparkSession): ChainTables = memo.getOrElseUpdate(s, {
     import s.implicits._
     val t = BlockDerivation.derive(s.createDataset(ChainFixture.generate(FixtureBlocks)))
@@ -78,7 +85,7 @@ object ChainQueries extends QueryModule {
     // only over the winning chain.
     "q38_chain_fork" -> ((s, _) => {
       import s.implicits._
-      val (allBlocks, _) = ChainFixture.generateWithFork(forkAt = 40, shortLen = 2, longLen = 5)
+      val (allBlocks, _) = ChainFixture.generateWithFork(ForkAt, ForkShortLen, ForkLongLen)
       val resolved = ForkResolver.mainChain(s.createDataset(allBlocks))
       BlockDerivation.derive(resolved).blocks
         .select("height", "blockId", "totalTxsCount", "maxBoxGix")
@@ -93,33 +100,38 @@ object ChainQueries extends QueryModule {
         .orderBy("tokenId")
     }),
 
-    // Backfill throughput probe: 2000 blocks through the full derivation +
-    // UTXO materialization. BASELINE.md's bar is ~255 blocks/s on 16 vCPU
-    // for the reference's full pipeline; the bench JSON's seconds for this
-    // entry / 2000 gives the engine's per-core-comparable rate (fixture
-    // generation is driver-side and included — the measured number is
-    // conservative).
+    // Backfill throughput probe: 2000 raw blocks (pre-dumped to parquet
+    // OUTSIDE any timed region — ChainOracle.ensureBackfill) through the
+    // full derivation + UTXO materialization. BASELINE.md's bar is ~255
+    // blocks/s on 16 vCPU for the reference's full pipeline; the bench
+    // JSON's seconds for this entry / 2000 is the engine-only rate.
     "q51_chain_backfill" -> ((s, _) => {
       import s.implicits._
-      val t = BlockDerivation.derive(s.createDataset(ChainFixture.generate(2000)))
-      val utxoCount = UtxoQueries.utxos(t).count()
-      val boxCount = t.outputs.count()
+      ChainOracle.ensureBackfill(s)
+      val raw = s.read.parquet(s"${ChainOracle.Dir}/backfill").as[RawBlock]
+      val t = BlockDerivation.derive(raw)
       val tip = t.blocks.agg(max("height").as("tipHeight"),
         max("maxBoxGix").as("maxBoxGix"))
-      tip.withColumn("utxoCount", lit(utxoCount)).withColumn("boxCount", lit(boxCount))
+      val u = UtxoQueries.utxos(t).agg(count(lit(1)).as("utxoCount"))
+      val o = t.outputs.agg(count(lit(1)).as("boxCount"))
+      tip.crossJoin(u).crossJoin(o)
     }),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).
+    // The target script is picked deterministically (min hash) with a 1-row
+    // broadcast semi-join, keeping the whole plan distributed (no driver
+    // collect inside the query).
     "q40_chain_boxes_by_address" -> ((s, _) => {
       val t = tables(s)
-      val someAddress = t.ergoTrees
-        .orderBy("hash").limit(1).select("address").collect()(0).getString(0)
-      UtxoQueries.enrichedBoxes(t,
-        UtxoQueries.boxesByAddress(t, UtxoQueries.Unspent, someAddress))
+      val target = broadcast(t.ergoTrees.orderBy("hash").limit(1)
+        .select(col("hash").as("targetHash")))
+      val boxes = UtxoQueries.utxos(t)
+        .join(target, col("ergoTreeHash") === col("targetHash"), "left_semi")
+      UtxoQueries.enrichedBoxes(t, boxes)
         .select("boxId", "txId", "ergValue", "settlementHeight", "address", "blockHeight")
         .orderBy("boxId")
     })
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = ChainOracle.oracles
 }

@@ -64,8 +64,8 @@ object MultimodalQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q44_token_count_native" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
-         max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+         CAST(max(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_tokens
          FROM documents WHERE length(trim(text)) > 0
          GROUP BY lang ORDER BY lang"""
   )

@@ -105,7 +105,7 @@ object TextQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q21_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
          round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "q22_quality_score" ->
