@@ -160,32 +160,71 @@ object BlockDerivation {
       col("size").as("blockSize"),
       col("header.minerPk").as("minerPk"))
 
-    // A3/A5: ordered windows over the block-level table only.
-    val wOrd = Window.orderBy("height")
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-
-    val blocks = headers
+    // A3/A5: cumulative stats as TWO-PHASE prefix sums — every window below
+    // is partitioned by height bucket (parallel across ~height/10⁴ buckets),
+    // and cross-bucket carry comes from exclusive bucket offsets computed on
+    // the tiny bucket-totals table. No single-partition WindowExec anywhere,
+    // so cumulative derivation scales with executors instead of serializing
+    // the whole chain through one task.
+    val joined = headers
       .join(perBlock, "blockId")
       .join(perBlockTx, "blockId")
       .withColumn("minerReward", ChainConst.minerRewardAt(col("height")))
       .withColumn("minerRevenue", col("minerReward") + col("blockFee"))
       .withColumn("blockCoins", col("sumOutputValue") - col("minerRevenue"))
       .withColumn("minerAddress", minerAddressUdf(col("minerPk")))
+      .withColumn("hb", floor(col("height") / ChainConst.HeightBucketSize).cast("long"))
+
+    val wIn = Window.partitionBy("hb").orderBy("height")
+    val wInCum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wInPrev = wIn.rowsBetween(Window.unboundedPreceding, -1)
+
+    // lag(timestamp) across a bucket boundary = the previous bucket's
+    // highest-height timestamp (max_by, NOT max — real-chain timestamps are
+    // not monotonic), joined in as a tiny broadcast dim.
+    val prevBucketTs = joined.groupBy("hb")
+      .agg(max_by(col("timestamp"), col("height")).as("prevBucketTs"))
+      .select((col("hb") + 1).as("hb"), col("prevBucketTs"))
+    val withMt = joined
+      .join(broadcast(prevBucketTs), Seq("hb"), "left_outer")
       .withColumn("blockMiningTime",
-        col("timestamp") - coalesce(lag("timestamp", 1).over(wOrd), col("timestamp")))
-      .withColumn("blockChainTotalSize", sum("blockSize").over(wCum))
-      .withColumn("totalTxsCount", sum("txsCount").over(wCum))
+        col("timestamp") -
+          coalesce(lag("timestamp", 1).over(wIn), col("prevBucketTs"), col("timestamp")))
+
+    // Phase 1: per-bucket totals. Phase 2: exclusive offsets via a
+    // triangular join on the bucket table (~100 rows at mainnet scale).
+    val totals = withMt.groupBy("hb").agg(
+      sum("blockSize").as("tSize"), sum("txsCount").as("tTxs"),
+      sum("blockMiningTime").as("tMt"), sum("blockFee").as("tFees"),
+      sum("minerReward").as("tRew"), sum("blockCoins").as("tCoins"),
+      sum("boxCount").as("tBoxes"))
+    val offsets = totals.as("x")
+      .join(totals.as("y"), col("y.hb") < col("x.hb"), "left_outer")
+      .groupBy(col("x.hb").as("hb"))
+      .agg(
+        coalesce(sum("y.tSize"), lit(0L)).as("oSize"),
+        coalesce(sum("y.tTxs"), lit(0L)).as("oTxs"),
+        coalesce(sum("y.tMt"), lit(0L)).as("oMt"),
+        coalesce(sum("y.tFees"), lit(0L)).as("oFees"),
+        coalesce(sum("y.tRew"), lit(0L)).as("oRew"),
+        coalesce(sum("y.tCoins"), lit(0L)).as("oCoins"),
+        coalesce(sum("y.tBoxes"), lit(0L)).as("oBoxes"))
+
+    val blocks = withMt
+      .join(broadcast(offsets), "hb")
+      .withColumn("blockChainTotalSize", col("oSize") + sum("blockSize").over(wInCum))
+      .withColumn("totalTxsCount", col("oTxs") + sum("txsCount").over(wInCum))
       .withColumn("totalCoinsIssued", ChainConst.issuedCoinsAt(col("height")))
-      .withColumn("totalMiningTime", sum("blockMiningTime").over(wCum))
-      .withColumn("totalFees", sum("blockFee").over(wCum))
-      .withColumn("totalMinersReward", sum("minerReward").over(wCum))
-      .withColumn("totalCoinsInTxs", sum("blockCoins").over(wCum))
-      .withColumn("maxTxGix", sum("txsCount").over(wCum) - 1)
-      .withColumn("maxBoxGix", sum("boxCount").over(wCum) - 1)
-      .withColumn("txGixBase", coalesce(sum("txsCount").over(wPrev), lit(0L)))
-      .withColumn("boxGixBase", coalesce(sum("boxCount").over(wPrev), lit(0L)))
-      .drop("sumOutputValue")
+      .withColumn("totalMiningTime", col("oMt") + sum("blockMiningTime").over(wInCum))
+      .withColumn("totalFees", col("oFees") + sum("blockFee").over(wInCum))
+      .withColumn("totalMinersReward", col("oRew") + sum("minerReward").over(wInCum))
+      .withColumn("totalCoinsInTxs", col("oCoins") + sum("blockCoins").over(wInCum))
+      .withColumn("maxTxGix", col("oTxs") + sum("txsCount").over(wInCum) - 1)
+      .withColumn("maxBoxGix", col("oBoxes") + sum("boxCount").over(wInCum) - 1)
+      .withColumn("txGixBase", col("oTxs") + coalesce(sum("txsCount").over(wInPrev), lit(0L)))
+      .withColumn("boxGixBase", col("oBoxes") + coalesce(sum("boxCount").over(wInPrev), lit(0L)))
+      .drop("sumOutputValue", "prevBucketTs",
+        "oSize", "oTxs", "oMt", "oFees", "oRew", "oCoins", "oBoxes")
 
     // A5: global indexes = block-level base + in-block position.
     val gixKeys = blocks.select("blockId", "txGixBase", "boxGixBase")
@@ -203,7 +242,7 @@ object BlockDerivation {
       .drop("rawAssets", "firstInputBoxId", "txGixBase", "boxGixBase")
 
     ChainTables(
-      blocks = blocks.drop("txGixBase", "boxGixBase"),
+      blocks = blocks.drop("txGixBase", "boxGixBase", "hb"),
       txs = txs,
       outputs = outputsWithGix,
       inputs = inputs,

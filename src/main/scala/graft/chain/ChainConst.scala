@@ -30,6 +30,12 @@ object ChainConst {
   /** Stats epoch for roll-up reporting (reference readme epochs). */
   val StatsEpochLength: Int = 1024
 
+  /** Height-bucket size shared by the warehouse partitioning (ChainIngest)
+    * and the derivation's two-phase prefix sums (application.conf compaction
+    * cadence in the reference). ~1M mainnet blocks → ~100 buckets.
+    */
+  val HeightBucketSize: Int = 10000
+
   /** Dust threshold for graph edges (TxGraphWriter.scala:44,59). */
   val DustThreshold: Long = CoinsInOneErgo
 

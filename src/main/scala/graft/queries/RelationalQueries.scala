@@ -104,15 +104,21 @@ object RelationalQueries extends QueryModule {
         .orderBy("day")
     }),
 
-    // A5: global monotonic index via ordered row_number (globalIndex analog,
-    // reference BlockBuilder.scala:27-32, FullBlockBuilder.scala:66-87).
+    // A5: global monotonic index, limit-first (globalIndex analog, reference
+    // BlockBuilder.scala:27-32, FullBlockBuilder.scala:66-87). The top-100
+    // rows are selected with orderBy+limit (TakeOrderedAndProject — fully
+    // distributed), and only the surviving 100 rows pass through the global
+    // row_number window — result-identical to numbering the whole table
+    // first, without funnelling it through one partition. (For a full-table
+    // global index, use the two-phase base+position scheme the chain
+    // derivation uses — BlockDerivation A5.)
     "q7_global_index" -> ((s, dir) => {
       val w = Window.orderBy("o_orderdate", "o_orderkey")
       t(s, dir, "orders")
         .select("o_orderkey", "o_orderdate")
-        .withColumn("gix", row_number().over(w).cast("long") - 1)
-        .orderBy("gix")
+        .orderBy("o_orderdate", "o_orderkey")
         .limit(100)
+        .withColumn("gix", row_number().over(w).cast("long") - 1)
         .select("o_orderkey", "gix")
     }),
 

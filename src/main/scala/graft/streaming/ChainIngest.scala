@@ -38,7 +38,8 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
 
   /** Height-bucket partition column (application.conf compaction cadence). */
   private def withBucket(df: DataFrame, heightCol: String): DataFrame =
-    df.withColumn("heightBucket", floor(col(heightCol) / 10000).cast("int"))
+    df.withColumn("heightBucket",
+      floor(col(heightCol) / ChainConst.HeightBucketSize).cast("int"))
 
   def start(spark: SparkSession, sourceDir: String, checkpoint: String,
     trigger: Trigger = Trigger.ProcessingTime("5 seconds") /* ST1 cadence */): StreamingQuery =
