@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.chain._
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -9,37 +9,43 @@ import java.nio.file.{Files, Paths}
 
 /** Streaming chain ingest (SURVEY.md §2.9 ST1–ST4): a Structured Streaming
   * source of raw blocks driven through `foreachBatch`, maintaining the
-  * entity tables incrementally and the UTXO set as versioned snapshots.
+  * entity tables incrementally and the UTXO set as base + delta versions.
   *
   * Design (vs the reference's MVStore/H2 pair, PersistentRepo.scala:58-73):
   *  - the COMMON path appends only the batch's own entity rows; cumulative
   *    stats are carried forward from the stored tip exactly like
   *    `BlockBuilder(prev)` — no re-scan of history per batch;
-  *  - UTXO maintenance is the K2 delta: next = (current ∪ batch-outputs) ∖
-  *    batch-inputs, written as a NEW versioned snapshot dir (MVCC revisions,
-  *    MvStorage.scala:296-298 keeps 10) — fork rollback = rebuild from
-  *    outputs ∖ inputs (J5), which is always possible (SURVEY §7.4 risk 2);
-  *  - a FORK in a batch (incoming height ≤ stored tip) falls back to
-  *    re-deriving from the resolved main chain; at warehouse scale that
-  *    rewrite is a partition overwrite of `heightBucket ≥ fork bucket`, and
-  *    the bucket column below partitions every entity table by
-  *    height/10000 (the reference's compaction cadence) to make that cheap.
+  *  - UTXO maintenance is the K2 delta as actual DELTAS: each batch commits
+  *    {adds = outputs ∖ in-batch spends, removes = spends of pre-batch
+  *    boxes} (a few MB), NOT a rewritten full snapshot (~10 GB at mainnet
+  *    scale). The live view = (base ∪ adds*) ∖ removes* — sound because box
+  *    ids never recur — and every `compactEvery` deltas the view is rolled
+  *    into a new base (MVCC revisions, MvStorage.scala:296-298 keeps 10);
+  *  - a FORK (incoming height ≤ stored tip, or competing same-height blocks
+  *    in one batch) rebuilds ONLY `heightBucket ≥ fork bucket`: the winning
+  *    chain's tail is re-derived with cumulative/global-index offsets seeded
+  *    from the last untouched bucket's tip, and written with dynamic
+  *    partition overwrite — files in earlier buckets are never touched.
   *
   * Checkpointing replaces the reference's Initializer integrity check: the
   * source offset and the tables advance together in foreachBatch, and
   * reprocessing a batch is idempotent (a redelivered batch lands on the
-  * fork path, which rebuilds from id-deduped raw; [[heal]] covers the
-  * crash window between the raw append and the entity writes).
+  * fork path, which rebuilds from id-deduped raw); [[heal]] covers every
+  * crash window between the raw append and the UTXO commit by comparing the
+  * raw tip against the blocks/txs/outputs tips AND the UTXO view's tip.
   */
-class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
+class ChainIngest(
+  val warehouse: String,
+  keepVersions: Int = 10,
+  bucketSize: Int = ChainConst.HeightBucketSize,
+  compactEvery: Int = 8) {
 
   private def p(name: String) = s"$warehouse/$name"
   private def exists(name: String) = Files.exists(Paths.get(p(name)))
 
   /** Height-bucket partition column (application.conf compaction cadence). */
   private def withBucket(df: DataFrame, heightCol: String): DataFrame =
-    df.withColumn("heightBucket",
-      floor(col(heightCol) / ChainConst.HeightBucketSize).cast("int"))
+    df.withColumn("heightBucket", floor(col(heightCol) / bucketSize).cast("int"))
 
   def start(spark: SparkSession, sourceDir: String, checkpoint: String,
     trigger: Trigger = Trigger.ProcessingTime("5 seconds") /* ST1 cadence */): StreamingQuery =
@@ -63,7 +69,7 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
     if (batch.isEmpty) return
     batch.toDF().write.mode(SaveMode.Append).parquet(p("raw"))
 
-    val tip: Option[org.apache.spark.sql.Row] =
+    val tip: Option[Row] =
       if (exists("blocks"))
         spark.read.parquet(p("blocks")).orderBy(desc("height")).limit(1)
           .collect().headOption
@@ -81,81 +87,92 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
     val minBatchHeight = stats.getAs[Int]("minH")
     val hasInBatchFork = stats.getAs[Long]("n") != stats.getAs[Long]("nh")
     // ST3: fork vs the stored tip, OR competing same-height blocks inside
-    // the batch itself — both resolve through the raw rebuild.
+    // the batch itself — both resolve through the bucket-scoped rebuild.
     val isFork = hasInBatchFork || tip.exists(t => minBatchHeight <= t.getAs[Int]("height"))
 
-    if (isFork) reprocessFromRaw(spark)
+    if (isFork) reprocessFromRaw(spark, minBatchHeight)
     else appendIncremental(batch, tip, minBatchHeight,
       if (stats.isNullAt(3)) None else Some(stats.getAs[Long]("firstTs")))
   }
 
-  /** Common path: derive the batch alone, shift cumulative/global columns by
-    * the stored tip's totals, append.
+  /** Shift a freshly-derived (tail or batch) table set so its cumulative and
+    * global-index columns continue from `tip` (the stored block the new rows
+    * chain onto) — the `BlockBuilder(prev)` carry. `minHeight`/`firstTs`
+    * identify the new range's lowest block for the mining-time boundary:
+    * its in-derivation lag is null, so its true blockMiningTime
+    * (firstTs − tip timestamp) is patched in and folded into the cumulative.
     */
-  private def appendIncremental(
-    batch: Dataset[RawBlock], tip: Option[org.apache.spark.sql.Row],
-    minBatchHeight: Int, firstTs: Option[Long]): Unit = {
-    val spark = batch.sparkSession
-    val t = BlockDerivation.derive(batch)
-
+  private def shiftFromTip(
+    t: ChainTables, tip: Option[Row],
+    minHeight: Int, firstTs: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
     val (txBase, boxBase) = tip
       .map(r => (r.getAs[Long]("maxTxGix") + 1, r.getAs[Long]("maxBoxGix") + 1))
       .getOrElse((0L, 0L))
-    val offsets = Map(
-      "blockChainTotalSize" -> "blockChainTotalSize", "totalTxsCount" -> "totalTxsCount",
-      "totalMiningTime" -> "totalMiningTime", "totalFees" -> "totalFees",
-      "totalMinersReward" -> "totalMinersReward", "totalCoinsInTxs" -> "totalCoinsInTxs")
+    val cumulativeCols = Seq(
+      "blockChainTotalSize", "totalTxsCount", "totalMiningTime",
+      "totalFees", "totalMinersReward", "totalCoinsInTxs")
 
-    val blocksShifted0 = offsets.foldLeft(t.blocks) { case (df, (c, _)) =>
+    val blocksShifted0 = cumulativeCols.foldLeft(t.blocks) { case (df, c) =>
       tip.map(r => df.withColumn(c, col(c) + r.getAs[Long](c))).getOrElse(df)
     }
       .withColumn("maxTxGix", col("maxTxGix") + txBase)
       .withColumn("maxBoxGix", col("maxBoxGix") + boxBase)
-    // The batch's first block computed miningTime=0 (no lag row in-batch);
-    // the true value is firstTs − tipTs, a per-batch constant folded into
-    // both the lowest block's blockMiningTime and every row's cumulative.
-    // Targeting the batch's OWN lowest height (not tip+1) keeps
-    // totalMiningTime == tipTotal + Σ batch blockMiningTime even when the
-    // source delivers a non-contiguous batch; a null tip/first timestamp
-    // degrades to delta 0 rather than corrupting the cumulative.
     val blocksShifted = tip.map { r =>
       val firstDelta = firstTs.map(_ - r.getAs[Long]("timestamp")).getOrElse(0L)
-      val firstH = col("height") === lit(minBatchHeight)
+      val firstH = col("height") === lit(minHeight)
       blocksShifted0
         .withColumn("blockMiningTime",
           when(firstH, lit(firstDelta)).otherwise(col("blockMiningTime")))
         .withColumn("totalMiningTime", col("totalMiningTime") + firstDelta)
     }.getOrElse(blocksShifted0)
 
+    (blocksShifted,
+      t.txs.withColumn("globalIndex", col("globalIndex") + txBase),
+      t.outputs.withColumn("globalIndex", col("globalIndex") + boxBase))
+  }
+
+  /** Common path: derive the batch alone, shift by the stored tip, append,
+    * and commit the batch's UTXO add/remove delta.
+    */
+  private def appendIncremental(
+    batch: Dataset[RawBlock], tip: Option[Row],
+    minBatchHeight: Int, firstTs: Option[Long]): Unit = {
+    val t = BlockDerivation.derive(batch)
+    val (blocksShifted, txsShifted, outputsShifted) =
+      shiftFromTip(t, tip, minBatchHeight, firstTs)
+
     withBucket(blocksShifted, "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("blocks"))
-    withBucket(t.txs.withColumn("globalIndex", col("globalIndex") + txBase), "height")
+    withBucket(txsShifted, "height")
       .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p("txs"))
-    withBucket(t.outputs.withColumn("globalIndex", col("globalIndex") + boxBase),
-      "settlementHeight")
+    withBucket(outputsShifted, "settlementHeight")
       .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p("outputs"))
     withBucket(t.inputs, "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("inputs"))
     withBucket(t.assets, "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("assets"))
 
-    // K2 delta: next utxo = (current ∪ batch outputs) ∖ batch inputs.
-    val batchOutputs = t.outputs
-      .select("boxId", "txId", "blockId", "settlementHeight", "ergValue", "ergoTreeHash")
-    val current =
-      if (currentUtxoVersion().isDefined) spark.read.parquet(utxoPath(currentUtxoVersion().get))
-      else spark.emptyDataFrame.to(batchOutputs.schema)
-    val next = current.unionByName(batchOutputs)
-      .join(t.inputs.select("boxId"), Seq("boxId"), "left_anti")
-    commitUtxoVersion(next)
+    // K2 delta commit: adds = batch outputs not spent in-batch; removes =
+    // batch inputs that spend pre-batch boxes. View-level soundness needs
+    // box ids to never recur — guaranteed by the protocol (a box id hashes
+    // its creating tx).
+    val batchOutputs = t.outputs.select(utxoCols.head, utxoCols.tail: _*)
+    val batchInputIds = t.inputs.select("boxId")
+    commitDelta(
+      adds = batchOutputs.join(batchInputIds, Seq("boxId"), "left_anti"),
+      removes = batchInputIds.join(batchOutputs.select("boxId"), Seq("boxId"), "left_anti"))
   }
 
-  /** Fork path: resolve the main chain over the full raw stream and rewrite.
-    * (At warehouse scale: overwrite only heightBucket partitions ≥ the fork
-    * bucket; rare by construction — depth ≤ 10.)
+  /** Fork path (ST3): resolve the main chain over id-deduped raw, re-derive
+    * ONLY heights ≥ the fork bucket's floor, seed cumulative/gix offsets
+    * from the preceding bucket's stored tip, and overwrite only the
+    * affected heightBucket partitions (dynamic partition overwrite). Files
+    * in buckets below the fork bucket are never rewritten.
     */
-  private def reprocessFromRaw(spark: SparkSession): Unit = {
+  private def reprocessFromRaw(spark: SparkSession, fromHeight: Int): Unit = {
     import spark.implicits._
+    val forkBucket = math.max(fromHeight, 0) / bucketSize
+    val rebuildFrom = forkBucket.toLong * bucketSize
     // a replayed batch (foreachBatch redelivery after a crash) appends its
     // raw blocks twice — dedupe by block id before resolving, so replay is
     // idempotent end-to-end.
@@ -165,81 +182,173 @@ class ChainIngest(val warehouse: String, keepVersions: Int = 10) {
       .drop("_bid")
       .as[RawBlock]
     val resolved = ForkResolver.mainChain(raw)
-    val t = BlockDerivation.derive(resolved)
-    withBucket(t.blocks, "height").write.mode(SaveMode.Overwrite)
-      .partitionBy("heightBucket").parquet(p("blocks"))
-    withBucket(t.txs, "height").write.mode(SaveMode.Overwrite)
-      .partitionBy("heightBucket").parquet(p("txs"))
-    withBucket(t.outputs, "settlementHeight").write.mode(SaveMode.Overwrite)
-      .partitionBy("heightBucket").parquet(p("outputs"))
-    withBucket(t.inputs, "height").write.mode(SaveMode.Overwrite)
-      .partitionBy("heightBucket").parquet(p("inputs"))
-    withBucket(t.assets, "height").write.mode(SaveMode.Overwrite)
-      .partitionBy("heightBucket").parquet(p("assets"))
-    val rebuilt = UtxoQueries.utxos(t)
-      .select("boxId", "txId", "blockId", "settlementHeight", "ergValue", "ergoTreeHash")
-    commitUtxoVersion(rebuilt)
+    val tail = resolved.filter(col("header.height") >= rebuildFrom)
+    val t = BlockDerivation.derive(tail)
+
+    // seed from the last block BELOW the rebuilt range (untouched buckets
+    // are correct by induction); the tail's own lowest block supplies the
+    // mining-time boundary timestamp.
+    val tip: Option[Row] =
+      if (forkBucket > 0 && exists("blocks"))
+        spark.read.parquet(p("blocks"))
+          .filter(col("heightBucket") < forkBucket)
+          .orderBy(desc("height")).limit(1).collect().headOption
+      else None
+    val tailStats = tail.toDF().select(
+      min(col("header.height")).as("minH"),
+      min(struct(col("header.height"), col("header.timestamp")))
+        .getField("timestamp").as("firstTs")).head()
+    val (blocksShifted, txsShifted, outputsShifted) =
+      if (tailStats.isNullAt(0)) (t.blocks, t.txs, t.outputs)
+      else shiftFromTip(t, tip, tailStats.getAs[Int]("minH"),
+        Some(tailStats.getAs[Long]("firstTs")))
+
+    def overwriteTail(df: DataFrame, heightCol: String, name: String): Unit =
+      withBucket(df, heightCol).write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("heightBucket").parquet(p(name))
+    overwriteTail(blocksShifted, "height", "blocks")
+    overwriteTail(txsShifted, "height", "txs")
+    overwriteTail(outputsShifted, "settlementHeight", "outputs")
+    overwriteTail(t.inputs, "height", "inputs")
+    overwriteTail(t.assets, "height", "assets")
+
+    // UTXO after a fork: rebuild from the (now-corrected) warehouse tables
+    // as a fresh BASE version — the one full-table anti-join is the rare,
+    // bounded-depth rollback cost (forks are ≤10 deep by consensus).
+    val rebuilt = spark.read.parquet(p("outputs"))
+      .select(utxoCols.head, utxoCols.tail: _*)
+      .join(spark.read.parquet(p("inputs")).select("boxId"), Seq("boxId"), "left_anti")
+    commitBase(rebuilt)
   }
 
-  // ---- versioned UTXO snapshots (MVCC revisions) ----
-  // Versions are a monotonic counter independent of batch ids: every commit
-  // writes current+1, so a commit can never overwrite the snapshot its own
-  // plan is lazily reading, and heal/backfill/stream interleavings stay
-  // ordered. (A redelivered batch lands on the fork path — full rebuild —
-  // so correctness never depends on version reuse.)
+  // ---- UTXO state: base snapshots + per-batch deltas (MVCC revisions) ----
+  // Versions are one monotonic counter across bases and deltas: every commit
+  // writes max+1, so a commit can never overwrite data its own lazy plan is
+  // reading, and heal/backfill/stream interleavings stay ordered. The live
+  // view is base(maxBase) ∪ {delta adds > maxBase} ∖ {delta removes >
+  // maxBase}.
 
-  private def utxoPath(v: Long) = p(s"utxo/v=$v")
+  private val utxoCols =
+    Seq("boxId", "txId", "blockId", "settlementHeight", "ergValue", "ergoTreeHash")
 
-  private def listVersions(): Seq[Long] = {
-    val dir = Paths.get(p("utxo"))
-    if (!Files.exists(dir)) Nil
+  // explicit schemas: an empty delta writes no part files, and a schema-less
+  // parquet read of such a dir fails inference.
+  private val addsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("boxId", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("txId", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("blockId", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("settlementHeight", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("ergValue", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ergoTreeHash", org.apache.spark.sql.types.StringType)))
+  private val removesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("boxId", org.apache.spark.sql.types.StringType)))
+
+  private def basePath(v: Long) = p(s"utxo/base/v=$v")
+  private def deltaPath(v: Long) = p(s"utxo/delta/v=$v")
+
+  private def versionsIn(dir: String): Seq[Long] = {
+    val path = Paths.get(p(dir))
+    if (!Files.exists(path)) Nil
     else {
-      val stream = Files.list(dir)
+      val stream = Files.list(path)
       try stream.toArray.toSeq.map(_.toString).filter(_.contains("v="))
         .map(s => s.substring(s.lastIndexOf("v=") + 2).toLong).sorted
       finally stream.close()
     }
   }
 
-  def currentUtxoVersion(): Option[Long] = listVersions().lastOption
+  private def baseVersions(): Seq[Long] = versionsIn("utxo/base")
+  private def deltaVersions(): Seq[Long] = versionsIn("utxo/delta")
 
-  private def commitUtxoVersion(df: DataFrame): Unit = {
-    val next = currentUtxoVersion().getOrElse(-1L) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(utxoPath(next))
-    // retain only the last `keepVersions` revisions (rollbackTo window)
-    listVersions().dropRight(keepVersions).foreach { v =>
-      val victim = Paths.get(utxoPath(v))
-      val walk = Files.walk(victim)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
+  def currentUtxoVersion(): Option[Long] =
+    (baseVersions() ++ deltaVersions()).sorted.lastOption
+
+  private def nextVersion(): Long = currentUtxoVersion().getOrElse(-1L) + 1
+
+  private def commitBase(df: DataFrame): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(basePath(nextVersion()))
+    cleanup()
+  }
+
+  private def commitDelta(adds: DataFrame, removes: DataFrame): Unit = {
+    val v = nextVersion()
+    adds.write.mode(SaveMode.Overwrite).parquet(s"${deltaPath(v)}/adds")
+    removes.write.mode(SaveMode.Overwrite).parquet(s"${deltaPath(v)}/removes")
+    // roll deltas into a new base once enough have accumulated — bounds the
+    // number of files the view unions AND gives the MVCC base cadence.
+    val live = deltaVersions().count(dv => dv > baseVersions().lastOption.getOrElse(-1L))
+    if (live >= compactEvery) {
+      val spark = adds.sparkSession
+      commitBase(utxo(spark))
+    } else cleanup()
+  }
+
+  /** Drop versions outside the retention window (rollbackTo analog). The
+    * newest base is always retained — the live view needs it.
+    */
+  private def cleanup(): Unit = {
+    val keepFloor = currentUtxoVersion().getOrElse(-1L) - keepVersions + 1
+    val latestBase = baseVersions().lastOption
+    def rm(path: String): Unit = {
+      val victim = Paths.get(path)
+      if (Files.exists(victim)) {
+        val walk = Files.walk(victim)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    baseVersions().filter(v => v < keepFloor && !latestBase.contains(v))
+      .foreach(v => rm(basePath(v)))
+    // deltas at or below the newest base are superseded by it.
+    deltaVersions()
+      .filter(v => v < keepFloor || latestBase.exists(v <= _))
+      .foreach(v => rm(deltaPath(v)))
+  }
+
+  /** The live UTXO view: base ∪ later adds ∖ later removes. */
+  def utxo(spark: SparkSession): DataFrame = {
+    val baseV = baseVersions().lastOption
+    val liveDeltas = deltaVersions().filter(v => v > baseV.getOrElse(-1L))
+    if (baseV.isEmpty && liveDeltas.isEmpty)
+      throw new IllegalStateException("no utxo snapshot yet")
+    val adds = liveDeltas.map(v =>
+      spark.read.schema(addsSchema).parquet(s"${deltaPath(v)}/adds"))
+    val base = baseV.map(v => spark.read.parquet(basePath(v)))
+    val all = (base.toSeq ++ adds).reduce(_ unionByName _)
+    if (liveDeltas.isEmpty) all
+    else {
+      val removes = liveDeltas
+        .map(v => spark.read.schema(removesSchema).parquet(s"${deltaPath(v)}/removes"))
+        .reduce(_ unionByName _)
+      all.join(removes, Seq("boxId"), "left_anti")
     }
   }
 
   /** Startup integrity check + self-heal (the Initializer.scala:15-37
-    * analog): processBatch appends raw FIRST, then derives — a crash in
-    * between leaves raw ahead of the tables. Detect by tip-height mismatch
-    * and re-derive from (deduped) raw. Idempotent; returns whether healing
-    * was needed.
+    * analog): processBatch appends raw FIRST, then writes entities, then
+    * commits the UTXO delta — a crash anywhere in between leaves later
+    * artifacts behind earlier ones. Detect by comparing the raw tip against
+    * the blocks/txs/outputs tips AND the UTXO view's settlement tip (the tip
+    * block's coinbase output is always unspent at the tip, so a healthy view
+    * reaches exactly the blocks tip), then re-derive from the first lagging
+    * height. Idempotent; returns whether healing was needed.
     */
   def heal(spark: SparkSession): Boolean = {
     if (!exists("raw")) return false
-    val rawTip = spark.read.parquet(p("raw"))
-      .agg(org.apache.spark.sql.functions.max(col("header.height"))).head().getInt(0)
-    val derivedTip =
-      if (exists("blocks"))
-        spark.read.parquet(p("blocks"))
-          .agg(org.apache.spark.sql.functions.max(col("height"))).head().getInt(0)
-      else -1
-    if (rawTip != derivedTip) { reprocessFromRaw(spark); true }
-    else false
+    def tipOf(df: DataFrame, c: String): Int =
+      df.agg(max(col(c))).head().getInt(0)
+    val rawTip = tipOf(spark.read.parquet(p("raw")), "header.height")
+    val tips = Seq(
+      if (exists("blocks")) tipOf(spark.read.parquet(p("blocks")), "height") else -1,
+      if (exists("txs")) tipOf(spark.read.parquet(p("txs")), "height") else -1,
+      if (exists("outputs")) tipOf(spark.read.parquet(p("outputs")), "settlementHeight") else -1,
+      if (currentUtxoVersion().isDefined) tipOf(utxo(spark), "settlementHeight") else -1)
+    if (tips.exists(_ != rawTip)) {
+      reprocessFromRaw(spark, math.max(tips.min + 1, 0)); true
+    } else false
   }
-
-  def utxo(spark: SparkSession): DataFrame =
-    currentUtxoVersion() match {
-      case Some(v) => spark.read.parquet(utxoPath(v))
-      case None => throw new IllegalStateException("no utxo snapshot yet")
-    }
 
   def blocks(spark: SparkSession): DataFrame = spark.read.parquet(p("blocks"))
 }

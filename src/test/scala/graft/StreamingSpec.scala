@@ -139,6 +139,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("fork rebuild touches only heightBucket >= fork bucket; earlier files stay byte-identical") {
+    import spark.implicits._
+    // bucketSize=10 so a 25-block trunk spans buckets 0,1,2 and the fork
+    // (heights 26+) lands in bucket 2 — buckets 0 and 1 must never be
+    // rewritten by the fork path.
+    val (all, winnerIds) = ChainFixture.generateWithFork(forkAt = 25, shortLen = 2, longLen = 4)
+    val trunk = all.filter(_.header.height <= 25)
+    val shortBranch = all.filter(b => b.header.height > 25 && !winnerIds.contains(b.header.id))
+    val longBranch = all.filter(b => winnerIds.contains(b.header.id))
+    val wh = tmpDir("graft-bucket-fork")
+    val ingest = new ChainIngest(wh, bucketSize = 10)
+    ingest.processBatch(spark.createDataset(trunk), 0L)
+    ingest.processBatch(spark.createDataset(shortBranch), 1L)
+
+    def fingerprint(table: String): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(s"$wh/$table")
+      val walk = java.nio.file.Files.walk(root)
+      try walk.toArray.map(_.toString)
+        .filter(f => f.contains("heightBucket=0") || f.contains("heightBucket=1"))
+        .filter(_.endsWith(".parquet"))
+        .map { f =>
+          val path = java.nio.file.Paths.get(f)
+          f -> (java.nio.file.Files.size(path),
+            java.nio.file.Files.getLastModifiedTime(path).toMillis)
+        }.toMap
+      finally walk.close()
+    }
+    val before = Seq("blocks", "txs", "outputs", "inputs").map(t => t -> fingerprint(t)).toMap
+
+    ingest.processBatch(spark.createDataset(longBranch), 2L) // fork path
+
+    before.foreach { case (table, files) =>
+      assert(files.nonEmpty, s"$table should have files in buckets 0/1")
+      assert(fingerprint(table) == files, s"$table buckets 0/1 were rewritten")
+    }
+
+    // seeded cumulative/gix columns at the tip equal the one-shot derivation
+    val oneShot = BlockDerivation.derive(spark.createDataset(trunk ++ longBranch))
+    val got = ingest.blocks(spark).orderBy(desc("height")).limit(1).collect()(0)
+    val want = oneShot.blocks.orderBy(desc("height")).limit(1).collect()(0)
+    Seq("totalTxsCount", "totalFees", "totalMinersReward", "totalCoinsInTxs",
+      "totalMiningTime", "blockChainTotalSize", "maxTxGix", "maxBoxGix").foreach { c =>
+      assert(got.getAs[Long](c) == want.getAs[Long](c), s"tip $c mismatch after seeded rebuild")
+    }
+    assert(ingest.blocks(spark).count() == 29)
+    // utxo rebuilt over the winning chain only
+    val expected = UtxoQueries.utxos(oneShot).select("boxId")
+      .collect().map(_.getString(0)).toSet
+    assert(ingest.utxo(spark).select("boxId").collect().map(_.getString(0)).toSet == expected)
+  }
+
+  test("utxo delta commits + compaction equal the anti-join rebuild at every batch") {
+    import spark.implicits._
+    val all = ChainFixture.generate(40)
+    // compactEvery=3 forces at least two base roll-ups over 8 batches
+    val ingest = new ChainIngest(tmpDir("graft-utxo-delta"), compactEvery = 3)
+    all.grouped(5).zipWithIndex.foreach { case (chunk, i) =>
+      ingest.processBatch(spark.createDataset(chunk), i.toLong)
+      val upTo = (i + 1) * 5
+      val expect = UtxoQueries.utxos(
+        BlockDerivation.derive(spark.createDataset(all.take(upTo))))
+        .select("boxId").collect().map(_.getString(0)).toSet
+      val got = ingest.utxo(spark).select("boxId").collect().map(_.getString(0)).toSet
+      assert(got == expect, s"utxo view diverged after batch $i")
+    }
+  }
+
+  test("heal detects a stale utxo view and re-derives (crash between entity writes and delta commit)") {
+    import spark.implicits._
+    val all = ChainFixture.generate(20)
+    val wh = tmpDir("graft-heal-utxo")
+    val ingest = new ChainIngest(wh)
+    ingest.processBatch(spark.createDataset(all.take(10)), 0L)
+    ingest.processBatch(spark.createDataset(all.drop(10)), 1L)
+    // simulate the crash window: delete the newest utxo delta so the view
+    // lags the blocks tip while raw/blocks agree
+    val deltaDir = java.nio.file.Paths.get(s"$wh/utxo/delta")
+    val newest = java.nio.file.Files.list(deltaDir).toArray.map(_.toString).sorted.last
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(newest))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    assert(ingest.heal(spark), "heal must detect the lagging utxo view")
+    val expect = UtxoQueries.utxos(BlockDerivation.derive(spark.createDataset(all)))
+      .select("boxId").collect().map(_.getString(0)).toSet
+    assert(ingest.utxo(spark).select("boxId").collect().map(_.getString(0)).toSet == expect)
+    assert(!ingest.heal(spark), "second heal must be a no-op")
+  }
+
   test("mempool dedup drops replayed txIds within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
