@@ -41,7 +41,10 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
       inputs = spark.read.parquet(s"$warehouse/inputs"),
       assets = spark.read.parquet(s"$warehouse/assets"),
       ergoTrees = ergoTrees,
-      ergoTreeT8s = t8)
+      ergoTreeT8s = t8,
+      dataInputs = spark.read.parquet(s"$warehouse/data_inputs"),
+      registers = spark.read.parquet(s"$warehouse/registers"),
+      tokens = spark.read.parquet(s"$warehouse/tokens"))
   }
 
   // ---- the BoxService matrix (§3.1) ----

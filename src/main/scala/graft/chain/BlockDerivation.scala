@@ -5,7 +5,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Entity tables derived from one pass over the raw nested block stream. */
+/** Entity tables derived from one pass over the raw nested block stream —
+  * the full normalized model (reference db/FullBlockModel.scala:44-58,
+  * LightBlockModel.scala:176-183): facts {blocks, txs, outputs, inputs,
+  * dataInputs, assets, registers} + dims {ergoTrees, ergoTreeT8s, tokens}.
+  */
 case class ChainTables(
   blocks: DataFrame,
   txs: DataFrame,
@@ -13,7 +17,10 @@ case class ChainTables(
   inputs: DataFrame,
   assets: DataFrame,
   ergoTrees: DataFrame,
-  ergoTreeT8s: DataFrame)
+  ergoTreeT8s: DataFrame,
+  dataInputs: DataFrame,
+  registers: DataFrame,
+  tokens: DataFrame)
 
 /** The per-block transform stage (SURVEY.md §2.3/§2.5): nested
   * `Dataset[RawBlock]` → {blocks, txs, outputs, inputs, assets, ergoTrees}
@@ -35,14 +42,15 @@ case class ChainTables(
   */
 object BlockDerivation {
 
-  /** Template extraction stand-in (ErgoTreeParser.ergoTreeHex2T8:58-81):
-    * P2PK-marked trees (`0008cd…`) have no template; other trees split as
-    * 8-hex-char constant segment + template. Isolated here as the plug point
-    * for a real ErgoTree parser.
+  /** Real template extraction (ErgoTreeParser.ergoTreeHex2T8:58-81): walk
+    * the tree header (segregation/size bits), VLQ constant count, and each
+    * serialized constant, returning the remaining expression bytes — or
+    * null for non-segregated trees (the `0008cd…` P2PK form), segregated
+    * P2PK, and anything outside the implemented wire surface
+    * ([[SigmaReader.treeTemplate]]).
     */
-  private def templateHex(tree: org.apache.spark.sql.Column) =
-    when(tree.startsWith("0008cd") || length(tree) <= 8, lit(null))
-      .otherwise(tree.substr(lit(9), length(tree)))
+  private val templateHexUdf =
+    udf((tree: String) => if (tree == null) None else SigmaReader.treeTemplate(tree))
 
   /** Script dim tables from the outputs entity — shared by the derivation
     * and the warehouse-backed engine view. "First block that saw the tree" =
@@ -82,6 +90,7 @@ object BlockDerivation {
         col("tx.size").as("txSize"),
         try_element_at(col("tx.inputs"), lit(1)).getField("boxId").as("firstInputBoxId"), // P10 key; null for coinbase
         col("tx.inputs").as("rawInputs"),
+        col("tx.dataInputs").as("rawDataInputs"),
         col("tx.outputs").as("rawOutputs"))
 
     // P1 level 2: tx → outputs with positional index; P6 hash + template;
@@ -100,6 +109,7 @@ object BlockDerivation {
         col("txIndex"), col("coinbase"), col("firstInputBoxId"),
         col("o.ergoTree").as("ergoTree"),
         col("o.assets").as("rawAssets"),
+        col("o.additionalRegisters").as("rawRegisters"),
         element_at(col("o.additionalRegisters"), "R4").as("r4"),
         element_at(col("o.additionalRegisters"), "R5").as("r5"),
         element_at(col("o.additionalRegisters"), "R6").as("r6"),
@@ -107,7 +117,7 @@ object BlockDerivation {
         element_at(col("o.additionalRegisters"), "R8").as("r8"),
         element_at(col("o.additionalRegisters"), "R9").as("r9"))
       .withColumn("ergoTreeHash", sha256OfHex(col("ergoTree")))
-      .withColumn("ergoTreeT8Hex", templateHex(col("ergoTree")))
+      .withColumn("ergoTreeT8Hex", templateHexUdf(col("ergoTree")))
       .withColumn("ergoTreeT8Hash",
         when(col("ergoTreeT8Hex").isNotNull, lower(sha2(unhex(col("ergoTreeT8Hex")), 256))))
 
@@ -116,6 +126,26 @@ object BlockDerivation {
         posexplode(col("rawInputs")).as(Seq("index", "i")))
       .select(col("i.boxId").as("boxId"), col("txId"), col("blockId"),
         col("height"), col("txIndex"), col("index"))
+
+    // Read-only context references (FullBlockModel.scala:52-58): same flatten
+    // shape as inputs, separate entity — they do NOT spend the box.
+    val dataInputs = txsWithStruct
+      .select(col("blockId"), col("height"), col("txId"), col("txIndex"),
+        posexplode(col("rawDataInputs")).as(Seq("index", "d")))
+      .select(col("d.boxId").as("boxId"), col("txId"), col("blockId"),
+        col("height"), col("txIndex"), col("index"))
+
+    // One row per (box, register) with the sigma decode (FullBlockModel
+    // .scala:44-50, schema-tables.cql:88-96): raw hex + rendered type/value.
+    val registers = outputs
+      .select(col("boxId"), col("txId"), col("blockId"),
+        col("settlementHeight").as("height"),
+        explode(col("rawRegisters")).as(Seq("registerId", "rawValue")))
+      .withColumn("parsed", RegisterParser.parseUdf(col("rawValue")))
+      .select(col("boxId"), col("txId"), col("blockId"), col("height"),
+        col("registerId"), col("rawValue"),
+        col("parsed.sigmaType").as("sigmaType"),
+        col("parsed.rendered").as("renderedValue"))
 
     // P10: token minted iff tokenId == first input boxId of its tx;
     // P9: EIP-004 props from r4/r5/r6 only for minted tokens.
@@ -140,6 +170,18 @@ object BlockDerivation {
     // Script dims with P7 address rendering (first block that saw the tree).
     val (ergoTrees, ergoTreeT8s) = scriptDims(outputs)
 
+    // Token dim (LightBlockModel.scala:176-183, h2-schema.sql:63-77): one
+    // row per minted token with its EIP-004 props and issuing box.
+    val tokens = assets
+      .filter(col("minted"))
+      .select(
+        col("tokenId"),
+        col("boxId").as("issuingBoxId"),
+        col("txId").as("issuingTxId"),
+        col("height").as("issuingHeight"),
+        col("amount").as("emissionAmount"),
+        col("tokenName"), col("tokenDescription"), col("tokenDecimals"))
+
     // A1/A2: per-block sums. The fee filter (P3) and coinbase value are
     // column conditions; everything reduces in one partial-agg pass.
     val perBlock = outputs
@@ -152,13 +194,26 @@ object BlockDerivation {
       .groupBy("blockId")
       .agg(count(lit(1)).as("txsCount"), sum("txSize").as("txsSize"))
 
+    // Full header surface (reference keeps all 16 — db/FullBlockModel
+    // .scala; round 1 dropped 10 of them).
     val headers = raw.toDF().select(
       col("header.id").as("blockId"),
       col("header.parentId").as("parentId"),
       col("header.height").as("height"),
       col("header.timestamp").as("timestamp"),
       col("size").as("blockSize"),
-      col("header.minerPk").as("minerPk"))
+      col("header.minerPk").as("minerPk"),
+      col("header.version").as("version"),
+      col("header.nBits").as("nBits"),
+      col("header.difficulty").as("difficulty"),
+      col("header.stateRoot").as("stateRoot"),
+      col("header.adProofsRoot").as("adProofsRoot"),
+      col("header.transactionsRoot").as("transactionsRoot"),
+      col("header.extensionHash").as("extensionHash"),
+      col("header.w").as("powW"),
+      col("header.n").as("powN"),
+      col("header.d").as("powD"),
+      col("header.votes").as("votes"))
 
     // A3/A5: cumulative stats as TWO-PHASE prefix sums — every window below
     // is partitioned by height bucket (parallel across ~height/10⁴ buckets),
@@ -239,7 +294,7 @@ object BlockDerivation {
     val outputsWithGix = outputs
       .join(gixKeys, "blockId")
       .withColumn("globalIndex", col("boxGixBase") + count(lit(1)).over(wInBlock) - 1)
-      .drop("rawAssets", "firstInputBoxId", "txGixBase", "boxGixBase")
+      .drop("rawAssets", "rawRegisters", "firstInputBoxId", "txGixBase", "boxGixBase")
 
     ChainTables(
       blocks = blocks.drop("txGixBase", "boxGixBase", "hb"),
@@ -248,6 +303,9 @@ object BlockDerivation {
       inputs = inputs,
       assets = assets,
       ergoTrees = ergoTrees,
-      ergoTreeT8s = ergoTreeT8s)
+      ergoTreeT8s = ergoTreeT8s,
+      dataInputs = dataInputs,
+      registers = registers,
+      tokens = tokens)
   }
 }

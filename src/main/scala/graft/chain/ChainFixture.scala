@@ -38,12 +38,14 @@ object ChainFixture {
   val FeeTree: String = md5Hex("fee-contract")
 
   /** Script universe: every third script is a P2PK-style tree (leading
-    * marker `0008cd`, no template — ErgoTreeParser.isErgoTreeT8:25-28);
-    * the rest are 8-hex-char "constants" + a template shared by k%4.
+    * marker `0008cd`, not constant-segregated ⇒ no template —
+    * ErgoTreeParser.isErgoTreeT8:25-28); the rest are REAL segregated trees
+    * (header 0x10, one SInt constant `k`, then expression bytes) so the
+    * production tree walker extracts a template shared by k%4.
     */
   def script(k: Int): String =
     if (k % 3 == 0) "0008cd" + md5Hex(s"pk:$k")
-    else md5Hex(s"const:$k").take(8) + md5Hex(s"tmpl:${k % 4}")
+    else "1001" + RegisterParser.encodeInt(k) + md5Hex(s"tmpl:${k % 4}")
 
   def minerScript(h: Int): String = "0008cd" + md5Hex(s"minerpk:${h % 5}")
 
@@ -87,16 +89,23 @@ object ChainFixture {
         val o1v = spendTotal * 2 / 3
         val o2v = spendTotal - o1v
         val mint = (h + i) % 4 == 0
-        // register menu per FIXTURES.md §1: SInt/SLong/Coll[SByte] decode,
-        // an SSigmaProp-style constant and an opaque tuple blob degrade to
-        // raw hex (RegistersParser.scala:80-88 behaviour).
+        // register menu per FIXTURES.md §1: SInt/SLong/Coll[SByte] decode;
+        // R7 is a well-formed ProveDlog sigma prop (renders as the 33-byte
+        // point hex), R9 alternates between a valid (Coll[SByte],Coll[SByte])
+        // tuple and a truncated blob that must degrade to raw-hex
+        // passthrough (RegistersParser.scala:80-88 behaviour).
         val mintRegs = Map(
           "R4" -> collHex(s"token$h"),
           "R5" -> collHex("minted"),
           "R6" -> RegisterParser.encodeInt(2),
-          "R7" -> ("08cd" + md5Hex(s"sigmaprop:$h")),
+          "R7" -> SigmaReader.encodeSigmaProp(
+            md5Hex(s"sigmaprop:$h").concat(md5Hex(s"sigmaprop2:$h"))
+              .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray),
           "R8" -> RegisterParser.encodeLong(1000L + h),
-          "R9" -> ("3c0e0e" + md5Hex(s"blob:$h").take(8)))
+          "R9" -> (if (h % 2 == 0) SigmaReader.encodeBytePair(
+            s"k$h".getBytes(StandardCharsets.UTF_8),
+            s"v$h".getBytes(StandardCharsets.UTF_8))
+          else "3c0e0e" + md5Hex(s"blob:$h").take(8)))
         val out1 = RawOutput(
           boxId = sha256Hex(s"box:$salt:$h:$i:0"),
           value = o1v,

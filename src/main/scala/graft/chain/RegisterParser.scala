@@ -6,61 +6,24 @@ import java.nio.charset.StandardCharsets
 
 /** Register value expansion (SURVEY.md §2.3 P8, reference
   * RegistersParser.scala:20-88): raw register hex → (sigmaType, rendered
-  * value). Implements the public sigma primitive encodings that cover the
-  * overwhelming majority of on-chain registers —
-  *   0x04 SInt (zigzag VLQ), 0x05 SLong (zigzag VLQ),
-  *   0x0e Coll[SByte] (VLQ length + bytes) —
-  * and passes anything else through as an opaque hex payload (the
-  * reference's behaviour for unrenderable values). The recursive
-  * Coll/Tuple/Option cases of the full SigmaType ADT (SigmaType.scala:18-46)
-  * plug in here.
+  * value). Delegates to [[SigmaReader]], which implements the full public
+  * constant wire format — primitives, SGroupElement/SSigmaProp(ProveDlog),
+  * nested collections, options, and tuples — and degrades anything it
+  * cannot walk to `SUnparsed` + raw hex passthrough (the reference's
+  * behaviour for unrenderable values).
   */
 object RegisterParser {
 
   case class ParsedRegister(sigmaType: String, rendered: String)
 
-  /** Unsigned LEB128 (VLQ) decode: (value, bytes consumed). */
-  private def vlq(bytes: Array[Byte], off: Int): (Long, Int) = {
-    var result = 0L
-    var shift = 0
-    var i = off
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      result |= (b & 0x7fL) << shift
-      i += 1
-      if ((b & 0x80) == 0) return (result, i - off)
-      shift += 7
-    }
-    (result, i - off)
-  }
-
-  private def zigzagDecode(n: Long): Long = (n >>> 1) ^ -(n & 1)
-
   private def hexToBytes(hex: String): Array[Byte] =
     hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
 
-  def parse(hex: String): ParsedRegister = {
-    if (hex == null || hex.length < 2 || hex.length % 2 != 0 ||
-      !hex.forall(c => Character.digit(c, 16) >= 0))
-      return ParsedRegister("SUnparsed", if (hex == null) "" else hex)
-    val bytes = hexToBytes(hex)
-    bytes(0) match {
-      case 0x04 =>
-        val (raw, _) = vlq(bytes, 1)
-        ParsedRegister("SInt", zigzagDecode(raw).toString)
-      case 0x05 =>
-        val (raw, _) = vlq(bytes, 1)
-        ParsedRegister("SLong", zigzagDecode(raw).toString)
-      case 0x0e =>
-        val (len, consumed) = vlq(bytes, 1)
-        val start = 1 + consumed
-        if (start + len <= bytes.length)
-          ParsedRegister("Coll[SByte]",
-            bytes.slice(start, start + len.toInt).map("%02x".format(_)).mkString)
-        else ParsedRegister("SUnparsed", hex)
-      case _ => ParsedRegister("SUnparsed", hex)
-    }
-  }
+  def parse(hex: String): ParsedRegister =
+    if (hex == null) ParsedRegister("SUnparsed", "")
+    else SigmaReader.readConstant(hex)
+      .map { case (t, v) => ParsedRegister(t, v) }
+      .getOrElse(ParsedRegister("SUnparsed", hex))
 
   /** Coll[SByte] rendered as UTF-8 (TokenPropsParser.scala:14-42 — token
     * name/description); None when the register isn't a byte coll or the

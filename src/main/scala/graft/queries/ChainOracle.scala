@@ -47,6 +47,9 @@ object ChainOracle {
     write(t.inputs, "inputs")
     write(t.assets, "assets")
     write(t.ergoTrees, "ergo_trees")
+    write(t.dataInputs, "data_inputs")
+    write(t.registers, "registers")
+    write(t.tokens, "tokens")
     // Raw per-block facts for BOTH fork branches: the oracle re-resolves the
     // winner itself (recursive CTE), so ForkResolver is verified, not echoed.
     import s.implicits._
@@ -192,6 +195,32 @@ object ChainOracle {
           WHERE NOT EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
                             WHERE i.boxId = o.boxId)
           ORDER BY o.boxId""",
+
+    // Data inputs resolved against the boxes they reference (read-only
+    // context, FullBlockModel.scala:52-58) — the join is recomputed.
+    "q60_chain_data_inputs" ->
+      s"""SELECT d.txId, d.index, d.boxId, o.ergValue AS refValue,
+            o.ergoTreeHash AS refScript, d.height
+          FROM read_parquet('${p("data_inputs")}') d
+          JOIN read_parquet('${p("outputs")}') o ON d.boxId = o.boxId
+          ORDER BY d.txId, d.index""",
+
+    // Register-table roll-up by id and decoded sigma type.
+    "q61_chain_registers" ->
+      s"""SELECT registerId, sigmaType, count(*) AS n,
+            count(DISTINCT boxId) AS nBoxes
+          FROM read_parquet('${p("registers")}')
+          GROUP BY registerId, sigmaType
+          ORDER BY registerId, sigmaType""",
+
+    // Token dim joined back to asset rows: circulating amount per token.
+    "q62_chain_tokens_dim" ->
+      s"""SELECT t.tokenId, t.tokenName, t.tokenDecimals, t.emissionAmount,
+            CAST(sum(a.amount) AS BIGINT) AS circulating, count(*) AS nBoxes
+          FROM read_parquet('${p("tokens")}') t
+          JOIN read_parquet('${p("assets")}') a ON t.tokenId = a.tokenId
+          GROUP BY t.tokenId, t.tokenName, t.tokenDecimals, t.emissionAmount
+          ORDER BY t.tokenId""",
 
     // Backfill result re-derived from the RAW nested blocks: unnest replays
     // the flatten, NOT EXISTS replays the UTXO anti-join.

@@ -30,7 +30,8 @@ object ChainQueries extends QueryModule {
     import s.implicits._
     val t = BlockDerivation.derive(s.createDataset(ChainFixture.generate(FixtureBlocks)))
     ChainTables(t.blocks.cache(), t.txs.cache(), t.outputs.cache(),
-      t.inputs.cache(), t.assets.cache(), t.ergoTrees.cache(), t.ergoTreeT8s.cache())
+      t.inputs.cache(), t.assets.cache(), t.ergoTrees.cache(), t.ergoTreeT8s.cache(),
+      t.dataInputs.cache(), t.registers.cache(), t.tokens.cache())
   })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -115,6 +116,35 @@ object ChainQueries extends QueryModule {
       val u = UtxoQueries.utxos(t).agg(count(lit(1)).as("utxoCount"))
       val o = t.outputs.agg(count(lit(1)).as("boxCount"))
       tip.crossJoin(u).crossJoin(o)
+    }),
+
+    // Data inputs resolved to the referenced boxes (read-only context).
+    "q60_chain_data_inputs" -> ((s, _) => {
+      val t = tables(s)
+      t.dataInputs.as("d")
+        .join(t.outputs.select(col("boxId"),
+          col("ergValue").as("refValue"), col("ergoTreeHash").as("refScript")), "boxId")
+        .select(col("txId"), col("index"), col("boxId"),
+          col("refValue"), col("refScript"), col("height"))
+        .orderBy("txId", "index")
+    }),
+
+    // Register table roll-up by register id and decoded sigma type (P8).
+    "q61_chain_registers" -> ((s, _) => {
+      tables(s).registers
+        .groupBy("registerId", "sigmaType")
+        .agg(count(lit(1)).as("n"), countDistinct("boxId").as("nBoxes"))
+        .orderBy("registerId", "sigmaType")
+    }),
+
+    // Token dim × asset rows: circulating amount per minted token.
+    "q62_chain_tokens_dim" -> ((s, _) => {
+      val t = tables(s)
+      t.tokens
+        .join(t.assets.select(col("tokenId"), col("amount")), "tokenId")
+        .groupBy("tokenId", "tokenName", "tokenDecimals", "emissionAmount")
+        .agg(sum("amount").as("circulating"), count(lit(1)).as("nBoxes"))
+        .orderBy("tokenId")
     }),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).

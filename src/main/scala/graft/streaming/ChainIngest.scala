@@ -151,6 +151,12 @@ class ChainIngest(
       .partitionBy("heightBucket").parquet(p("inputs"))
     withBucket(t.assets, "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("assets"))
+    withBucket(t.dataInputs, "height").write.mode(SaveMode.Append)
+      .partitionBy("heightBucket").parquet(p("data_inputs"))
+    withBucket(t.registers, "height").write.mode(SaveMode.Append)
+      .partitionBy("heightBucket").parquet(p("registers"))
+    withBucket(t.tokens, "issuingHeight").write.mode(SaveMode.Append)
+      .partitionBy("heightBucket").parquet(p("tokens"))
 
     // K2 delta commit: adds = batch outputs not spent in-batch; removes =
     // batch inputs that spend pre-batch boxes. View-level soundness needs
@@ -212,6 +218,9 @@ class ChainIngest(
     overwriteTail(outputsShifted, "settlementHeight", "outputs")
     overwriteTail(t.inputs, "height", "inputs")
     overwriteTail(t.assets, "height", "assets")
+    overwriteTail(t.dataInputs, "height", "data_inputs")
+    overwriteTail(t.registers, "height", "registers")
+    overwriteTail(t.tokens, "issuingHeight", "tokens")
 
     // UTXO after a fork: rebuild from the (now-corrected) warehouse tables
     // as a fresh BASE version — the one full-table anti-join is the rare,
