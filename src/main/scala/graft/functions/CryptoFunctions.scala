@@ -189,19 +189,29 @@ object CryptoFunctions {
       }
     }
 
-  /** Miner address from the header's minerPk: the reference wraps the pk in
-    * a reward script via the sigmastate stack (RewardCalculator.scala:21-36,
-    * unavailable offline); here the pk renders as its P2PK address — the
-    * same determinism and per-row cost, isolated as the plug point.
+  /** The protocol reward-output script for `minerRewardDelay = 720`
+    * (RewardCalculator.scala:21-36 / ErgoScriptPredef.rewardOutputScript):
+    * segregated tree with two constants — SInt 720 (`04a00b`) and the
+    * miner's ProveDlog pk (`08cd` + point) — then the shared expression
+    * bytes. The exact byte shape is pinned by the mainnet coinbase trees in
+    * the public test blocks (SigmaReaderSpec golden vectors).
+    */
+  def minerRewardScript(pkHex: String): String =
+    "100204a00b08cd" + pkHex + "ea02d192a39a8cc7a70173007301"
+
+  /** Miner address from the header's minerPk: wrap the pk in the reward
+    * contract and render THAT tree's Pay2S address — matching the
+    * reference's mainnet values, where a miner's address is the reward
+    * script's address, not the bare P2PK (RewardCalculator.scala:21-36).
     */
   def minerAddressFromPk(pkHex: String): String =
-    if (pkHex.length == 66) ergoTreeToAddress(P2pkTreePrefix + pkHex)
+    if (pkHex.length == 66) ergoTreeToAddress(minerRewardScript(pkHex))
     else {
       // non-66-hex pk (e.g. test fixtures): derive a synthetic 33-byte
       // compressed-point stand-in (0x02 marker + 32-byte digest) so the
-      // result is still a structurally-valid P2PK address.
+      // wrapped script is still structurally valid.
       val body = 0x02.toByte +: blake2b256(hexToBytes(pkHex))
-      ergoTreeToAddress(P2pkTreePrefix + body.map("%02x".format(_)).mkString)
+      ergoTreeToAddress(minerRewardScript(body.map("%02x".format(_)).mkString))
     }
 
   val minerAddressUdf = udf((pkHex: String) => minerAddressFromPk(pkHex))

@@ -31,11 +31,14 @@ object SkewFunctions {
   /** Two-phase salted sum: stage 1 aggregates per (key, salt-of-row) —
     * map-side combine already collapses most of it — stage 2 merges the ≤
     * `salts` partials per key. The hot key's shuffle load drops from
-    * |rows(key)| to `salts`.
+    * |rows(key)| to `salts`. The salt derives from `spark_partition_id()`
+    * (stable under task retries — a re-run task re-reads the same input
+    * split), NOT `monotonically_increasing_id()` (which would make retried
+    * partials land in different buckets and the query non-deterministic).
     */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int = 16): DataFrame =
     df
-      .withColumn("_salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+      .withColumn("_salt", pmod(xxhash64(col(key), spark_partition_id()), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_partial"), count(lit(1)).as("_pcount"))
       .groupBy(col(key))
@@ -46,7 +49,7 @@ object SkewFunctions {
     */
   def saltedTopKByCount(df: DataFrame, key: String, k: Int, salts: Int = 16): DataFrame =
     df
-      .withColumn("_salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+      .withColumn("_salt", pmod(xxhash64(col(key), spark_partition_id()), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_pcount"))
       .groupBy(col(key))
@@ -73,7 +76,7 @@ object SkewFunctions {
     val salt =
       if (hotKeys.isEmpty) lit(0L)
       else when(col(key).isin(hotKeys.toSeq: _*),
-        pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+        pmod(xxhash64(col(key), spark_partition_id()), lit(salts)))
         .otherwise(0L)
     df
       .withColumn("_salt", salt)

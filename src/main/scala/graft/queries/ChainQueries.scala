@@ -25,8 +25,12 @@ object ChainQueries extends QueryModule {
   // one fixture derivation per session, entity tables cached — the chain
   // queries share state exactly like real queries share warehouse tables.
   private val memo = scala.collection.concurrent.TrieMap[SparkSession, ChainTables]()
+  Memos.register(s => memo.remove(s).foreach(t =>
+    Seq(t.blocks, t.txs, t.outputs, t.inputs, t.assets, t.ergoTrees,
+      t.ergoTreeT8s, t.dataInputs, t.registers, t.tokens).foreach(_.unpersist())))
   private[graft] def fixtureTables(s: SparkSession): ChainTables = tables(s)
   private def tables(s: SparkSession): ChainTables = memo.getOrElseUpdate(s, {
+    Memos.hook(s)
     import s.implicits._
     val t = BlockDerivation.derive(s.createDataset(ChainFixture.generate(FixtureBlocks)))
     ChainTables(t.blocks.cache(), t.txs.cache(), t.outputs.cache(),

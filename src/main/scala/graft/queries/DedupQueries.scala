@@ -39,13 +39,17 @@ object DedupQueries extends QueryModule {
     * shingle table.
     */
   private val shMemo = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  Memos.register(s => shMemo.keys.filter(_._1 eq s)
+    .foreach(k => shMemo.remove(k).foreach(_.unpersist())))
   private def shingledDocs(s: SparkSession, dir: String): DataFrame =
-    shMemo.getOrElseUpdate((s, dir),
+    shMemo.getOrElseUpdate((s, dir), {
+      Memos.hook(s)
       docs(s, dir)
         .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("s"))
         .withColumn("h0", hash64(col("s"), 0))
         .withColumn("h1c", hash64(col("s"), 1) % DoubleHashMod)
-        .cache())
+        .cache()
+    })
 
   /** doc_id + 60-bit shingle hash — joins/compares on longs, not 3-word
     * strings (≈6× smaller shuffle keys; collisions negligible and identical
@@ -61,8 +65,11 @@ object DedupQueries extends QueryModule {
     * table, the way real dedup pipelines persist signatures once.
     */
   private val sigMemo = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  Memos.register(s => sigMemo.keys.filter(_._1 eq s)
+    .foreach(k => sigMemo.remove(k).foreach(_.unpersist())))
   private def signatures(s: SparkSession, dir: String): DataFrame =
     sigMemo.getOrElseUpdate((s, dir), {
+      Memos.hook(s)
       val mins = (0 until NumHashes)
         .map(k => min(col("h0") + lit(k.toLong) * col("h1c")).as(s"mh$k"))
       shingledDocs(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*).cache()

@@ -10,11 +10,35 @@ import java.util.Comparator
   * warehouse accumulates one file set per micro-batch instead, and the read
   * path degrades with file count, not bytes).
   *
-  * Rewrite is atomic-by-rename: compact into a sibling temp dir, swap. At
-  * cluster scale run per height-bucket partition (only buckets with more
-  * than `targetFiles` files), which bounds the rewrite to recent data.
+  * The swap is two renames (write tmp → move dir aside → move tmp in), so
+  * it assumes a SINGLE WRITER and NO CONCURRENT READER of `dir` during the
+  * swap — the ingest's maintenance window, exactly like the reference's
+  * MVStore compaction. A crash between the renames leaves `dir` missing
+  * with the data in the sibling dirs; [[recover]] (called automatically at
+  * the start of every compaction, and available for startup) completes or
+  * rolls back the interrupted swap. At cluster scale run per height-bucket
+  * partition (only buckets with more than `targetFiles` files), which
+  * bounds the rewrite to recent data.
   */
 object Compaction {
+
+  /** Repair an interrupted [[swapIn]]: if `dir` is missing, promote the
+    * completed `.compact-tmp` (crash between the renames) or restore
+    * `.compact-old`; if `dir` exists, clear leftover siblings. Returns
+    * whether anything was repaired.
+    */
+  def recover(dir: String): Boolean = {
+    val dirP = Paths.get(dir)
+    val old = Paths.get(dir + ".compact-old")
+    val tmp = Paths.get(dir + ".compact-tmp")
+    if (!Files.exists(dirP) && Files.exists(tmp)) {
+      Files.move(tmp, dirP); delete(old); true
+    } else if (!Files.exists(dirP) && Files.exists(old)) {
+      Files.move(old, dirP); true
+    } else if (Files.exists(dirP) && (Files.exists(old) || Files.exists(tmp))) {
+      delete(old); delete(tmp); true
+    } else false
+  }
 
   def fileCount(dir: String): Int = {
     val p = Paths.get(dir)
@@ -45,6 +69,7 @@ object Compaction {
   }
 
   private def swapIn(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    recover(dir)
     val tmp = dir + ".compact-tmp"
     val old = dir + ".compact-old"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -23,6 +23,36 @@ object MempoolStream {
   def dedupedTxs(raw: DataFrame, watermark: String = "10 minutes"): DataFrame =
     raw.withWatermark("fetchTime", watermark).dropDuplicates("txId")
 
+  /** ST5 pool-state pairing (MempoolSyncer.scala:21-34): the reference's
+    * `stateTransitionByNewTransactions` emits each new tx together with the
+    * pool state BEFORE this sync applied, so plugins can diff contexts. The
+    * mempool is consensus-bounded (a few thousand txs — the reference holds
+    * the whole pool in one in-memory ListMap), so the tracker keeps the id
+    * set on the driver and tags each deduped micro-batch with the prior
+    * snapshot as a `poolStateBefore` array column.
+    */
+  final class PoolStateTracker extends Serializable {
+    @volatile private var poolIds: Vector[String] = Vector.empty
+
+    /** Tag `batch` (deduped new txs) with the pool ids before it, then fold
+      * its ids into the state.
+      */
+    def pair(batch: DataFrame): DataFrame = {
+      val before = poolIds
+      val newIds = batch.select("txId").collect().map(_.getString(0)).toVector
+      poolIds = (before ++ newIds).distinct
+      batch.withColumn("poolStateBefore", typedLit(before))
+    }
+
+    /** Full-snapshot sync: drop ids the node no longer reports (mined or
+      * expired txs leave the pool between batches).
+      */
+    def retain(current: Set[String]): Unit =
+      poolIds = poolIds.filter(current)
+
+    def snapshot: Seq[String] = poolIds
+  }
+
   /** ST6: per-micro-batch analyzer contract (Plugin.scala:11-30). Receives
     * the batch's new txs (nested) plus the current UTXO snapshot and returns
     * an alert/result DataFrame for the sink.

@@ -349,6 +349,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("pool-state pairing tags each batch with the pool before it and tracks evictions") {
+    import spark.implicits._
+    def tx(id: String) = MempoolTx(id, new java.sql.Timestamp(1700000000000L), Nil, Nil)
+    val tracker = new MempoolStream.PoolStateTracker
+    val p1 = tracker.pair(Seq(tx("a"), tx("b")).toDF())
+    assert(p1.select("poolStateBefore").collect()
+      .forall(_.getSeq[String](0).isEmpty), "first batch sees an empty pool")
+    val p2 = tracker.pair(Seq(tx("c")).toDF())
+    assert(p2.select("poolStateBefore").head().getSeq[String](0).toSet == Set("a", "b"))
+    tracker.retain(Set("c")) // a and b were mined
+    val p3 = tracker.pair(Seq(tx("d")).toDF())
+    assert(p3.select("poolStateBefore").head().getSeq[String](0).toSet == Set("c"))
+    assert(tracker.snapshot.toSet == Set("c", "d"))
+  }
+
+  test("compaction recovery completes an interrupted swap") {
+    import spark.implicits._
+    val dir = tmpDir("graft-compact-recover") + "/t"
+    Seq.tabulate(50)(i => (i, i * 2)).toDF("k", "v").write.parquet(dir)
+    val sum0 = spark.read.parquet(dir).agg(sum("v")).head().getLong(0)
+    // simulate a crash between swapIn's two renames: dir moved aside to
+    // .compact-old, completed tmp present, dir missing
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".compact-old"))
+    spark.read.parquet(dir + ".compact-old").coalesce(1)
+      .write.parquet(dir + ".compact-tmp")
+    assert(Compaction.recover(dir), "recover must repair the missing dir")
+    assert(spark.read.parquet(dir).agg(sum("v")).head().getLong(0) == sum0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compact-old")))
+    assert(!Compaction.recover(dir), "second recover is a no-op")
+  }
+
   test("high-value detector alerts only above threshold, net of paybacks and fees") {
     import spark.implicits._
     val t = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(40)))
