@@ -291,10 +291,13 @@ object BlockDerivation {
     val wInBlock = Window.partitionBy("blockId")
       .orderBy("txIndex", "index")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // nested raw columns are dropped BEFORE the gix join so the window
+    // shuffle moves only flat columns, not the asset/register payloads.
     val outputsWithGix = outputs
+      .drop("rawAssets", "rawRegisters", "firstInputBoxId")
       .join(gixKeys, "blockId")
       .withColumn("globalIndex", col("boxGixBase") + count(lit(1)).over(wInBlock) - 1)
-      .drop("rawAssets", "rawRegisters", "firstInputBoxId", "txGixBase", "boxGixBase")
+      .drop("txGixBase", "boxGixBase")
 
     ChainTables(
       blocks = blocks.drop("txGixBase", "boxGixBase", "hb"),
