@@ -32,6 +32,10 @@ private[graft] object Memos {
         }
       })
 
-  /** Drop + unpersist everything memoized for `s`. */
-  def evict(s: SparkSession): Unit = evictors.forEach(f => f(s))
+  /** Drop + unpersist everything memoized for `s`. Unpersist on an
+    * already-stopped context throws — at application end the storage is
+    * gone anyway, so the entry removal is what matters; swallow it.
+    */
+  def evict(s: SparkSession): Unit =
+    evictors.forEach(f => try f(s) catch { case _: IllegalStateException => () })
 }
