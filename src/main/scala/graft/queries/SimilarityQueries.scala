@@ -63,16 +63,18 @@ object SimilarityQueries extends QueryModule {
 
     // IVF-bucketed ANN: centroids = per-label mean vectors (deterministic
     // k-means stand-in), every vector assigned to its nearest centroid,
-    // queries probe their NProbe nearest buckets (multi-probe compensates for
-    // weak clustering). No oracle (not expressible as one portable SQL
-    // statement) — PipelineSpec checks recall against q31 instead; the
-    // driver records a rows-only check.
+    // queries probe their NProbe nearest buckets (multi-probe compensates
+    // for weak clustering). Oracle-checked: the whole pipeline is
+    // deterministic arithmetic, so DuckDB re-derives centroids, assignment,
+    // probing, and top-k. Centroid components round to 9 dp on both sides —
+    // mean-summation order is engine/partition dependent and last-ulp
+    // differences must not flip a bucket assignment.
     "q32_ivf_topk" -> ((s, dir) => {
       val e = corpus(s, dir)
       // (a) centroids: posexplode → per-(label,dim) mean → re-assembled array.
       val cent = e
         .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("label", "pos").agg(avg("x").as("cx"))
+        .groupBy("label", "pos").agg(round(avg("x"), 9).as("cx"))
         .groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           s => s.getField("cx")).as("cv"))
@@ -101,10 +103,11 @@ object SimilarityQueries extends QueryModule {
     // Hyperplane (signed-random-projection) LSH ANN: bucket = sign bits of
     // NumPlanes pseudo-random hyperplane dot products (planes derived from
     // md5 of (plane, dim) — deterministic, no shared RNG state needed on a
-    // cluster). Queries multi-probe their own bucket plus all 1-bit flips.
-    // Candidate generation is an equi-join on the bucket code → scans
-    // ~(NumPlanes+1)/2^NumPlanes of the corpus. Rows-only check;
-    // PipelineSpec measures recall vs the exact q31.
+    // cluster, and exactly reproducible by the DuckDB oracle). Queries
+    // multi-probe their own bucket plus all 1-bit flips. Candidate
+    // generation is an equi-join on the bucket code → scans
+    // ~(NumPlanes+1)/2^NumPlanes of the corpus. PipelineSpec additionally
+    // measures recall vs the exact q31.
     "q50_hyperplane_lsh_topk" -> ((s, dir) => {
       val e = corpus(s, dir)
       val dim = 64
@@ -135,15 +138,62 @@ object SimilarityQueries extends QueryModule {
     })
   )
 
+  /** Shared top-k tail of the oracle SQL (rank by rounded cosine, nbr tie). */
+  private def topKSql(candCte: String): String =
+    s"""$candCte
+       SELECT q_id, rnk, nbr_id, round(cos, 4) AS cos_sim FROM (
+         SELECT q_id, nbr_id, cos, row_number() OVER (
+           PARTITION BY q_id ORDER BY round(cos, 6) DESC, nbr_id) rnk FROM cand)
+       WHERE rnk <= $TopK ORDER BY q_id, rnk"""
+
+  /** One hyperplane component, identical to the Spark formula (exact
+    * doubles: 32-bit md5 prefix / 2^32 − 0.5).
+    */
+  private def planeComp(d: Int): String =
+    s"CAST(('0x' || substr(md5('pl:$d:' || plane), 1, 8)) AS BIGINT)/4294967296.0 - 0.5"
+
   val oracles: Map[String, String] = Map(
-    "q31_cosine_topk" ->
+    "q31_cosine_topk" -> topKSql(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         c AS (SELECT q.vec_id q_id, e.vec_id nbr_id,
+         cand AS (SELECT q.vec_id q_id, e.vec_id nbr_id,
                  list_cosine_similarity(q.v, e.v) cos
-               FROM e q, e WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)
-         SELECT q_id, rnk, nbr_id, round(cos, 4) AS cos_sim FROM (
-           SELECT q_id, nbr_id, cos, row_number() OVER (
-             PARTITION BY q_id ORDER BY round(cos, 6) DESC, nbr_id) rnk FROM c)
-         WHERE rnk <= $TopK ORDER BY q_id, rnk"""
+               FROM e q, e WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)"""),
+
+    "q32_ivf_topk" -> topKSql(
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         comp AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+         cent AS (SELECT label AS c_id, list(cx ORDER BY pos) AS cv
+                  FROM (SELECT label, pos, round(avg(x), 9) AS cx
+                        FROM comp GROUP BY label, pos)
+                  GROUP BY label),
+         ranked AS (SELECT vec_id, v, c_id, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, c_id) AS rn
+                    FROM e CROSS JOIN cent),
+         assigned AS (SELECT vec_id, v, c_id AS bucket FROM ranked WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv, c_id AS bucket FROM ranked
+               WHERE vec_id < $NumQueries AND rn <= $NProbe),
+         cand AS (SELECT q.q_id, a.vec_id AS nbr_id,
+                    list_cosine_similarity(q.qv, a.v) AS cos
+                  FROM assigned a JOIN q ON a.bucket = q.bucket
+                  WHERE a.vec_id <> q.q_id)"""),
+
+    "q50_hyperplane_lsh_topk" -> topKSql(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         planes AS (SELECT plane,
+                      list_value(${(0 until 64).map(planeComp).mkString(", ")}) AS pv
+                    FROM range(0, $NumPlanes) t(plane)),
+         coded AS (SELECT e.vec_id,
+                     CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                       THEN CAST(1 AS BIGINT) << CAST(p.plane AS INT) ELSE 0 END) AS BIGINT) AS code
+                   FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+         ce AS (SELECT e.vec_id, e.v, c.code FROM e JOIN coded c USING (vec_id)),
+         q AS (SELECT vec_id AS q_id, v AS qv,
+                 unnest(list_value(code, ${(0 until NumPlanes)
+                   .map(b => s"xor(code, ${1L << b})").mkString(", ")})) AS probe
+               FROM ce WHERE vec_id < $NumQueries),
+         cand AS (SELECT DISTINCT q.q_id, ce.vec_id AS nbr_id,
+                    list_cosine_similarity(q.qv, ce.v) AS cos
+                  FROM ce JOIN q ON ce.code = q.probe WHERE ce.vec_id <> q.q_id)""")
   )
 }

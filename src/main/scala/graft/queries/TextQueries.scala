@@ -88,6 +88,37 @@ object TextQueries extends QueryModule {
         .orderBy("lang", "pred_lang")
     }),
 
+    // BPE-ish pre-tokenization (the GPT-2 pre-tokenizer shape, ASCII
+    // classes for cross-engine regex parity): runs of letters, digits, or
+    // punctuation, each with an optional leading space. Pure codegen'd
+    // regexp_extract_all — the token-count distribution a training-data
+    // pipeline budgets against.
+    "q63_bpe_tokens" -> ((s, dir) => {
+      val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(1)))
+      docs(s, dir)
+        .select(col("lang"), nBpe.as("n_bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("sum_bpe"),
+          round(avg("n_bpe"), 2).as("avg_bpe"),
+          max("n_bpe").cast("long").as("max_bpe"))
+        .orderBy("lang")
+    }),
+
+    // Rolling-hash document fingerprint: order-SENSITIVE polynomial hash
+    // over the token stream (h ← (31·h + hash(t)) mod p), the streaming
+    // complement of q24's order-insensitive bag fingerprint. One
+    // `functions.aggregate` fold per doc — no shuffle before the
+    // presentation sort.
+    "q64_rolling_fingerprint" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val fp = aggregate(tk, lit(0L), (h, t) =>
+        pmod(h * lit(31L) + pmod(hash64(t, RollSeed), lit(RollMod)), lit(RollMod)))
+      docs(s, dir)
+        .select(col("doc_id"), fp.as("fp_roll"),
+          size(tk).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: exact-content fingerprint (md5 of the
     // canonical form) + order-insensitive bag fingerprint (md5 of the sorted
     // distinct token list).
@@ -102,7 +133,30 @@ object TextQueries extends QueryModule {
     })
   )
 
+  /** GPT-2-style pre-tokenizer regex, restricted to constructs Java regex
+    * and RE2 treat identically (no lookaround, ASCII classes).
+    */
+  private val BpePattern = "( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+)"
+  private val RollSeed = 7
+  private val RollMod = 1000000007L
+
   val oracles: Map[String, String] = Map(
+    "q63_bpe_tokens" ->
+      raw"""SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)'))) AS BIGINT) AS sum_bpe,
+         round(avg(len(regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)'))), 2) AS avg_bpe,
+         CAST(max(len(regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)'))) AS BIGINT) AS max_bpe
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q64_rolling_fingerprint" ->
+      s"""SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list_transform(tk,
+             t -> ${hash64Sql("t", RollSeed)} % $RollMod)),
+           (h, x) -> (h * 31 + x) % $RollMod) AS fp_roll,
+         CAST(len(tk) AS BIGINT) AS n_tokens
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM documents)
+         ORDER BY doc_id""",
     "q21_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
