@@ -50,6 +50,13 @@ object ChainOracle {
     write(t.dataInputs, "data_inputs")
     write(t.registers, "registers")
     write(t.tokens, "tokens")
+    // media pipeline outputs: the decode/extract stages are the JVM stub,
+    // but their results dumped as parquet let DuckDB recompute the
+    // aggregation layer of q42/q43 independently.
+    val media = graft.multimodal.MediaFixture.generate(s, MultimodalQueries.MediaRows)
+    write(graft.multimodal.MediaFunctions.extractFeatures(media).toDF(), "media_features")
+    write(graft.multimodal.MediaFunctions.sampleFrames(media,
+      MultimodalQueries.FrameStride).toDF(), "media_frames")
     // Raw per-block facts for BOTH fork branches: the oracle re-resolves the
     // winner itself (recursive CTE), so ForkResolver is verified, not echoed.
     import s.implicits._

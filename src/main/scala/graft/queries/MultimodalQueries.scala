@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries extends QueryModule {
 
-  private val MediaRows = 90
+  private[queries] val MediaRows = 90
+  private[queries] val FrameStride = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decode stage: header parse per row, batched mapPartitions.
@@ -30,14 +31,14 @@ object MultimodalQueries extends QueryModule {
         .groupBy("kind")
         .agg(count(lit(1)).as("n"),
           countDistinct("mediaId").as("nMedia"),
-          max(size(col("embedding"))).as("dim"),
+          max(size(col("embedding"))).cast("long").as("dim"),
           sum("nBytes").as("totalBytes"))
         .orderBy("kind")
     }),
 
     // Video frame sampling (stride 4).
     "q43_media_frames" -> ((s, _) => {
-      MediaFunctions.sampleFrames(MediaFixture.generate(s, MediaRows), stride = 4)
+      MediaFunctions.sampleFrames(MediaFixture.generate(s, MediaRows), FrameStride)
         .toDF()
         .groupBy("mediaId")
         .agg(count(lit(1)).as("nFrames"), max("width").as("width"))
@@ -62,6 +63,17 @@ object MultimodalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // aggregation layers over the dumped stage outputs (ChainOracle.dump)
+    "q42_media_features" ->
+      s"""SELECT kind, count(*) AS n, count(DISTINCT mediaId) AS nMedia,
+         CAST(max(len(embedding)) AS BIGINT) AS dim,
+         CAST(sum(nBytes) AS BIGINT) AS totalBytes
+         FROM read_parquet('${ChainOracle.p("media_features")}')
+         GROUP BY kind ORDER BY kind""",
+    "q43_media_frames" ->
+      s"""SELECT mediaId, count(*) AS nFrames, max(width) AS width
+         FROM read_parquet('${ChainOracle.p("media_frames")}')
+         GROUP BY mediaId ORDER BY mediaId""",
     "q44_token_count_native" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
