@@ -65,6 +65,17 @@ class PlanSpec extends AnyFunSuite {
       s"q59 must not plan an all-pairs join:\n$plan")
   }
 
+  test("flagship chain query plans: anti-join UTXO + broadcast dims, no cartesian") {
+    val plan = planOf("q40_chain_boxes_by_address")
+    assert(plan.contains("LeftAnti"), s"utxo must stay an anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    // q37's lineage legitimately contains one BroadcastNestedLoop — the
+    // ~100-row triangular bucket-offset join in the derivation — so assert
+    // the payback exclusion stays an anti join instead of a blanket ban.
+    val graph = planOf("q37_chain_tx_graph")
+    assert(graph.contains("LeftAnti"), s"payback exclusion must be an anti join:\n$graph")
+  }
+
   test("per-doc text pipeline has no shuffle before the final sort") {
     val plan = planOf("q24_fingerprint")
     // one Exchange max (the presentation orderBy) — the md5/split work is map-side

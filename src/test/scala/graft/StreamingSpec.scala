@@ -349,6 +349,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stateful streaming sessionization closes sessions by gap timeout and in-batch gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulSessions._
+    def ev(u: String, min: Long, v: Double) =
+      SessionEvent(u, new java.sql.Timestamp(1700000000000L + min * 60000L), v)
+    val stream = MemoryStream[SessionEvent]
+    val out = sessions(stream.toDS(), gapMs = 5 * 60000L, watermarkDelay = "1 second")
+    val query = out.writeStream
+      .format("memory").queryName("ssessions").outputMode("append").start()
+    try {
+      // session 1 for a: minutes 0,2,4; then an in-batch gap at minute 30
+      stream.addData(ev("a", 0, 1.0), ev("a", 2, 2.0), ev("a", 4, 3.0), ev("a", 30, 7.0))
+      query.processAllAvailable()
+      // watermark advance: far-future event for b triggers a's open-session timeout
+      stream.addData(ev("b", 120, 1.0))
+      query.processAllAvailable()
+      stream.addData(ev("b", 240, 1.0))
+      query.processAllAvailable()
+      val got = spark.table("ssessions").as[Session].collect()
+        .map(s => (s.userId, s.nEvents, s.sumValue, s.durationMs)).toSet
+      assert(got.contains(("a", 3L, 6.0, 4 * 60000L)), s"in-batch-gap session: $got")
+      assert(got.contains(("a", 1L, 7.0, 0L)), s"timeout-closed session: $got")
+    } finally query.stop()
+  }
+
   test("pool-state pairing tags each batch with the pool before it and tracks evictions") {
     import spark.implicits._
     def tx(id: String) = MempoolTx(id, new java.sql.Timestamp(1700000000000L), Nil, Nil)
