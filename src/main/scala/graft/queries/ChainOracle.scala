@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
 object ChainOracle {
 
   /** Fixed absolute location referenced by the oracle SQL via read_parquet().
-    * Lives under the (gitignored) sbt target dir inside the repo.
+    * Gitignored, but deliberately OUTSIDE sbt's target dir — an `sbt clean`
+    * between the Verify run and the DuckDB compare must not wipe it.
     */
   val Dir: String =
-    sys.env.getOrElse("GRAFT_CHAIN_ORACLE_DIR", "/root/repo/target/chain-oracle")
+    sys.env.getOrElse("GRAFT_CHAIN_ORACLE_DIR", "/root/repo/.graft-oracle")
 
   val BackfillBlocks = 2000
 
