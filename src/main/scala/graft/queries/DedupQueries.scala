@@ -118,9 +118,16 @@ object DedupQueries extends QueryModule {
         .filter(col("r") <= col("n") - ceil(col("n") * 0.5) + 1)
       // singletons (df=1) consume prefix slots but can never match across
       // docs — drop them from the join input (still lossless).
-      val pf = ranked.filter(col("df") >= 2).select("doc_id", "hs")
+      val pf = ranked.filter(col("df") >= 2).select("doc_id", "hs", "r", "n")
+      // positional filter (PPJoin): a match at ranks (ra, rb) bounds the
+      // overlap by 1 + min(na−ra, nb−rb); J ≥ t needs overlap ≥
+      // ⌈t/(1+t)·(na+nb)⌉, and the smallest shared element always satisfies
+      // the bound — so pruning matches below it is lossless and cuts the
+      // verify-join input several-fold.
+      val alpha = ceil((col("a.n") + col("b.n")) * lit(0.5) / lit(1.5))
       val cand = pf.as("a")
         .join(pf.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+        .filter(lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) >= alpha)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
       exactJaccard(cand, sh, sz)
