@@ -180,20 +180,23 @@ object DedupQueries extends QueryModule {
     // a wider fingerprint (64 bits) the same layout gives far stronger
     // blocking selectivity.
     "q29_simhash_pairs" -> ((s, dir) => {
-      val sim = simhashed(s, dir).cache()
-      // hamming is verified INSIDE each block join, so only the handful of
-      // rows passing the threshold reach the union+distinct — the candidate
-      // mass (band collisions) never survives a shuffle boundary.
-      SimhashBlocks.map { case (off, w) =>
-        val keyed = sim.select(col("doc_id"), col("simhash"),
-          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("bk"))
-        keyed.as("a")
-          .join(keyed.as("b"),
-            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-          .filter(col("hamming") <= 5)
-      }.reduce(_ unionByName _)
+      val sim = simhashed(s, dir)
+      // ONE self-join on the exploded (block index, block key) pair instead
+      // of six separate joins — a single shuffle stage. Hamming is verified
+      // inside the join, so only the handful of rows passing the threshold
+      // reach the distinct; the candidate mass (band collisions) never
+      // survives a shuffle boundary.
+      val keyed = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array(SimhashBlocks.map { case (off, w) =>
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+        }: _*)).as(Seq("blk", "bk")))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= 5)
         .distinct()
         .orderBy("a_id", "b_id")
     }),
