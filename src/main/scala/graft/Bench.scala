@@ -38,7 +38,10 @@ object Bench {
     // parquet, so its measured seconds are pure read+derive+aggregate.
     val blocksPerS = results.get("q51_chain_backfill")
       .filter(_ > 0).map(t => queries.ChainOracle.BackfillBlocks / t)
-    val sfNum = "[0-9.]+$".r.findFirstIn(sfDir.replaceAll("/+$", "")).getOrElse("0")
+    // take the LAST "sf<number>" path component; never emit a bare '.' or
+    // unrelated trailing digits (the line must stay parseable JSON)
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir)
+      .map(_.group(1)).toSeq.lastOption.getOrElse("0")
     val extra = blocksPerS.map(b => s""","backfill_blocks_per_s":$b""").getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":$sfNum}"""

@@ -25,8 +25,8 @@ object ChainOracle {
     * Gitignored, but deliberately OUTSIDE sbt's target dir — an `sbt clean`
     * between the Verify run and the DuckDB compare must not wipe it.
     */
-  val Dir: String =
-    sys.env.getOrElse("GRAFT_CHAIN_ORACLE_DIR", "/root/repo/.graft-oracle")
+  val Dir: String = sys.env.getOrElse("GRAFT_CHAIN_ORACLE_DIR",
+    new java.io.File(".graft-oracle").getAbsolutePath)
 
   val BackfillBlocks = 2000
 

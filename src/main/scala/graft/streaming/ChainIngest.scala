@@ -40,6 +40,9 @@ class ChainIngest(
   bucketSize: Int = ChainConst.HeightBucketSize,
   compactEvery: Int = 8) {
 
+  require(keepVersions >= 1 && compactEvery >= 1 && bucketSize >= 1,
+    "keepVersions, compactEvery, and bucketSize must be positive")
+
   private def p(name: String) = s"$warehouse/$name"
   private def exists(name: String) = Files.exists(Paths.get(p(name)))
 
@@ -209,10 +212,18 @@ class ChainIngest(
       else shiftFromTip(t, tip, tailStats.getAs[Int]("minH"),
         Some(tailStats.getAs[Long]("firstTs")))
 
-    def overwriteTail(df: DataFrame, heightCol: String, name: String): Unit =
-      withBucket(df, heightCol).write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
+    // Explicit bucket deletion, NOT dynamic partition overwrite: a sparse
+    // table (tokens, data_inputs, registers…) can have ZERO winner rows in a
+    // rebuilt bucket, and dynamic overwrite would then leave the losing
+    // branch's stale partition in place — phantom tokens, and stale inputs
+    // that corrupt the UTXO anti-join. Delete-then-append is not atomic; a
+    // crash in between leaves the table tip behind raw, which heal()
+    // detects and repairs.
+    def overwriteTail(df: DataFrame, heightCol: String, name: String): Unit = {
+      dropBucketsFrom(name, forkBucket)
+      withBucket(df, heightCol).write.mode(SaveMode.Append)
         .partitionBy("heightBucket").parquet(p(name))
+    }
     overwriteTail(blocksShifted, "height", "blocks")
     overwriteTail(txsShifted, "height", "txs")
     overwriteTail(outputsShifted, "settlementHeight", "outputs")
@@ -229,6 +240,30 @@ class ChainIngest(
       .select(utxoCols.head, utxoCols.tail: _*)
       .join(spark.read.parquet(p("inputs")).select("boxId"), Seq("boxId"), "left_anti")
     commitBase(rebuilt)
+  }
+
+  /** Recursive delete (shared by partition drops and version retention). */
+  private def rm(path: String): Unit = {
+    val victim = Paths.get(path)
+    if (Files.exists(victim)) {
+      val walk = Files.walk(victim)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  /** Delete every heightBucket partition dir ≥ `fromBucket` of `name`. */
+  private def dropBucketsFrom(name: String, fromBucket: Int): Unit = {
+    val root = Paths.get(p(name))
+    if (Files.exists(root)) {
+      val stream = Files.list(root)
+      try stream.toArray.map(_.toString)
+        .filter(_.contains("heightBucket="))
+        .filter(d => d.substring(d.lastIndexOf('=') + 1).toIntOption.exists(_ >= fromBucket))
+        .foreach(rm)
+      finally stream.close()
+    }
   }
 
   // ---- UTXO state: base snapshots + per-batch deltas (MVCC revisions) ----
@@ -261,8 +296,13 @@ class ChainIngest(
     if (!Files.exists(path)) Nil
     else {
       val stream = Files.list(path)
-      try stream.toArray.toSeq.map(_.toString).filter(_.contains("v="))
-        .map(s => s.substring(s.lastIndexOf("v=") + 2).toLong).sorted
+      // strict v=<digits> only: an in-flight `v=N.tmp` (pre-rename delta
+      // commit) must never be visible as a version.
+      try stream.toArray.toSeq.map(_.toString)
+        .flatMap { s =>
+          val tail = s.substring(s.lastIndexOf('/') + 1)
+          if (tail.matches("v=\\d+")) Some(tail.drop(2).toLong) else None
+        }.sorted
       finally stream.close()
     }
   }
@@ -282,8 +322,13 @@ class ChainIngest(
 
   private def commitDelta(adds: DataFrame, removes: DataFrame): Unit = {
     val v = nextVersion()
-    adds.write.mode(SaveMode.Overwrite).parquet(s"${deltaPath(v)}/adds")
-    removes.write.mode(SaveMode.Overwrite).parquet(s"${deltaPath(v)}/removes")
+    // stage both halves in a tmp dir, then one atomic rename publishes the
+    // delta — a crash mid-commit leaves only an invisible `v=N.tmp`, never
+    // a half-delta that would crash utxo()/heal().
+    val tmp = s"${deltaPath(v)}.tmp"
+    adds.write.mode(SaveMode.Overwrite).parquet(s"$tmp/adds")
+    removes.write.mode(SaveMode.Overwrite).parquet(s"$tmp/removes")
+    Files.move(Paths.get(tmp), Paths.get(deltaPath(v)))
     // roll deltas into a new base once enough have accumulated — bounds the
     // number of files the view unions AND gives the MVCC base cadence.
     val live = deltaVersions().count(dv => dv > baseVersions().lastOption.getOrElse(-1L))
@@ -294,26 +339,25 @@ class ChainIngest(
   }
 
   /** Drop versions outside the retention window (rollbackTo analog). The
-    * newest base is always retained — the live view needs it.
+    * newest base is always retained, and deltas ABOVE the newest base are
+    * never touched — they are the live view regardless of any retention
+    * setting (deleting one would silently lose a batch's adds).
     */
   private def cleanup(): Unit = {
     val keepFloor = currentUtxoVersion().getOrElse(-1L) - keepVersions + 1
     val latestBase = baseVersions().lastOption
-    def rm(path: String): Unit = {
-      val victim = Paths.get(path)
-      if (Files.exists(victim)) {
-        val walk = Files.walk(victim)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
     baseVersions().filter(v => v < keepFloor && !latestBase.contains(v))
       .foreach(v => rm(basePath(v)))
-    // deltas at or below the newest base are superseded by it.
     deltaVersions()
-      .filter(v => v < keepFloor || latestBase.exists(v <= _))
+      .filter(v => latestBase.exists(v <= _) && v < keepFloor)
       .foreach(v => rm(deltaPath(v)))
+    // clear any abandoned mid-commit staging dirs
+    val deltaRoot = Paths.get(p("utxo/delta"))
+    if (Files.exists(deltaRoot)) {
+      val stream = Files.list(deltaRoot)
+      try stream.toArray.map(_.toString).filter(_.endsWith(".tmp")).foreach(rm)
+      finally stream.close()
+    }
   }
 
   /** The live UTXO view: base ∪ later adds ∖ later removes. */
@@ -346,9 +390,16 @@ class ChainIngest(
     */
   def heal(spark: SparkSession): Boolean = {
     if (!exists("raw")) return false
-    def tipOf(df: DataFrame, c: String): Int =
-      df.agg(max(col(c))).head().getInt(0)
+    // a table dir can exist but be unreadable or empty mid-crash (only a
+    // _temporary/ left, or max() == null) — any such state reads as tip -1
+    // and triggers the re-derive instead of crashing the healer.
+    def tipOf(mk: => DataFrame, c: String): Int =
+      scala.util.Try {
+        val r = mk.agg(max(col(c))).head()
+        if (r.isNullAt(0)) -1 else r.getInt(0)
+      }.getOrElse(-1)
     val rawTip = tipOf(spark.read.parquet(p("raw")), "header.height")
+    if (rawTip < 0) return false // raw itself unreadable: nothing to replay from
     val tips = Seq(
       if (exists("blocks")) tipOf(spark.read.parquet(p("blocks")), "height") else -1,
       if (exists("txs")) tipOf(spark.read.parquet(p("txs")), "height") else -1,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state via `flatMapGroupsWithState` (SURVEY.md §2.9 /
@@ -9,22 +9,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch q54 sessionize (same gap semantics), and the shape any
   * "custom state machine per key" operator takes in this engine.
   *
-  * State lives in the state store (per-key, checkpointed, bounded by the
-  * watermark), NOT driver memory — this scales to arbitrarily many keys
-  * across executors.
+  * Correctness under reordering: a session is emitted ONLY once the
+  * watermark has passed `sessionEnd + gap` — never on an in-batch gap —
+  * because an out-of-order event may still arrive (within the watermark
+  * delay) that belongs to, extends, or bridges existing sessions. State per
+  * key is a list of open interval clusters; an incoming event joins every
+  * cluster within `gap` of it (merging clusters it bridges) or starts a new
+  * one. State lives in the state store (per-key, checkpointed, bounded by
+  * the watermark), NOT driver memory.
   */
 object StatefulSessions {
 
   case class SessionEvent(userId: String, ts: java.sql.Timestamp, value: Double)
   case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  case class Clusters(open: List[SessionState])
   case class Session(
     userId: String, startMs: Long, endMs: Long, nEvents: Long,
     sumValue: Double, durationMs: Long)
 
-  /** Open sessions absorb events and arm an event-time timeout at
-    * `last + gap`; when the watermark passes it, the closed session is
-    * emitted exactly once (append mode).
-    */
+  /** Fold one event into the cluster list (merge semantics above). */
+  private def absorb(clusters: List[SessionState], t: Long, v: Double,
+    gapMs: Long): List[SessionState] = {
+    val (near, far) = clusters.partition(c =>
+      t >= c.startMs - gapMs && t <= c.lastMs + gapMs)
+    val merged = near.foldLeft(SessionState(t, t, 1L, v)) { (acc, c) =>
+      SessionState(math.min(acc.startMs, c.startMs), math.max(acc.lastMs, c.lastMs),
+        acc.n + c.n, acc.sum + c.sum)
+    }
+    merged :: far
+  }
+
   def sessions(events: Dataset[SessionEvent], gapMs: Long,
     watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -33,33 +47,20 @@ object StatefulSessions {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (userId: String, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last+gap: close and emit
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              Session(userId, s.startMs, s.lastMs, s.n, s.sum, s.lastMs - s.startMs))
-          } else {
-            val events = it.toSeq.sortBy(_.ts.getTime) // batch order is arbitrary
-            val (closed, open) = events.foldLeft(
-              (List.empty[Session], state.getOption)) { case ((done, cur), e) =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  (done, Some(SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1, s.sum + e.value)))
-                case Some(s) => // in-batch gap: close the old session inline
-                  (Session(userId, s.startMs, s.lastMs, s.n, s.sum, s.lastMs - s.startMs) :: done,
-                    Some(SessionState(t, t, 1L, e.value)))
-                case None =>
-                  (done, Some(SessionState(t, t, 1L, e.value)))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.reverseIterator
-          })
+        (userId: String, it: Iterator[SessionEvent], state: GroupState[Clusters]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val ingested = it.foldLeft(state.getOption.map(_.open).getOrElse(Nil)) {
+            (cs, e) => absorb(cs, e.ts.getTime, e.value, gapMs)
+          }
+          // closable = the watermark guarantees no further event can join
+          val (done, live) = ingested.partition(_.lastMs + gapMs <= wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(Clusters(live))
+            state.setTimeoutTimestamp(live.map(_.lastMs).min + gapMs)
+          }
+          done.sortBy(_.startMs).iterator.map(s =>
+            Session(userId, s.startMs, s.lastMs, s.n, s.sum, s.lastMs - s.startMs))
+        })
   }
 }

@@ -175,8 +175,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(fingerprint(table) == files, s"$table buckets 0/1 were rewritten")
     }
 
-    // seeded cumulative/gix columns at the tip equal the one-shot derivation
+    // NO stale losing-branch rows in ANY entity table — sparse tables
+    // (tokens, data_inputs, registers) must lose their loser-bucket
+    // partitions even when the winner writes zero rows into that bucket
     val oneShot = BlockDerivation.derive(spark.createDataset(trunk ++ longBranch))
+    Seq("txs" -> oneShot.txs, "outputs" -> oneShot.outputs,
+      "inputs" -> oneShot.inputs, "assets" -> oneShot.assets,
+      "data_inputs" -> oneShot.dataInputs, "registers" -> oneShot.registers,
+      "tokens" -> oneShot.tokens).foreach { case (name, expect) =>
+      assert(spark.read.parquet(s"$wh/$name").count() == expect.count(),
+        s"$name row count differs from one-shot after fork (stale loser rows?)")
+    }
     val got = ingest.blocks(spark).orderBy(desc("height")).limit(1).collect()(0)
     val want = oneShot.blocks.orderBy(desc("height")).limit(1).collect()(0)
     Seq("totalTxsCount", "totalFees", "totalMinersReward", "totalCoinsInTxs",
@@ -204,6 +213,21 @@ class StreamingSpec extends AnyFunSuite {
       val got = ingest.utxo(spark).select("boxId").collect().map(_.getString(0)).toSet
       assert(got == expect, s"utxo view diverged after batch $i")
     }
+  }
+
+  test("retention never deletes live deltas, even when keepVersions < deltas-per-base") {
+    import spark.implicits._
+    val all = ChainFixture.generate(30)
+    // keepVersions(2) < compactEvery(8): every delta is below the retention
+    // floor almost immediately — they must survive until a base covers them
+    val ingest = new ChainIngest(tmpDir("graft-retention"), keepVersions = 2, compactEvery = 8)
+    all.grouped(5).zipWithIndex.foreach { case (chunk, i) =>
+      ingest.processBatch(spark.createDataset(chunk), i.toLong)
+    }
+    val expect = UtxoQueries.utxos(BlockDerivation.derive(spark.createDataset(all)))
+      .select("boxId").collect().map(_.getString(0)).toSet
+    val got = ingest.utxo(spark).select("boxId").collect().map(_.getString(0)).toSet
+    assert(got == expect, "live deltas were garbage-collected")
   }
 
   test("heal detects a stale utxo view and re-derives (crash between entity writes and delta commit)") {
