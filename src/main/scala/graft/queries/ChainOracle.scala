@@ -21,12 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object ChainOracle {
 
-  /** Fixed absolute location referenced by the oracle SQL via read_parquet().
-    * Gitignored, but deliberately OUTSIDE sbt's target dir — an `sbt clean`
-    * between the Verify run and the DuckDB compare must not wipe it.
+  /** Absolute location referenced by the oracle SQL via read_parquet().
+    * Resolution: env override → the canonical repo root when present (so
+    * Verify and Bench agree regardless of launch cwd, and the dump is
+    * OUTSIDE sbt's target dir where a clean can't wipe it between the
+    * Verify run and the DuckDB compare) → cwd fallback for foreign
+    * checkouts.
     */
-  val Dir: String = sys.env.getOrElse("GRAFT_CHAIN_ORACLE_DIR",
-    new java.io.File(".graft-oracle").getAbsolutePath)
+  val Dir: String = sys.env.getOrElse("GRAFT_CHAIN_ORACLE_DIR", {
+    val canonical = new java.io.File("/root/repo")
+    val root = if (canonical.isDirectory) canonical else new java.io.File(".")
+    new java.io.File(root, ".graft-oracle").getAbsolutePath
+  })
 
   val BackfillBlocks = 2000
 

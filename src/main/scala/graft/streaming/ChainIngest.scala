@@ -178,10 +178,20 @@ class ChainIngest(
     * affected heightBucket partitions (dynamic partition overwrite). Files
     * in buckets below the fork bucket are never rewritten.
     */
+  /** Progress marker for the destructive rebuild: tip checks cannot protect
+    * the SPARSE tables (tokens/registers/… legitimately lag the chain tip),
+    * so a crash between dropBucketsFrom and the re-append is detected by
+    * this marker instead — written before the first delete, removed after
+    * the final commit, replayed by [[heal]].
+    */
+  private def rebuildMarker = Paths.get(p("_rebuild_from"))
+
   private def reprocessFromRaw(spark: SparkSession, fromHeight: Int): Unit = {
     import spark.implicits._
     val forkBucket = math.max(fromHeight, 0) / bucketSize
     val rebuildFrom = forkBucket.toLong * bucketSize
+    Files.createDirectories(Paths.get(warehouse))
+    Files.writeString(rebuildMarker, fromHeight.toString)
     // a replayed batch (foreachBatch redelivery after a crash) appends its
     // raw blocks twice — dedupe by block id before resolving, so replay is
     // idempotent end-to-end.
@@ -240,6 +250,7 @@ class ChainIngest(
       .select(utxoCols.head, utxoCols.tail: _*)
       .join(spark.read.parquet(p("inputs")).select("boxId"), Seq("boxId"), "left_anti")
     commitBase(rebuilt)
+    Files.deleteIfExists(rebuildMarker)
   }
 
   /** Recursive delete (shared by partition drops and version retention). */
@@ -316,7 +327,12 @@ class ChainIngest(
   private def nextVersion(): Long = currentUtxoVersion().getOrElse(-1L) + 1
 
   private def commitBase(df: DataFrame): Unit = {
-    df.write.mode(SaveMode.Overwrite).parquet(basePath(nextVersion()))
+    // same atomic-publish discipline as deltas: a crash mid-write must not
+    // leave a half-written dir that versionsIn() accepts as the newest base.
+    val v = nextVersion()
+    val tmp = s"${basePath(v)}.tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    Files.move(Paths.get(tmp), Paths.get(basePath(v)))
     cleanup()
   }
 
@@ -352,11 +368,13 @@ class ChainIngest(
       .filter(v => latestBase.exists(v <= _) && v < keepFloor)
       .foreach(v => rm(deltaPath(v)))
     // clear any abandoned mid-commit staging dirs
-    val deltaRoot = Paths.get(p("utxo/delta"))
-    if (Files.exists(deltaRoot)) {
-      val stream = Files.list(deltaRoot)
-      try stream.toArray.map(_.toString).filter(_.endsWith(".tmp")).foreach(rm)
-      finally stream.close()
+    Seq("utxo/delta", "utxo/base").foreach { d =>
+      val root = Paths.get(p(d))
+      if (Files.exists(root)) {
+        val stream = Files.list(root)
+        try stream.toArray.map(_.toString).filter(_.endsWith(".tmp")).foreach(rm)
+        finally stream.close()
+      }
     }
   }
 
@@ -389,17 +407,25 @@ class ChainIngest(
     * height. Idempotent; returns whether healing was needed.
     */
   def heal(spark: SparkSession): Boolean = {
+    // an interrupted destructive rebuild trumps every tip check: the sparse
+    // tables it may have half-deleted cannot be tip-checked at all.
+    if (Files.exists(rebuildMarker)) {
+      val from = scala.util.Try(Files.readString(rebuildMarker).trim.toInt).getOrElse(0)
+      reprocessFromRaw(spark, from)
+      return true
+    }
     if (!exists("raw")) return false
     // a table dir can exist but be unreadable or empty mid-crash (only a
-    // _temporary/ left, or max() == null) — any such state reads as tip -1
-    // and triggers the re-derive instead of crashing the healer.
+    // _temporary/ left, or max() == null) — exactly those states read as
+    // tip -1. Genuine I/O errors PROPAGATE: treating a transient read
+    // failure as "empty" would trigger a full destructive rebuild.
     def tipOf(mk: => DataFrame, c: String): Int =
-      scala.util.Try {
+      try {
         val r = mk.agg(max(col(c))).head()
         if (r.isNullAt(0)) -1 else r.getInt(0)
-      }.getOrElse(-1)
+      } catch { case _: org.apache.spark.sql.AnalysisException => -1 }
     val rawTip = tipOf(spark.read.parquet(p("raw")), "header.height")
-    if (rawTip < 0) return false // raw itself unreadable: nothing to replay from
+    if (rawTip < 0) return false // raw itself empty/absent: nothing to replay from
     val tips = Seq(
       if (exists("blocks")) tipOf(spark.read.parquet(p("blocks")), "height") else -1,
       if (exists("txs")) tipOf(spark.read.parquet(p("txs")), "height") else -1,

@@ -52,8 +52,11 @@ object StatefulSessions {
           val ingested = it.foldLeft(state.getOption.map(_.open).getOrElse(Nil)) {
             (cs, e) => absorb(cs, e.ts.getTime, e.value, gapMs)
           }
-          // closable = the watermark guarantees no further event can join
-          val (done, live) = ingested.partition(_.lastMs + gapMs <= wm)
+          // closable = the watermark guarantees no further event can join.
+          // STRICT inequality: an event at ts == wm may still be admitted
+          // (late-filter boundary semantics), and absorb's join window is
+          // inclusive — closing at equality could split its session.
+          val (done, live) = ingested.partition(_.lastMs + gapMs < wm)
           if (live.isEmpty) state.remove()
           else {
             state.update(Clusters(live))

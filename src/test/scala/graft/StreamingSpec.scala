@@ -215,6 +215,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("heal replays an interrupted fork rebuild from the progress marker (sparse-table crash window)") {
+    import spark.implicits._
+    val all = ChainFixture.generate(20)
+    val wh = tmpDir("graft-heal-marker")
+    val ingest = new ChainIngest(wh, bucketSize = 10)
+    ingest.processBatch(spark.createDataset(all.take(10)), 0L)
+    ingest.processBatch(spark.createDataset(all.drop(10)), 1L)
+    // simulate a rebuild that crashed after deleting a sparse table's tail
+    // bucket: tips of blocks/txs/outputs/utxo all still match raw, so ONLY
+    // the marker can reveal the damage
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$wh/_rebuild_from"), "11")
+    val victim = java.nio.file.Paths.get(s"$wh/inputs/heightBucket=1")
+    assert(java.nio.file.Files.exists(victim))
+    val walk = java.nio.file.Files.walk(victim)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+    assert(ingest.heal(spark), "heal must replay the marked rebuild")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/_rebuild_from")))
+    val expect = BlockDerivation.derive(spark.createDataset(all))
+    assert(spark.read.parquet(s"$wh/inputs").count() == expect.inputs.count(),
+      "inputs tail bucket must be restored")
+    assert(!ingest.heal(spark), "second heal is a no-op")
+  }
+
   test("retention never deletes live deltas, even when keepVersions < deltas-per-base") {
     import spark.implicits._
     val all = ChainFixture.generate(30)
