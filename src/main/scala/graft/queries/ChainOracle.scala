@@ -29,9 +29,15 @@ object ChainOracle {
     * checkouts.
     */
   val Dir: String = sys.env.getOrElse("GRAFT_CHAIN_ORACLE_DIR", {
-    val canonical = new java.io.File("/root/repo")
-    val root = if (canonical.isDirectory) canonical else new java.io.File(".")
-    new java.io.File(root, ".graft-oracle").getAbsolutePath
+    // resolve THIS checkout's root (nearest ancestor with build.sbt) so
+    // Verify and Bench agree regardless of launch cwd, without baking in a
+    // host path that could collide with a different checkout.
+    @annotation.tailrec
+    def repoRoot(d: java.io.File): java.io.File =
+      if (new java.io.File(d, "build.sbt").isFile || d.getParentFile == null) d
+      else repoRoot(d.getParentFile)
+    new java.io.File(repoRoot(new java.io.File(sys.props("user.dir"))),
+      ".graft-oracle").getAbsolutePath
   })
 
   val BackfillBlocks = 2000

@@ -190,8 +190,13 @@ class ChainIngest(
     import spark.implicits._
     val forkBucket = math.max(fromHeight, 0) / bucketSize
     val rebuildFrom = forkBucket.toLong * bucketSize
+    // marker published atomically (tmp + rename) — a truncated marker would
+    // read as "rebuild from 0" and trigger a needless full rebuild.
     Files.createDirectories(Paths.get(warehouse))
-    Files.writeString(rebuildMarker, fromHeight.toString)
+    val markerTmp = Paths.get(p("_rebuild_from.tmp"))
+    Files.writeString(markerTmp, fromHeight.toString)
+    Files.move(markerTmp, rebuildMarker,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // a replayed batch (foreachBatch redelivery after a crash) appends its
     // raw blocks twice — dedupe by block id before resolving, so replay is
     // idempotent end-to-end.
@@ -407,6 +412,12 @@ class ChainIngest(
     * height. Idempotent; returns whether healing was needed.
     */
   def heal(spark: SparkSession): Boolean = {
+    if (!exists("raw")) {
+      // no replay source: an orphaned marker (warehouse wiped around it)
+      // must not send every future heal() into a doomed rebuild.
+      Files.deleteIfExists(rebuildMarker)
+      return false
+    }
     // an interrupted destructive rebuild trumps every tip check: the sparse
     // tables it may have half-deleted cannot be tip-checked at all.
     if (Files.exists(rebuildMarker)) {
@@ -414,7 +425,6 @@ class ChainIngest(
       reprocessFromRaw(spark, from)
       return true
     }
-    if (!exists("raw")) return false
     // a table dir can exist but be unreadable or empty mid-crash (only a
     // _temporary/ left, or max() == null) — exactly those states read as
     // tip -1. Genuine I/O errors PROPAGATE: treating a transient read
