@@ -30,6 +30,8 @@ object DedupQueries extends QueryModule {
   private val RowsPerBand = NumHashes / NumBands
   private val SimhashBits = 32
   private val SimhashSeed = 100
+  private val SampleSeed = 66
+  private val SamplePerStratum = 50L
   // double-hashing modulus: keeps h0 + 11 * (h1 % Mod) well inside Long.
   private val DoubleHashMod = 1L << 56
 
@@ -201,6 +203,70 @@ object DedupQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // Dedup clustering: connected components over the MinHash-LSH near-dup
+    // pairs (q27's est_j ≥ 0.5 graph), so a dup GROUP collapses to ONE
+    // canonical doc even when similarity is only transitive (A~B, B~C but
+    // A≁C). Pregel-style min-label propagation: every superstep is one keyed
+    // join (edges ⋈ labels) + one groupBy-min — no cartesian, no driver-side
+    // graph. Supersteps = component diameter, which for near-dup clusters is
+    // tiny (dups of one source text), and each superstep localCheckpoints so
+    // lineage stays O(1). At 100 TB the same loop runs with edges/labels as
+    // bucketed tables; the alternating small-star/large-star variant halves
+    // superstep count if diameters ever grow.
+    "q65_dedup_clusters" -> ((s, dir) => {
+      val sig = signatures(s, dir)
+      val eqCount = (0 until NumHashes)
+        .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val pairs = lshCandidatePairs(sig)
+        .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+        .filter(eqCount >= NumHashes / 2)
+        .select("a_id", "b_id")
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      var labels = docs(s, dir)
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 64) {
+        val prop = edges.join(labels, col("src") === col("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster_id"))
+        val next = labels.unionByName(prop)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .localCheckpoint(true)
+        converged = next
+          .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+          .filter(col("cluster_id") =!= col("prev"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("csize"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: cap each language stratum at ~Per
+    // docs by thresholding an md5-derived uniform hash — the sample is a
+    // pure function of doc_id (stable under retries, re-partitioning, and
+    // incremental re-runs, unlike rand()-based sampling). The accept test is
+    // exact integer arithmetic (u·n_l < 10000·Per ⟺ u < 10000·Per/n_l), so
+    // no float rounding can disagree across engines. Stratum counts are a
+    // broadcast dim; the scan itself is one pass, no shuffle of the data.
+    "q66_stratified_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("nl"))
+      d.join(broadcast(counts), "lang")
+        .withColumn("u", hash64(col("doc_id").cast("string"), SampleSeed) % 10000)
+        .filter(col("u") * col("nl") < lit(10000L * SamplePerStratum))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: same-label blocking (the IVF bucket analog)
     // then pairwise cosine ≥ 0.4 in double precision. Blocking key join →
     // keyed shuffle, never a global cross join.
@@ -357,6 +423,31 @@ object DedupQueries extends QueryModule {
          FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
          WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5
          ORDER BY a_id, b_id""",
+    "q65_dedup_clusters" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql),
+         jp AS (SELECT a_id, b_id FROM pairs
+           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+           WHERE ($eqSql) >= ${NumHashes / 2}),
+         edges AS (SELECT a_id s, b_id d FROM jp
+           UNION ALL SELECT b_id, a_id FROM jp),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+         lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         cs AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
+         SELECT lab.doc_id, lab.cluster_id, cs.csize
+         FROM lab JOIN cs USING (cluster_id) ORDER BY doc_id""",
+    "q66_stratified_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+         u AS (SELECT doc_id, d.lang,
+           ${hash64Sql("CAST(doc_id AS VARCHAR)", SampleSeed)} % 10000 AS u, nl
+           FROM documents d JOIN c USING (lang))
+         SELECT doc_id, lang FROM u
+         WHERE u * nl < ${10000L * SamplePerStratum} ORDER BY doc_id""",
     "q30_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
          SELECT a.vec_id a_id, b.vec_id b_id,

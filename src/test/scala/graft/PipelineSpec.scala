@@ -87,6 +87,47 @@ class PipelineSpec extends AnyFunSuite {
     agged.foreach { case (id, sig) => assert(sig == colWise(id), s"doc $id differs") }
   }
 
+  test("dedup clusters are the connected components of the LSH pair graph") {
+    val labels = SparkEntry.queries("q65_dedup_clusters")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.load(spark, sf001, "documents").count()
+    assert(labels.size == docs, "every doc must get exactly one cluster label")
+    // every near-dup pair must land in the same cluster (transitivity closed)
+    val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._1 == labels(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // the canonical id is the min member, and csize counts the members
+    val members = labels.toSeq.groupBy(_._2._1)
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid canonical is not min member")
+      ms.foreach { case (_, (_, cs)) => assert(cs == ms.size) }
+    }
+    // non-trivial: the planted dup groups must produce at least one
+    // multi-doc cluster, and transitive chains must not merge everything
+    assert(members.exists(_._2.size > 1), "no multi-doc cluster found")
+    assert(members.size > docs / 2, "clusters collapsed — propagation broken")
+  }
+
+  test("stratified sample is deterministic and caps each stratum") {
+    import org.apache.spark.sql.functions._
+    val s1 = SparkEntry.queries("q66_stratified_sample")(spark, sf001).collect()
+    val s2 = SparkEntry.queries("q66_stratified_sample")(spark, sf001).collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq,
+      "hash-based sample must be identical across runs")
+    val perLang = s1.groupBy(_.getString(1)).view.mapValues(_.length)
+    val full = Tables.load(spark, sf001, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("nl"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val nl = full(lang)
+      // expectation is min(nl, ~50) per stratum; allow binomial spread
+      assert(n <= math.min(nl, 110), s"$lang sampled $n of $nl — cap broken")
+      assert(n >= math.min(nl, 15).toInt, s"$lang sampled $n of $nl — too few")
+    }
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>
