@@ -250,6 +250,24 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: flag corpus docs sharing ≥ 2 n-gram
+    // shingles with a held-out eval set (here: the deterministic doc_id %
+    // 100 == 7 slice stands in for the benchmark suite). The eval side's
+    // distinct shingle hashes are tiny relative to the corpus — broadcast
+    // them, so the corpus side is ONE map-side hash-join pass over the
+    // shingle table with no shuffle of corpus data; only the per-doc overlap
+    // counts aggregate. This is the contamination-removal stage every
+    // training-data pipeline runs before a model sees the corpus.
+    "q67_decontamination" -> ((s, dir) => {
+      val sh = shingleHashes(s, dir)
+      val bench = sh.filter(col("doc_id") % 100 === 7).select("hs").distinct()
+      sh.filter(col("doc_id") % 100 =!= 7)
+        .join(broadcast(bench), "hs")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: cap each language stratum at ~Per
     // docs by thresholding an md5-derived uniform hash — the sample is a
     // pure function of doc_id (stable under retries, re-partitioning, and
@@ -441,6 +459,13 @@ object DedupQueries extends QueryModule {
          cs AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
          SELECT lab.doc_id, lab.cluster_id, cs.csize
          FROM lab JOIN cs USING (cluster_id) ORDER BY doc_id""",
+    "q67_decontamination" ->
+      s"""WITH $tkCte, $shCte,
+         shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
+         b AS (SELECT DISTINCT hs FROM shh WHERE doc_id % 100 = 7)
+         SELECT doc_id, count(*) AS n_shared FROM shh JOIN b USING (hs)
+         WHERE doc_id % 100 <> 7 GROUP BY 1 HAVING count(*) >= 2
+         ORDER BY doc_id""",
     "q66_stratified_sample" ->
       s"""WITH c AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
          u AS (SELECT doc_id, d.lang,

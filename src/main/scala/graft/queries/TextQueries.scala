@@ -119,6 +119,23 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Intra-document repetition (the Gopher-class quality filter): fraction
+    // of duplicate 3-gram shingles within each doc — high ratios flag
+    // boilerplate/spam for removal before training. Computed per row from
+    // the token array (no explode, no shuffle): total grams = n_tokens − 2,
+    // distinct grams from the deduped shingle array.
+    "q68_repetition" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), (size(tk) - 2).cast("long").as("n_grams"),
+          size(shingles(tk, 3)).cast("long").as("n_distinct"))
+        .filter(col("n_grams") >= 1)
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+        .select("doc_id", "n_grams", "rep_ratio")
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: exact-content fingerprint (md5 of the
     // canonical form) + order-insensitive bag fingerprint (md5 of the sorted
     // distinct token list).
@@ -192,6 +209,14 @@ object TextQueries extends QueryModule {
                  FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS tk
                        FROM documents)))
          GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+    "q68_repetition" ->
+      raw"""SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_grams,
+         round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(t)-1),
+           i -> array_to_string(t[i:i+2], ' ')))) AS DOUBLE) / (len(t) - 2), 6)
+           AS rep_ratio
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents)
+         WHERE len(t) >= 3 ORDER BY doc_id""",
     "q24_fingerprint" ->
       """SELECT doc_id,
            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_exact,

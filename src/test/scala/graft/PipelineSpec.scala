@@ -128,6 +128,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination never flags eval docs; repetition ratios are bounded") {
+    val cont = SparkEntry.queries("q67_decontamination")(spark, sf001).collect()
+    assert(cont.forall(_.getLong(0) % 100 != 7),
+      "an eval-slice doc leaked into the contaminated set")
+    assert(cont.forall(_.getLong(1) >= 2))
+    val rep = SparkEntry.queries("q68_repetition")(spark, sf001).collect()
+    assert(rep.nonEmpty)
+    assert(rep.forall { r =>
+      val x = r.getAs[Double]("rep_ratio"); x >= 0.0 && x < 1.0
+    }, "rep_ratio must be in [0, 1)")
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>
