@@ -226,8 +226,12 @@ object DedupQueries extends QueryModule {
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .localCheckpoint(true)
-      var labels = docs(s, dir)
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      // iterate ONLY over nodes that have an edge: the dup subgraph is a
+      // tiny fraction of the corpus (≈1% of docs at any scale), so every
+      // superstep shuffles O(edges), not O(corpus). Edge-free docs are
+      // singleton clusters by definition and rejoin after convergence.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
         .localCheckpoint(true)
       var converged = false
       var iter = 0
@@ -244,8 +248,14 @@ object DedupQueries extends QueryModule {
         labels = next
         iter += 1
       }
-      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
-      labels.join(sizes, "cluster_id")
+      // singletons: cluster = self. The converged subgraph labels broadcast
+      // back onto the one full-corpus pass.
+      val full = docs(s, dir).select(col("doc_id"))
+        .join(broadcast(labels.withColumnRenamed("cluster_id", "cid")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+      val sizes = full.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      full.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("csize"))
         .orderBy("doc_id")
     }),

@@ -76,6 +76,21 @@ class PlanSpec extends AnyFunSuite {
     assert(graph.contains("LeftAnti"), s"payback exclusion must be an anti join:\n$graph")
   }
 
+  test("decontamination broadcasts the eval shingles; sampling broadcasts strata") {
+    val cont = planOf("q67_decontamination")
+    assert(cont.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast, not shuffle the corpus:\n$cont")
+    assert(!cont.contains("SortMergeJoin"),
+      s"corpus side must not sort-merge against the tiny eval side:\n$cont")
+    val smp = planOf("q66_stratified_sample")
+    assert(smp.contains("BroadcastHashJoin"),
+      s"per-stratum counts are a broadcast dim:\n$smp")
+    // repetition is per-row: nothing shuffles except the presentation sort
+    val rep = planOf("q68_repetition")
+    val exchanges = "Exchange".r.findAllIn(rep).length
+    assert(exchanges <= 1, s"q68 must be map-side ($exchanges exchanges):\n$rep")
+  }
+
   test("per-doc text pipeline has no shuffle before the final sort") {
     val plan = planOf("q24_fingerprint")
     // one Exchange max (the presentation orderBy) — the md5/split work is map-side
