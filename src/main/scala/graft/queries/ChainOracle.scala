@@ -33,11 +33,12 @@ object ChainOracle {
     // Verify and Bench agree regardless of launch cwd, without baking in a
     // host path that could collide with a different checkout.
     @annotation.tailrec
-    def repoRoot(d: java.io.File): java.io.File =
-      if (new java.io.File(d, "build.sbt").isFile || d.getParentFile == null) d
-      else repoRoot(d.getParentFile)
-    new java.io.File(repoRoot(new java.io.File(sys.props("user.dir"))),
-      ".graft-oracle").getAbsolutePath
+    def findRoot(d: java.io.File): Option[java.io.File] =
+      if (new java.io.File(d, "build.sbt").isFile) Some(d)
+      else if (d.getParentFile == null) None // don't land on "/"
+      else findRoot(d.getParentFile)
+    val cwd = new java.io.File(sys.props("user.dir"))
+    new java.io.File(findRoot(cwd).getOrElse(cwd), ".graft-oracle").getAbsolutePath
   })
 
   val BackfillBlocks = 2000

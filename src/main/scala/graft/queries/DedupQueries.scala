@@ -32,6 +32,11 @@ object DedupQueries extends QueryModule {
   private val SimhashSeed = 100
   private val SampleSeed = 66
   private val SamplePerStratum = 50L
+  // accept iff u·n_l < Per·2^60 over the FULL 60-bit hash (decimal/HUGEINT
+  // arithmetic): a coarser modulus (e.g. %10000) floors the accept rate at
+  // 1/modulus, breaking the per-stratum cap once n_l exceeds modulus·Per —
+  // exactly the 10^10-doc strata a 100 TB corpus produces.
+  private val SampleThreshold: BigInt = BigInt(SamplePerStratum) << 60
   // double-hashing modulus: keeps h0 + 11 * (h1 % Mod) well inside Long.
   private val DoubleHashMod = 1L << 56
 
@@ -140,16 +145,7 @@ object DedupQueries extends QueryModule {
     // of matching signature rows ≥ 0.5. The scale path for q26: candidate
     // generation is 3 equi-joins on 128-bit band keys — no all-pairs stage.
     "q27_minhash_lsh" -> ((s, dir) => {
-      val sig = signatures(s, dir)
-      val pairs = lshCandidatePairs(sig)
-      val eqCount = (0 until NumHashes)
-        .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
-        .reduce(_ + _)
-      pairs
-        .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
-        .withColumn("est_j", eqCount.cast("double") / NumHashes)
-        .filter(col("est_j") >= 0.5)
+      lshNearDupPairs(signatures(s, dir))
         .select(col("a_id"), col("b_id"), round(col("est_j"), 4).as("est_j"))
         .orderBy("a_id", "b_id")
     }),
@@ -214,15 +210,9 @@ object DedupQueries extends QueryModule {
     // bucketed tables; the alternating small-star/large-star variant halves
     // superstep count if diameters ever grow.
     "q65_dedup_clusters" -> ((s, dir) => {
-      val sig = signatures(s, dir)
-      val eqCount = (0 until NumHashes)
-        .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
-        .reduce(_ + _)
-      val pairs = lshCandidatePairs(sig)
-        .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
-        .filter(eqCount >= NumHashes / 2)
-        .select("a_id", "b_id")
+      // the SAME pair set q27 reports (shared helper) — the clusters are by
+      // construction the components of the reported near-dup graph.
+      val pairs = lshNearDupPairs(signatures(s, dir)).select("a_id", "b_id")
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .localCheckpoint(true)
@@ -248,6 +238,12 @@ object DedupQueries extends QueryModule {
         labels = next
         iter += 1
       }
+      // a component whose diameter exceeds the cap would silently mislabel —
+      // fail loudly instead (64 supersteps covers any realistic dup chain;
+      // if ever hit, switch the loop to small-star/large-star contraction).
+      if (!converged)
+        throw new IllegalStateException(
+          s"dedup clustering did not converge after $iter supersteps")
       // singletons: cluster = self. The converged subgraph labels broadcast
       // back onto the one full-corpus pass.
       val full = docs(s, dir).select(col("doc_id"))
@@ -282,15 +278,17 @@ object DedupQueries extends QueryModule {
     // docs by thresholding an md5-derived uniform hash — the sample is a
     // pure function of doc_id (stable under retries, re-partitioning, and
     // incremental re-runs, unlike rand()-based sampling). The accept test is
-    // exact integer arithmetic (u·n_l < 10000·Per ⟺ u < 10000·Per/n_l), so
-    // no float rounding can disagree across engines. Stratum counts are a
+    // exact integer arithmetic (u·n_l < Per·2^60 ⟺ u/2^60 < Per/n_l) in
+    // decimal, so no float rounding can disagree across engines and the cap
+    // holds at any stratum size (see SampleThreshold). Stratum counts are a
     // broadcast dim; the scan itself is one pass, no shuffle of the data.
     "q66_stratified_sample" -> ((s, dir) => {
       val d = docs(s, dir)
       val counts = d.groupBy("lang").agg(count(lit(1)).as("nl"))
       d.join(broadcast(counts), "lang")
-        .withColumn("u", hash64(col("doc_id").cast("string"), SampleSeed) % 10000)
-        .filter(col("u") * col("nl") < lit(10000L * SamplePerStratum))
+        .withColumn("u", hash64(col("doc_id").cast("string"), SampleSeed))
+        .filter(col("u").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("nl") < lit(new java.math.BigDecimal(SampleThreshold.bigInteger)))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
@@ -321,6 +319,21 @@ object DedupQueries extends QueryModule {
     */
   private val SimhashBlocks: Seq[(Int, Int)] =
     Seq((0, 6), (6, 6), (12, 5), (17, 5), (22, 5), (27, 5))
+
+  /** Near-dup pairs with est_j ≥ 0.5 (q27's pair set) — shared by q27 and
+    * q65 so the clusters are exactly the components of the reported graph.
+    */
+  private def lshNearDupPairs(sig: DataFrame): DataFrame = {
+    val eqCount = (0 until NumHashes)
+      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    lshCandidatePairs(sig)
+      .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("est_j", eqCount.cast("double") / NumHashes)
+      .filter(col("est_j") >= 0.5)
+      .select("a_id", "b_id", "est_j")
+  }
 
   /** LSH candidate pairs (a_id < b_id, distinct) from banded signatures —
     * shared by q27 (estimated-J verify) and q59 (exact-J verify).
@@ -479,10 +492,10 @@ object DedupQueries extends QueryModule {
     "q66_stratified_sample" ->
       s"""WITH c AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
          u AS (SELECT doc_id, d.lang,
-           ${hash64Sql("CAST(doc_id AS VARCHAR)", SampleSeed)} % 10000 AS u, nl
+           CAST(${hash64Sql("CAST(doc_id AS VARCHAR)", SampleSeed)} AS HUGEINT) AS u, nl
            FROM documents d JOIN c USING (lang))
          SELECT doc_id, lang FROM u
-         WHERE u * nl < ${10000L * SamplePerStratum} ORDER BY doc_id""",
+         WHERE u * nl < $SampleThreshold ORDER BY doc_id""",
     "q30_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
          SELECT a.vec_id a_id, b.vec_id b_id,

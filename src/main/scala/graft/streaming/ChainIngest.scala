@@ -195,8 +195,12 @@ class ChainIngest(
     Files.createDirectories(Paths.get(warehouse))
     val markerTmp = Paths.get(p("_rebuild_from.tmp"))
     Files.writeString(markerTmp, fromHeight.toString)
+    // ATOMIC_MOVE makes a non-atomic fallback (copy+delete on a foreign
+    // FileSystem provider) throw instead of silently reopening the
+    // truncated-marker crash window.
     Files.move(markerTmp, rebuildMarker,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // a replayed batch (foreachBatch redelivery after a crash) appends its
     // raw blocks twice — dedupe by block id before resolving, so replay is
     // idempotent end-to-end.
@@ -413,9 +417,20 @@ class ChainIngest(
     */
   def heal(spark: SparkSession): Boolean = {
     if (!exists("raw")) {
-      // no replay source: an orphaned marker (warehouse wiped around it)
-      // must not send every future heal() into a doomed rebuild.
-      Files.deleteIfExists(rebuildMarker)
+      // A pending rebuild marker without its replay source is only benign if
+      // the whole warehouse went with it (fresh start). If derived tables
+      // survive, they may be half-deleted by the interrupted rebuild and
+      // there is nothing to replay from — fail loudly rather than erase the
+      // only record of the corruption.
+      if (Files.exists(rebuildMarker)) {
+        val derived = Seq("blocks", "txs", "outputs", "inputs").filter(exists)
+        if (derived.nonEmpty)
+          throw new IllegalStateException(
+            s"interrupted rebuild (marker present) but raw/ is gone while " +
+              s"${derived.mkString(",")} survive — cannot replay; restore raw/ " +
+              "or drop the warehouse")
+        Files.deleteIfExists(rebuildMarker)
+      }
       return false
     }
     // an interrupted destructive rebuild trumps every tip check: the sparse

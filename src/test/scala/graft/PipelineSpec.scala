@@ -116,12 +116,14 @@ class PipelineSpec extends AnyFunSuite {
     val s2 = SparkEntry.queries("q66_stratified_sample")(spark, sf001).collect()
     assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq,
       "hash-based sample must be identical across runs")
-    val perLang = s1.groupBy(_.getString(1)).view.mapValues(_.length)
+    val perLang = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     val full = Tables.load(spark, sf001, "documents")
       .groupBy("lang").agg(count(lit(1)).as("nl"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    perLang.foreach { case (lang, n) =>
-      val nl = full(lang)
+    // iterate the CORPUS strata, not the sample's: a stratum dropped
+    // entirely (n = 0) must fail the lower bound, not vanish from the check
+    full.foreach { case (lang, nl) =>
+      val n = perLang.getOrElse(lang, 0)
       // expectation is min(nl, ~50) per stratum; allow binomial spread
       assert(n <= math.min(nl, 110), s"$lang sampled $n of $nl — cap broken")
       assert(n >= math.min(nl, 15).toInt, s"$lang sampled $n of $nl — too few")
