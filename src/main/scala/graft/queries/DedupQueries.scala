@@ -212,10 +212,12 @@ object DedupQueries extends QueryModule {
     "q65_dedup_clusters" -> ((s, dir) => {
       // the SAME pair set q27 reports (shared helper) — the clusters are by
       // construction the components of the reported near-dup graph.
-      val pairs = lshNearDupPairs(signatures(s, dir)).select("a_id", "b_id")
+      // Materialize BEFORE the direction-doubling union: both union branches
+      // read the checkpointed pairs, so the LSH join runs once, not twice.
+      val pairs = lshNearDupPairs(signatures(s, dir))
+        .select("a_id", "b_id").localCheckpoint(true)
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint(true)
       // iterate ONLY over nodes that have an edge: the dup subgraph is a
       // tiny fraction of the corpus (≈1% of docs at any scale), so every
       // superstep shuffles O(edges), not O(corpus). Edge-free docs are
@@ -223,6 +225,15 @@ object DedupQueries extends QueryModule {
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id"))
         .localCheckpoint(true)
+      // convergence via the label-sum invariant: labels only ever decrease
+      // (min of self and neighbors), so the sum strictly decreases until
+      // fixpoint — one scalar aggregate per superstep instead of a
+      // joined old-vs-new comparison. Decimal so corpus-scale id sums
+      // cannot overflow.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("cluster_id").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < 64) {
@@ -231,10 +242,9 @@ object DedupQueries extends QueryModule {
         val next = labels.unionByName(prop)
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
           .localCheckpoint(true)
-        converged = next
-          .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-          .filter(col("cluster_id") =!= col("prev"))
-          .isEmpty
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         labels = next
         iter += 1
       }
