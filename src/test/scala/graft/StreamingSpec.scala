@@ -424,6 +424,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup flags duplicates across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDedup._
+    val stream = MemoryStream[Doc]
+    val out = dedup(stream.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      // batch 1: 2 is an in-batch dup of 1 after canonicalization
+      // (case + whitespace collapse); 3 is unique
+      stream.addData(Doc(1, "hello world"), Doc(2, "Hello   World"),
+        Doc(3, "something else"))
+      query.processAllAvailable()
+      // batch 2: 4 duplicates content first seen in batch 1 — the state
+      // store must remember across the micro-batch boundary
+      stream.addData(Doc(4, "hello  world"), Doc(5, "brand new"))
+      query.processAllAvailable()
+      val got = spark.table("sdedup").as[DedupVerdict].collect()
+        .map(v => v.docId -> ((v.isDuplicate, v.firstSeenId))).toMap
+      assert(got(1L) == ((false, 1L)))
+      assert(got(2L) == ((true, 1L)), s"in-batch dup: $got")
+      assert(got(3L) == ((false, 3L)))
+      assert(got(4L) == ((true, 1L)), s"cross-batch dup: $got")
+      assert(got(5L) == ((false, 5L)))
+    } finally query.stop()
+  }
+
   test("pool-state pairing tags each batch with the pool before it and tracks evictions") {
     import spark.implicits._
     def tx(id: String) = MempoolTx(id, new java.sql.Timestamp(1700000000000L), Nil, Nil)
