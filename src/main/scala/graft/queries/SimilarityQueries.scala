@@ -100,6 +100,30 @@ object SimilarityQueries extends QueryModule {
       topK(cand)
     }),
 
+    // Symmetric int8 quantization of the embedding column (the storage /
+    // bandwidth stage an ANN index at 100 TB actually serves from):
+    // per-vector scale = 127 / max|x|, reconstruction RMSE aggregated per
+    // label. Entirely map-side higher-order-function arithmetic — the only
+    // shuffle is the 3-row final aggregate.
+    "q72_embedding_quantize" -> ((s, dir) => {
+      val v = asDouble(col("embedding"))
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"),
+          array_max(transform(v, x => abs(x))).as("maxabs"), v.as("v"))
+        .filter(col("maxabs") > 0)
+        .withColumn("sc", lit(127.0) / col("maxabs"))
+        .withColumn("rmse",
+          sqrt(aggregate(
+            transform(col("v"), x =>
+              pow(x - round(x * col("sc")) / col("sc"), lit(2))),
+            lit(0.0), (acc, e) => acc + e) / size(col("v"))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("rmse"), 6).as("avg_rmse"),
+          round(avg("maxabs"), 6).as("avg_maxabs"))
+        .orderBy("label")
+    }),
+
     // Hyperplane (signed-random-projection) LSH ANN: bucket = sign bits of
     // NumPlanes pseudo-random hyperplane dot products (planes derived from
     // md5 of (plane, dim) — deterministic, no shared RNG state needed on a
@@ -177,6 +201,20 @@ object SimilarityQueries extends QueryModule {
                     list_cosine_similarity(q.qv, a.v) AS cos
                   FROM assigned a JOIN q ON a.bucket = q.bucket
                   WHERE a.vec_id <> q.q_id)"""),
+
+    "q72_embedding_quantize" ->
+      """SELECT label, count(*) AS n_vecs, round(avg(rmse), 6) AS avg_rmse,
+           round(avg(maxabs), 6) AS avg_maxabs
+         FROM (SELECT label, maxabs,
+                 sqrt(list_aggregate(list_transform(v,
+                   x -> pow(x - round(x * (127.0 / maxabs)) / (127.0 / maxabs), 2)),
+                   'sum') / len(v)) AS rmse
+               FROM (SELECT label, v,
+                       list_max(list_transform(v, x -> abs(x))) AS maxabs
+                     FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings))
+               WHERE maxabs > 0)
+         GROUP BY label ORDER BY label""",
 
     "q50_hyperplane_lsh_topk" -> topKSql(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -136,6 +136,56 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing for training: concatenate docs in (lang, doc_id)
+    // order into fixed token-budget bins (the GPT-style "pack documents
+    // into context windows" stage); a doc belongs to the bin its first
+    // token lands in. The prefix sum is PARTITIONED (per lang / per shard
+    // at scale) — packing is embarrassingly parallel across shards and no
+    // global window ever forms.
+    "q69_sequence_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n"))
+        .withColumn("start", coalesce(sum("n").over(w), lit(0L)))
+        .withColumn("bin", floor(col("start") / PackBudget))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("bin_tokens"))
+        .orderBy("lang", "bin")
+    }),
+
+    // Boilerplate mining (the CCNet/C4 "repeated passage" detector):
+    // document frequency of distinct 5-gram shingles across the corpus,
+    // top-25 most-shared. One explode + one count shuffle with map-side
+    // partial aggregation; the top-k is TakeOrdered over the (much
+    // smaller) gram-frequency table.
+    "q70_boilerplate_ngrams" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(shingles(toks(col("text")), 5)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("gram"))
+        .limit(25)
+    }),
+
+    // Vocabulary mining: top-10 tokens per language by corpus frequency
+    // (the term-frequency table a tokenizer-training stage reads). Explode
+    // + count collapses to vocab size (≪ corpus) before the per-lang
+    // rank window, so the window input is tiny at any scale.
+    "q71_vocab_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+      docs(s, dir)
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select("lang", "rnk", "tok", "n")
+        .orderBy("lang", "rnk")
+    }),
+
     // Document fingerprinting: exact-content fingerprint (md5 of the
     // canonical form) + order-insensitive bag fingerprint (md5 of the sorted
     // distinct token list).
@@ -156,6 +206,7 @@ object TextQueries extends QueryModule {
   private val BpePattern = "( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+)"
   private val RollSeed = 7
   private val RollMod = 1000000007L
+  private val PackBudget = 256L // tokens per packed training sequence
 
   val oracles: Map[String, String] = Map(
     "q63_bpe_tokens" ->
@@ -222,6 +273,34 @@ object TextQueries extends QueryModule {
            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_exact,
            md5(array_to_string(list_sort(list_distinct(
              string_split_regex(trim(text), '\s+'))), ' ')) AS fp_bag
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q69_sequence_packing" ->
+      raw"""SELECT lang, CAST(floor(start / $PackBudget) AS BIGINT) AS bin,
+         count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS bin_tokens
+         FROM (SELECT lang, n,
+                 COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+               FROM (SELECT lang, doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n
+                     FROM documents))
+         GROUP BY lang, bin ORDER BY lang, bin""",
+    "q70_boilerplate_ngrams" ->
+      raw"""SELECT gram, count(*) AS df FROM (
+           SELECT unnest(list_distinct(list_transform(range(1, len(t) - 3),
+             i -> array_to_string(t[i:i+4], ' ')))) AS gram
+           FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 5)
+         GROUP BY gram HAVING count(*) >= 2
+         ORDER BY df DESC, gram LIMIT 25""",
+    "q71_vocab_topk" ->
+      raw"""SELECT lang, rnk, tok, n FROM (
+           SELECT lang, tok, n, row_number() OVER (
+             PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+           FROM (SELECT lang, tok, count(*) AS n
+                 FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                       FROM documents)
+                 GROUP BY lang, tok))
+         WHERE rnk <= 10 ORDER BY lang, rnk"""
   )
 }

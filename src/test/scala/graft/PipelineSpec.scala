@@ -142,6 +142,50 @@ class PipelineSpec extends AnyFunSuite {
     }, "rep_ratio must be in [0, 1)")
   }
 
+  test("sequence packing partitions the corpus into contiguous bins") {
+    import org.apache.spark.sql.functions._
+    val bins = SparkEntry.queries("q69_sequence_packing")(spark, sf001).collect()
+    val docsN = Tables.load(spark, sf001, "documents").count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == docsN,
+      "every doc must land in exactly one bin")
+    // bins are contiguous 0..max per lang (a doc starts where the previous ended)
+    bins.groupBy(_.getString(0)).foreach { case (lang, bs) =>
+      val ids = bs.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1,
+        s"$lang bins not contiguous: ${ids.mkString(",")}")
+    }
+  }
+
+  test("boilerplate grams are shared 5-grams; vocab ranks are dense per lang") {
+    val grams = SparkEntry.queries("q70_boilerplate_ngrams")(spark, sf001).collect()
+    assert(grams.nonEmpty, "planted dup docs must share at least one 5-gram")
+    grams.foreach { r =>
+      assert(r.getString(0).split(" ").length == 5, s"not a 5-gram: ${r.getString(0)}")
+      assert(r.getAs[Long]("df") >= 2)
+    }
+    val vocab = SparkEntry.queries("q71_vocab_topk")(spark, sf001).collect()
+    vocab.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(byRank.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length),
+        s"$lang ranks not dense")
+      val ns = byRank.map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"$lang not sorted by freq")
+    }
+  }
+
+  test("int8 quantization error is bounded by half a quantization step") {
+    val rows = SparkEntry.queries("q72_embedding_quantize")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rmse = r.getAs[Double]("avg_rmse")
+      val maxabs = r.getAs[Double]("avg_maxabs")
+      assert(rmse > 0.0, "zero error would mean quantization is a no-op")
+      // per-element error ≤ 0.5/scale = 0.5·maxabs/127, so rmse ≤ that bound
+      assert(rmse <= 0.5 * maxabs / 127.0 + 1e-9,
+        s"rmse $rmse exceeds the half-step bound for maxabs $maxabs")
+    }
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>

@@ -91,6 +91,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"q68 must be map-side ($exchanges exchanges):\n$rep")
   }
 
+  test("packing window is partitioned; vocab/boilerplate aggregate before ranking") {
+    // q69's prefix sum must never be a global window (the A5 anti-pattern)
+    val pack = planOf("q69_sequence_packing")
+    assert(!pack.contains("Window [") || pack.contains("windowspecdefinition(lang"),
+      s"packing window must partition by lang:\n$pack")
+    // q70's top-k over gram frequencies is a TakeOrdered, not a global sort
+    val boil = planOf("q70_boilerplate_ngrams")
+    assert(boil.contains("TakeOrderedAndProject"), s"q70 top-k:\n$boil")
+    // q72 is map-side arithmetic + one tiny aggregate: ≤ 2 exchanges
+    val quant = planOf("q72_embedding_quantize")
+    val exchanges = "Exchange".r.findAllIn(quant).length
+    assert(exchanges <= 2, s"quantization must stay map-side ($exchanges):\n$quant")
+  }
+
   test("per-doc text pipeline has no shuffle before the final sort") {
     val plan = planOf("q24_fingerprint")
     // one Exchange max (the presentation orderBy) — the md5/split work is map-side
