@@ -23,6 +23,7 @@ object SimilarityQueries extends QueryModule {
   private val TopK = 10
   private val NProbe = 3
   private val NumPlanes = 6 // hyperplane-LSH code width (64 buckets)
+  private val KMeansK = 8   // q73 Lloyd's training cluster count
 
   /** Corpus with the l2 norm precomputed once per vector — every downstream
     * pairwise stage is then a single dot product.
@@ -33,6 +34,39 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("n", l2NormNative(col("v")))
   }
+
+  /** One Lloyd assignment step: every vector to its nearest centroid by
+    * squared L2 distance (computed as three dot products — no intermediate
+    * difference array). The centroid table broadcasts (K rows), so the
+    * assignment is a map-side nested loop over corpus splits — the shape
+    * that scales to any corpus size; only the K·dim centroid update
+    * shuffles. Ties break by rounded distance then c_id, mirroring the
+    * oracle's rank exactly.
+    */
+  private def lloydAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(col("d2"), 6).asc, col("c_id").asc)
+    e.join(broadcast(cent))
+      .withColumn("d2",
+        dotNative(col("v"), col("v")) -
+          lit(2.0) * dotNative(col("v"), col("cv")) +
+          dotNative(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"), col("d2"))
+  }
+
+  /** Centroid update: per-(cluster, dim) mean, re-assembled into an array.
+    * Components round to 9 dp so partition-order summation noise cannot
+    * flip the next assignment (same convention as q32's centroids).
+    */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("c_id", "pos").agg(round(avg("x"), 9).as("cx"))
+      .groupBy("c_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
 
   /** Rank candidate (q_id, nbr_id, cos) triples and keep the top-k per query.
     * Ranking uses cosine rounded to 6 dp with nbr_id tie-break so the order
@@ -98,6 +132,26 @@ object SimilarityQueries extends QueryModule {
         .select(col("q_id"), col("vec_id").as("nbr_id"),
           (dotNative(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
       topK(cand)
+    }),
+
+    // IVF centroid TRAINING (not the per-label stand-in q32 uses):
+    // Lloyd's k-means with deterministic init (the first K vectors by
+    // vec_id), one centroid update between two assignment phases. Each
+    // assignment is a broadcast nested loop (K rows against corpus
+    // splits); each update shuffles only K·dim partial means. The loop
+    // unrolls to a fixed depth here so the oracle can replay it as
+    // nested CTEs; production training iterates lloydAssign/centroidsOf
+    // to convergence with the same per-step plans.
+    "q73_kmeans_train" -> ((s, dir) => {
+      val e = corpus(s, dir).drop("n")
+      val cent0 = e.filter(col("vec_id") < KMeansK)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val cent1 = centroidsOf(lloydAssign(e, cent0))
+      lloydAssign(e, cent1)
+        .groupBy("c_id")
+        .agg(count(lit(1)).as("n_members"),
+          round(avg("d2"), 6).as("avg_d2"))
+        .orderBy("c_id")
     }),
 
     // Symmetric int8 quantization of the embedding column (the storage /
@@ -201,6 +255,33 @@ object SimilarityQueries extends QueryModule {
                     list_cosine_similarity(q.qv, a.v) AS cos
                   FROM assigned a JOIN q ON a.bucket = q.bucket
                   WHERE a.vec_id <> q.q_id)"""),
+
+    "q73_kmeans_train" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KMeansK),
+         r1 AS (SELECT vec_id, v, c_id, d2, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
+                FROM (SELECT e.vec_id, e.v, c.c_id,
+                        list_dot_product(e.v, e.v)
+                          - 2.0 * list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) AS d2
+                      FROM e CROSS JOIN cent0 c)),
+         a1 AS (SELECT vec_id, v, c_id FROM r1 WHERE rn = 1),
+         comp AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM a1),
+         cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                   FROM (SELECT c_id, pos, round(avg(x), 9) AS cx
+                         FROM comp GROUP BY c_id, pos)
+                   GROUP BY c_id),
+         r2 AS (SELECT vec_id, c_id, d2, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
+                FROM (SELECT e.vec_id, c.c_id,
+                        list_dot_product(e.v, e.v)
+                          - 2.0 * list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) AS d2
+                      FROM e CROSS JOIN cent1 c))
+         SELECT c_id, count(*) AS n_members, round(avg(d2), 6) AS avg_d2
+         FROM r2 WHERE rn = 1 GROUP BY c_id ORDER BY c_id""",
 
     "q72_embedding_quantize" ->
       """SELECT label, count(*) AS n_vecs, round(avg(rmse), 6) AS avg_rmse,

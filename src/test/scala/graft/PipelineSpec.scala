@@ -186,6 +186,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means training partitions the corpus and the update reduces distortion") {
+    val out = SparkEntry.queries("q73_kmeans_train")(spark, sf001).collect()
+    val total = Tables.load(spark, sf001, "embeddings").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == total,
+      "every vector must belong to exactly one cluster")
+    assert(out.forall(_.getAs[Double]("avg_d2") >= 0.0))
+    // Lloyd's guarantee: mean distortion after (assign → update → assign)
+    // is ≤ distortion of assigning straight to the init centroids.
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.functions.DotProductExpression.register(spark)
+    val cent0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val d0 = e.join(broadcast(cent0))
+      .withColumn("d2", expr("vec_dot(v,v) - 2.0*vec_dot(v,cv) + vec_dot(cv,cv)"))
+      .groupBy("vec_id").agg(min("d2").as("d2"))
+      .agg(avg("d2")).head.getDouble(0)
+    val trained = out.map(r =>
+      r.getAs[Long]("n_members") * r.getAs[Double]("avg_d2")).sum / total
+    assert(trained <= d0 + 1e-6, s"distortion rose after update: $trained > $d0")
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>

@@ -105,6 +105,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"quantization must stay map-side ($exchanges):\n$quant")
   }
 
+  test("k-means assignment broadcasts the centroids — corpus never shuffles to join") {
+    val plan = planOf("q73_kmeans_train")
+    // the K-row centroid tables must broadcast (nested loop is correct for a
+    // conditionless K×corpus join); the corpus must never sort-merge
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"centroids must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$plan")
+  }
+
   test("per-doc text pipeline has no shuffle before the final sort") {
     val plan = planOf("q24_fingerprint")
     // one Exchange max (the presentation orderBy) — the md5/split work is map-side
