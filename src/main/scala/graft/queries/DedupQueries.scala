@@ -230,9 +230,12 @@ object DedupQueries extends QueryModule {
       // fixpoint — one scalar aggregate per superstep instead of a
       // joined old-vs-new comparison. Decimal so corpus-scale id sums
       // cannot overflow.
+      // sum() of zero rows is null — a clean corpus (no near-dup pairs at
+      // all) must read as 0, not NPE on the first compareTo
       def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("cluster_id").cast(
-          org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+        Option(df.agg(sum(col("cluster_id").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,23 +37,27 @@ object SimilarityQueries extends QueryModule {
 
   /** One Lloyd assignment step: every vector to its nearest centroid by
     * squared L2 distance (computed as three dot products — no intermediate
-    * difference array). The centroid table broadcasts (K rows), so the
-    * assignment is a map-side nested loop over corpus splits — the shape
-    * that scales to any corpus size; only the K·dim centroid update
-    * shuffles. Ties break by rounded distance then c_id, mirroring the
-    * oracle's rank exactly.
+    * difference array). The K centroids fold into ONE broadcast array row
+    * and each vector takes an `array_min` argmin over it, so assignment is
+    * strictly map-side — no window, no corpus shuffle, ever. Both norms are
+    * precomputed once (‖v‖² per row, ‖c‖² per centroid) so the O(K·corpus)
+    * stage does exactly one fresh dot product per (vector, centroid) pair.
+    * Ties break by (rounded distance, c_id) via struct ordering, mirroring
+    * the oracle's rank exactly.
     */
   private def lloydAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(round(col("d2"), 6).asc, col("c_id").asc)
-    e.join(broadcast(cent))
-      .withColumn("d2",
-        dotNative(col("v"), col("v")) -
-          lit(2.0) * dotNative(col("v"), col("cv")) +
-          dotNative(col("cv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id"), col("d2"))
+    val centArr = cent
+      .withColumn("cc", dotNative(col("cv"), col("cv")))
+      .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as("cs"))
+    def d2of(c: Column): Column =
+      col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv")) + c.getField("cc")
+    e.withColumn("vv", dotNative(col("v"), col("v")))
+      .crossJoin(broadcast(centArr))
+      .withColumn("best", array_min(transform(col("cs"), c =>
+        struct(round(d2of(c), 6).as("rd2"), c.getField("c_id").as("c_id"),
+          d2of(c).as("d2")))))
+      .select(col("vec_id"), col("v"),
+        col("best.c_id").as("c_id"), col("best.d2").as("d2"))
   }
 
   /** Centroid update: per-(cluster, dim) mean, re-assembled into an array.
@@ -105,14 +109,9 @@ object SimilarityQueries extends QueryModule {
     // differences must not flip a bucket assignment.
     "q32_ivf_topk" -> ((s, dir) => {
       val e = corpus(s, dir)
-      // (a) centroids: posexplode → per-(label,dim) mean → re-assembled array.
-      val cent = e
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("label", "pos").agg(round(avg("x"), 9).as("cx"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          s => s.getField("cx")).as("cv"))
-        .select(col("label").as("c_id"), col("cv"))
+      // (a) centroids: per-label mean vectors (shared centroidsOf pipeline —
+      // one rounding convention to keep in sync with the oracle, not two).
+      val cent = centroidsOf(e.select(col("label").as("c_id"), col("v")))
       // (b) centroid affinity: broadcast nested loop + rank per vector.
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(round(col("c_cos"), 6).desc, col("c_id").asc)

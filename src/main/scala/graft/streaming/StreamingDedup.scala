@@ -28,8 +28,12 @@ object StreamingDedup {
   case class Doc(docId: Long, text: String)
   case class FpDoc(docId: Long, fp: String)
   case class FpState(firstId: Long, nSeen: Long)
+  /** `nthOccurrence` is 1-based: 1 = canonical copy, k = the (k−1)th dup —
+    * the signal a downstream "keep at most N copies" policy filters on.
+    */
   case class DedupVerdict(
-    docId: Long, fp: String, isDuplicate: Boolean, firstSeenId: Long)
+    docId: Long, fp: String, isDuplicate: Boolean, firstSeenId: Long,
+    nthOccurrence: Long)
 
   def dedup(docs: Dataset[Doc]): Dataset[DedupVerdict] = {
     import docs.sparkSession.implicits._
@@ -49,7 +53,7 @@ object StreamingDedup {
           val out = batch.map { d =>
             if (st.firstId < 0) st = FpState(d.docId, 0L)
             st = st.copy(nSeen = st.nSeen + 1)
-            DedupVerdict(d.docId, fp, d.docId != st.firstId, st.firstId)
+            DedupVerdict(d.docId, fp, d.docId != st.firstId, st.firstId, st.nSeen)
           }
           state.update(st)
           out.iterator

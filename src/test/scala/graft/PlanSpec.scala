@@ -99,6 +99,13 @@ class PlanSpec extends AnyFunSuite {
     // q70's top-k over gram frequencies is a TakeOrdered, not a global sort
     val boil = planOf("q70_boilerplate_ngrams")
     assert(boil.contains("TakeOrderedAndProject"), s"q70 top-k:\n$boil")
+    // q71's rank window must sit ABOVE the vocab aggregation (plan prints
+    // root-first, so the Window line appears before the HashAggregate that
+    // collapses the corpus) — never a window over raw corpus rows
+    val vocab = planOf("q71_vocab_topk")
+    val (wIdx, aIdx) = (vocab.indexOf("Window"), vocab.indexOf("HashAggregate"))
+    assert(wIdx >= 0 && aIdx >= 0 && wIdx < aIdx,
+      s"q71 window must rank aggregated vocab, not corpus rows:\n$vocab")
     // q72 is map-side arithmetic + one tiny aggregate: ≤ 2 exchanges
     val quant = planOf("q72_embedding_quantize")
     val exchanges = "Exchange".r.findAllIn(quant).length
@@ -107,10 +114,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("k-means assignment broadcasts the centroids — corpus never shuffles to join") {
     val plan = planOf("q73_kmeans_train")
-    // the K-row centroid tables must broadcast (nested loop is correct for a
-    // conditionless K×corpus join); the corpus must never sort-merge
+    // the folded centroid array must broadcast (nested loop is correct for a
+    // conditionless 1×corpus join); the corpus must never sort-merge, and the
+    // argmin must be the array fold — no per-vector rank window (a window
+    // would shuffle the whole corpus by vec_id each assignment)
     assert(plan.contains("BroadcastNestedLoopJoin"), s"centroids must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not window-shuffle the corpus:\n$plan")
   }
 
   test("per-doc text pipeline has no shuffle before the final sort") {

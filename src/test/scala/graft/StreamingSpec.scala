@@ -443,12 +443,13 @@ class StreamingSpec extends AnyFunSuite {
       stream.addData(Doc(4, "hello  world"), Doc(5, "brand new"))
       query.processAllAvailable()
       val got = spark.table("sdedup").as[DedupVerdict].collect()
-        .map(v => v.docId -> ((v.isDuplicate, v.firstSeenId))).toMap
-      assert(got(1L) == ((false, 1L)))
-      assert(got(2L) == ((true, 1L)), s"in-batch dup: $got")
-      assert(got(3L) == ((false, 3L)))
-      assert(got(4L) == ((true, 1L)), s"cross-batch dup: $got")
-      assert(got(5L) == ((false, 5L)))
+        .map(v => v.docId -> ((v.isDuplicate, v.firstSeenId, v.nthOccurrence)))
+        .toMap
+      assert(got(1L) == ((false, 1L, 1L)))
+      assert(got(2L) == ((true, 1L, 2L)), s"in-batch dup: $got")
+      assert(got(3L) == ((false, 3L, 1L)))
+      assert(got(4L) == ((true, 1L, 3L)), s"cross-batch dup ordinal must span batches: $got")
+      assert(got(5L) == ((false, 5L, 1L)))
     } finally query.stop()
   }
 
