@@ -56,9 +56,12 @@ object DotProductExpression {
     acc
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[DotProductExpression].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProductExpression(children(0), children(1)))
+  def register(spark: SparkSession): Unit = {
+    val id = new FunctionIdentifier("vec_dot")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[DotProductExpression].getName, "vec_dot"),
+        (children: Seq[Expression]) => DotProductExpression(children(0), children(1)))
+  }
 }

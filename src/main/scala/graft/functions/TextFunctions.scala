@@ -34,10 +34,20 @@ object TextFunctions {
     s"CAST(('0x' || substr(md5('$seed:' || $expr), 1, 15)) AS BIGINT)"
 
   /** Word n-gram shingles (distinct), [] when the doc has < n tokens.
-    * 1-based `slice` mirrors DuckDB's 1-based list slicing so shingle strings
-    * match the oracle exactly.
+    * Native `word_shingles` Catalyst expression (one tight codegen'd loop);
+    * callers must `WordShinglesExpression.register(spark)` first — every
+    * query module does this at entry. [[shinglesHof]] is the declarative
+    * reference form the native kernel is property-tested against.
     */
   def shingles(tokens: Column, n: Int): Column =
+    call_function("word_shingles", tokens, lit(n))
+
+  /** Built-in higher-order-function form of [[shingles]] — value-identical
+    * (same grams, same first-occurrence order; 1-based `slice` mirrors
+    * DuckDB's 1-based list slicing) but interpreted per element, so ~6×
+    * slower. Kept as the spec oracle for the native expression.
+    */
+  def shinglesHof(tokens: Column, n: Int): Column =
     array_distinct(
       when(size(tokens) >= n,
         transform(sequence(lit(1), size(tokens) - (n - 1)),

@@ -51,6 +51,7 @@ object DedupQueries extends QueryModule {
   private def shingledDocs(s: SparkSession, dir: String): DataFrame =
     shMemo.getOrElseUpdate((s, dir), {
       Memos.hook(s)
+      graft.functions.WordShinglesExpression.register(s)
       docs(s, dir)
         .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("s"))
         .withColumn("h0", hash64(col("s"), 0))

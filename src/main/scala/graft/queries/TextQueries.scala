@@ -125,6 +125,7 @@ object TextQueries extends QueryModule {
     // the token array (no explode, no shuffle): total grams = n_tokens − 2,
     // distinct grams from the deduped shingle array.
     "q68_repetition" -> ((s, dir) => {
+      graft.functions.WordShinglesExpression.register(s)
       val tk = toks(col("text"))
       docs(s, dir)
         .select(col("doc_id"), (size(tk) - 2).cast("long").as("n_grams"),
@@ -162,6 +163,7 @@ object TextQueries extends QueryModule {
     // partial aggregation; the top-k is TakeOrdered over the (much
     // smaller) gram-frequency table.
     "q70_boilerplate_ngrams" -> ((s, dir) => {
+      graft.functions.WordShinglesExpression.register(s)
       docs(s, dir)
         .select(explode(shingles(toks(col("text")), 5)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("df"))

@@ -162,6 +162,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native word_shingles equals the higher-order-function form end-to-end") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    graft.functions.WordShinglesExpression.register(spark)
+    val tk = toks(col("text"))
+    val mismatches = Tables.load(spark, sf001, "documents")
+      .select(shingles(tk, 3).as("native"), shinglesHof(tk, 3).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(mismatches == 0, s"$mismatches docs shingle differently")
+  }
+
   test("boilerplate grams are shared 5-grams; vocab ranks are dense per lang") {
     val grams = SparkEntry.queries("q70_boilerplate_ngrams")(spark, sf001).collect()
     assert(grams.nonEmpty, "planted dup docs must share at least one 5-gram")

@@ -59,6 +59,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("word_shingles kernel equals the sliding-window definition") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val gen = Gen.zip(Gen.listOf(word), Gen.choose(1, 6))
+    samples(gen, 500).foreach { case (tokens, k) =>
+      val expected =
+        if (tokens.length < k) Seq.empty
+        else tokens.sliding(k).map(_.mkString(" ")).toSeq.distinct
+      val arr = new GenericArrayData(
+        tokens.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.WordShinglesExpression.shingles(arr, k)
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      assert(gotSeq == expected, s"mismatch for tokens=$tokens k=$k")
+    }
+  }
+
   test("emission invariants: nonincreasing per-block, nondecreasing cumulative") {
     samples(Gen.zip(Gen.choose(1L, 3000000L), Gen.choose(1L, 3000000L))).foreach {
       case (a, b) =>
