@@ -453,6 +453,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup pairs docs across micro-batches via LSH buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingNearDup._
+    val stream = MemoryStream[Doc]
+    val out = pairs(stream.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("sneardup").outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "rain falls on the dusty road tonight"
+      stream.addData(Doc(1, base),
+        Doc(3, "completely different words about catalyst codegen " +
+          "partitions shuffles joins windows aggregates and scans"))
+      query.processAllAvailable()
+      // batch 2: 2 is a near-copy of 1 (one appended token) — the LSH
+      // bucket state must remember 1's signature across the batch boundary
+      stream.addData(Doc(2, base + " again"),
+        Doc(4, "another unrelated text mentioning parquet files and " +
+          "broadcast variables in cluster deployments everywhere"))
+      query.processAllAvailable()
+      val got = spark.table("sneardup").as[NearDupPair].collect()
+      val pairSet = got.map(p => (p.aId, p.bId)).toSet
+      assert(pairSet.contains((1L, 2L)), s"cross-batch near-dup missed: $pairSet")
+      assert(got.forall(_.estSim >= 0.5), s"threshold leak: ${got.mkString(",")}")
+      assert(pairSet.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L)) },
+        s"false positives: $pairSet")
+    } finally query.stop()
+  }
+
   test("pool-state pairing tags each batch with the pool before it and tracks evictions") {
     import spark.implicits._
     def tx(id: String) = MempoolTx(id, new java.sql.Timestamp(1700000000000L), Nil, Nil)
