@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's stdout for the final JSON metric line.
+// Round-1 BENCH had parsed=null: sbt's logger prefixed the line with
+// "[info] " and appended "[success] Total time ..." after it. Emit the
+// forked program's stdout raw and drop the success banner so the JSON
+// really is the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
