@@ -243,6 +243,76 @@ object ChainOracle {
           GROUP BY t.tokenId, t.tokenName, t.tokenDecimals, t.emissionAmount
           ORDER BY t.tokenId""",
 
+    // Common-input-ownership clusters re-derived: star edges from each tx's
+    // resolved input scripts, components via a recursive-CTE transitive
+    // closure, min label per node — verifying the Spark superstep loop.
+    "q74_address_clusters" ->
+      s"""WITH RECURSIVE
+          ins AS (SELECT DISTINCT i.txId, o.ergoTreeHash
+                  FROM read_parquet('${p("inputs")}') i
+                  JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId),
+          txmin AS (SELECT txId, min(ergoTreeHash) AS m FROM ins GROUP BY txId),
+          star AS (SELECT DISTINCT i.ergoTreeHash AS a, t.m AS b
+                   FROM ins i JOIN txmin t USING (txId)
+                   WHERE i.ergoTreeHash <> t.m),
+          edges AS (SELECT a AS s, b AS d FROM star
+                    UNION ALL SELECT b, a FROM star),
+          nodes AS (SELECT DISTINCT ergoTreeHash FROM read_parquet('${p("outputs")}')),
+          reach(node, lbl) AS (
+            SELECT ergoTreeHash, ergoTreeHash FROM nodes
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+          lab AS (SELECT node AS ergoTreeHash, min(lbl) AS cluster_id
+                  FROM reach GROUP BY 1),
+          cs AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
+          SELECT lab.ergoTreeHash, lab.cluster_id, cs.csize
+          FROM lab JOIN cs USING (cluster_id) ORDER BY ergoTreeHash""",
+
+    // Balance history re-derived: credit/debit ledger union, net per
+    // (script, height), running balance as a partitioned SQL window.
+    "q75_balance_history" ->
+      s"""WITH led AS (
+            SELECT ergoTreeHash, settlementHeight AS height,
+              CAST(ergValue AS BIGINT) AS delta
+            FROM read_parquet('${p("outputs")}')
+            UNION ALL
+            SELECT o.ergoTreeHash, i.height, -CAST(o.ergValue AS BIGINT)
+            FROM read_parquet('${p("inputs")}') i
+            JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId)
+          SELECT ergoTreeHash, height, CAST(sum(delta) AS BIGINT) AS net,
+            CAST(sum(sum(delta)) OVER (PARTITION BY ergoTreeHash ORDER BY height)
+              AS BIGINT) AS balance
+          FROM led GROUP BY ergoTreeHash, height
+          ORDER BY ergoTreeHash, height""",
+
+    // Point-in-time rich list: the UTXO set AS OF height
+    // ${ChainQueries.RichListHeight}, both sides height-pruned.
+    "q76_rich_list_at_height" ->
+      s"""SELECT o.ergoTreeHash, CAST(sum(o.ergValue) AS BIGINT) AS balance,
+            count(*) AS nBoxes
+          FROM read_parquet('${p("outputs")}') o
+          WHERE o.settlementHeight <= ${ChainQueries.RichListHeight}
+            AND NOT EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
+                            WHERE i.boxId = o.boxId
+                              AND i.height <= ${ChainQueries.RichListHeight})
+          GROUP BY o.ergoTreeHash
+          ORDER BY balance DESC, o.ergoTreeHash LIMIT 10""",
+
+    // Token holder distribution over the live UTXO set: top-3 scripts per
+    // token by held amount (window recomputed).
+    "q77_token_holders" ->
+      s"""SELECT tokenId, ergoTreeHash, held, nBoxes, rnk FROM (
+            SELECT h.*, row_number() OVER (
+              PARTITION BY tokenId ORDER BY held DESC, ergoTreeHash) AS rnk
+            FROM (SELECT a.tokenId, o.ergoTreeHash,
+                    CAST(sum(a.amount) AS BIGINT) AS held, count(*) AS nBoxes
+                  FROM read_parquet('${p("assets")}') a
+                  JOIN read_parquet('${p("outputs")}') o ON a.boxId = o.boxId
+                  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
+                                    WHERE i.boxId = o.boxId)
+                  GROUP BY a.tokenId, o.ergoTreeHash) h)
+          WHERE rnk <= 3 ORDER BY tokenId, rnk""",
+
     // Backfill result re-derived from the RAW nested blocks: unnest replays
     // the flatten, NOT EXISTS replays the UTXO anti-join.
     "q51_chain_backfill" ->

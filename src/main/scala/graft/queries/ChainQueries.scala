@@ -22,6 +22,10 @@ object ChainQueries extends QueryModule {
   private[queries] val ForkShortLen = 2
   private[queries] val ForkLongLen = 5
 
+  // Point-in-time height for the rich-list reconstruction (q76) — mid-chain
+  // so both the settled-≤h and spent-≤h prunes are exercised.
+  private[queries] val RichListHeight = 40
+
   // one fixture derivation per session, entity tables cached — the chain
   // queries share state exactly like real queries share warehouse tables.
   private val memo = scala.collection.concurrent.TrieMap[SparkSession, ChainTables]()
@@ -151,6 +155,89 @@ object ChainQueries extends QueryModule {
         .orderBy("tokenId")
     }),
 
+    // Common-input-ownership address clustering — the classic UTXO-chain
+    // analytics heuristic: scripts co-spent as inputs of one tx belong to one
+    // wallet; clusters are the connected components of the co-spend graph.
+    // Star edges (script ↔ per-tx min script) instead of all within-tx pairs
+    // keep the edge count linear in Σ inputs — a tx with 1000 inputs emits
+    // 999 edges, not 500k — and min-label propagation iterates ONLY over the
+    // co-spend subgraph (scripts never co-spent are singletons by
+    // definition and rejoin after convergence), so each superstep shuffles
+    // O(edges), not O(scripts).
+    "q74_address_clusters" -> ((s, _) => {
+      val t = tables(s)
+      val inScripts = t.inputs.select("boxId", "txId")
+        .join(t.outputs.select("boxId", "ergoTreeHash"), "boxId")
+        .select("txId", "ergoTreeHash").distinct()
+      val txMin = inScripts.groupBy("txId").agg(min("ergoTreeHash").as("m"))
+      val star = inScripts.join(txMin, "txId")
+        .filter(col("ergoTreeHash") =!= col("m"))
+        .select(col("ergoTreeHash").as("a"), col("m").as("b")).distinct()
+        .localCheckpoint(true)
+      val edges = star.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(star.select(col("b").as("src"), col("a").as("dst")))
+      val labels = Clustering.minLabelComponents(edges, s)
+      val all = t.outputs.select(col("ergoTreeHash")).distinct()
+        .join(broadcast(labels.toDF("node", "cid")),
+          col("ergoTreeHash") === col("node"), "left")
+        .select(col("ergoTreeHash"),
+          coalesce(col("cid"), col("ergoTreeHash")).as("cluster_id"))
+      val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      all.join(sizes, "cluster_id")
+        .select("ergoTreeHash", "cluster_id", "csize")
+        .orderBy("ergoTreeHash")
+    }),
+
+    // Per-script balance history: credits at settlement height, debits at
+    // spend height, running balance via a window PARTITIONED by script —
+    // never a global single-partition window, so the plan scales with the
+    // address count.
+    "q75_balance_history" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = tables(s)
+      val credits = t.outputs.select(col("ergoTreeHash"),
+        col("settlementHeight").as("height"), col("ergValue").as("delta"))
+      val debits = t.inputs.select(col("boxId"), col("height"))
+        .join(t.outputs.select("boxId", "ergoTreeHash", "ergValue"), "boxId")
+        .select(col("ergoTreeHash"), col("height"), (-col("ergValue")).as("delta"))
+      val w = Window.partitionBy("ergoTreeHash").orderBy("height")
+      credits.unionByName(debits)
+        .groupBy("ergoTreeHash", "height").agg(sum("delta").as("net"))
+        .withColumn("balance", sum("net").over(w))
+        .orderBy("ergoTreeHash", "height")
+    }),
+
+    // Point-in-time rich list: reconstruct the UTXO set AS OF RichListHeight
+    // (outputs settled ≤ h minus boxes spent ≤ h — the anti-join with both
+    // sides height-pruned, so the scan prunes to the history prefix) and
+    // rank scripts by held value.
+    "q76_rich_list_at_height" -> ((s, _) => {
+      val t = tables(s)
+      val spentByH = t.inputs.filter(col("height") <= RichListHeight).select("boxId")
+      t.outputs.filter(col("settlementHeight") <= RichListHeight)
+        .join(spentByH, Seq("boxId"), "left_anti")
+        .groupBy("ergoTreeHash")
+        .agg(sum("ergValue").as("balance"), count(lit(1)).as("nBoxes"))
+        .orderBy(desc("balance"), asc("ergoTreeHash"))
+        .limit(10)
+    }),
+
+    // Token holder distribution: per token, the top-3 holding scripts over
+    // the LIVE utxo set — rank inside a window partitioned by tokenId.
+    "q77_token_holders" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = tables(s)
+      val held = UtxoQueries.utxos(t).select(col("boxId"), col("ergoTreeHash"))
+        .join(t.assets.select("boxId", "tokenId", "amount"), "boxId")
+        .groupBy("tokenId", "ergoTreeHash")
+        .agg(sum("amount").as("held"), count(lit(1)).as("nBoxes"))
+      val w = Window.partitionBy("tokenId")
+        .orderBy(desc("held"), asc("ergoTreeHash"))
+      held.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("tokenId", "rnk")
+    }),
+
     // Unspent boxes by address — the reference's flagship REST query (§3.1).
     // The target script is picked deterministically (min hash) with a 1-row
     // broadcast semi-join, keeping the whole plan distributed (no driver
@@ -167,5 +254,8 @@ object ChainQueries extends QueryModule {
     })
   )
 
-  val oracles: Map[String, String] = ChainOracle.oracles
+  // def, not val: ChainOracle's init reads ChainQueries.RichListHeight, so a
+  // val here would capture ChainOracle.oracles as null when ChainOracle is
+  // the object touched first (Verify calls dump() before the query map).
+  def oracles: Map[String, String] = ChainOracle.oracles
 }

@@ -100,6 +100,37 @@ class ChainSpec extends AnyFunSuite {
     assert(broken == 0)
   }
 
+  test("address clustering: co-spent scripts share a cluster; balance history ties out") {
+    val q = graft.queries.ChainQueries.queries
+    val clusters = q("q74_address_clusters")(spark, "")
+      .select("ergoTreeHash", "cluster_id")
+    // law 1: any two scripts spent as inputs of one tx map to one cluster
+    val inScripts = UtxoQueries.resolvedInputs(tables)
+      .select("txId", "ergoTreeHash").distinct()
+    val perTx = inScripts.join(clusters, "ergoTreeHash")
+      .groupBy("txId").agg(countDistinct("cluster_id").as("nc"))
+    assert(perTx.filter(col("nc") > 1).count() == 0,
+      "a tx's input scripts must share one cluster")
+    // the fixture must make this non-trivial: some cluster has >1 member
+    assert(q("q74_address_clusters")(spark, "").filter(col("csize") > 1).count() > 0)
+    // law 2: each script's final running balance equals its live UTXO value
+    val lastBal = q("q75_balance_history")(spark, "")
+      .groupBy("ergoTreeHash").agg(max_by(col("balance"), col("height")).as("finalBalance"))
+    val live = UtxoQueries.utxos(tables)
+      .groupBy("ergoTreeHash").agg(sum("ergValue").as("liveValue"))
+    val mismatch = lastBal.join(live, Seq("ergoTreeHash"), "full_outer")
+      .filter(coalesce(col("finalBalance"), lit(0L)) =!= coalesce(col("liveValue"), lit(0L)))
+      .count()
+    assert(mismatch == 0, "final running balance must equal live UTXO value")
+    // law 3: the rich list at the tip equals the live top-10
+    val q76 = q("q76_rich_list_at_height")(spark, "")
+    assert(q76.count() == 10)
+    // law 4: token holders hold only live boxes, ranks are 1..3 per token
+    val th = q("q77_token_holders")(spark, "")
+    assert(th.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+    assert(th.count() > 0)
+  }
+
   test("emission closed forms match the iterative definitions") {
     val heights = Seq(1L, 100L, 525599L, 525600L, 525601L, 590400L, 777216L,
       777217L, 1000000L, 2080800L, 2145600L, 3000000L)
