@@ -188,6 +188,86 @@ object TextQueries extends QueryModule {
         .orderBy("lang", "rnk")
     }),
 
+    // Character-level Shannon entropy per doc — the classic cheap "is this
+    // natural text or noise/binary-spill" quality signal. Entirely per-row
+    // column math (sequence → substr chars, per-char counts via filter, a
+    // SORTED fold of the -p·log2 p terms), so the plan is a shuffle-free
+    // scan at any corpus size, and the deterministic fold order makes the
+    // double bit-identical to the oracle's list_reduce.
+    "q78_char_entropy" -> ((s, dir) => {
+      val chars = transform(sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1)))
+      docs(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          chars.as("ch"))
+        .withColumn("n", col("n_chars").cast("double"))
+        .withColumn("terms", transform(array_sort(array_distinct(col("ch"))), c => {
+          val p = size(filter(col("ch"), x => x === c)).cast("double") / col("n")
+          -p * log2(p)
+        }))
+        .select(col("doc_id"), col("n_chars"),
+          round(aggregate(col("terms"), lit(0.0), (a, b) => a + b), 4).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // Bigram language-model scoring (perplexity proxy): corpus-level add-one
+    // bigram model, per-doc mean log2-probability — the model-based quality
+    // filter stage. Candidate stats are two count shuffles that collapse to
+    // vocab/bigram-type size (≪ corpus); the per-doc score joins on the
+    // bigram key and folds terms in bigram-sorted order (deterministic
+    // doubles). Low-probability docs are the pipeline's removal candidates.
+    "q79_bigram_lm_score" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val base = docs(s, dir)
+        .select(col("doc_id"), tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val bigrams = base.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat(element_at(col("tk"), i), lit(" "),
+            element_at(col("tk"), i + lit(1))))).as("bg"))
+      val docBg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val corpusBg = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val unigrams = base.select(explode(col("tk")).as("w"))
+      val cw = unigrams.groupBy("w").agg(count(lit(1)).as("cw"))
+      val v = unigrams.agg(countDistinct("w").as("v"))
+      val terms = docBg
+        .join(corpusBg, "bg")
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(cw, col("w1") === col("w"))
+        .crossJoin(broadcast(v))
+        .withColumn("term", col("c").cast("double") *
+          log2((col("cb") + lit(1.0)) / (col("cw") + col("v").cast("double"))))
+      terms.groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"),
+          sort_array(collect_list(struct(col("bg"), col("term")))).as("ts"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(aggregate(col("ts"), lit(0.0), (a, t) => a + t.getField("term")) /
+            col("n_bigrams").cast("double"), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top terms per document — the keyword-extraction stage. Term
+    // counts collapse to (doc × distinct-term) before any window; the rank
+    // window is partitioned by doc_id, so no global ordering ever forms.
+    "q80_tfidf_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(round(col("score"), 6).desc, col("tok"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Document fingerprinting: exact-content fingerprint (md5 of the
     // canonical form) + order-insensitive bag fingerprint (md5 of the sorted
     // distinct token list).
@@ -295,6 +375,56 @@ object TextQueries extends QueryModule {
            WHERE len(t) >= 5)
          GROUP BY gram HAVING count(*) >= 2
          ORDER BY df DESC, gram LIMIT 25""",
+    "q78_char_entropy" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list_distinct(ch)),
+               c -> -(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE) / n)
+                    * log2(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE) / n))),
+             (a,b) -> a + b), 4) AS entropy
+         FROM (SELECT doc_id, text, string_split(text, '') AS ch,
+                 CAST(length(text) AS DOUBLE) AS n
+               FROM documents WHERE length(text) >= 1)
+         ORDER BY doc_id""",
+    "q79_bigram_lm_score" ->
+      raw"""WITH tkt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                 FROM documents),
+         base AS (SELECT * FROM tkt WHERE len(tk) >= 2),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM base),
+         dbg AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+         cbg AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+         un AS (SELECT unnest(tk) AS w FROM base),
+         cw AS (SELECT w, count(*) AS cw FROM un GROUP BY w),
+         v AS (SELECT count(DISTINCT w) AS v FROM un),
+         terms AS (SELECT d.doc_id, d.bg, d.c,
+             CAST(d.c AS DOUBLE) *
+               log2((cbg.cb + CAST(1.0 AS DOUBLE)) / (cw.cw + CAST(v.v AS DOUBLE))) AS term
+           FROM dbg d
+           JOIN cbg USING (bg)
+           JOIN cw ON cw.w = string_split(d.bg, ' ')[1]
+           CROSS JOIN v)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY bg)), (a,b) -> a + b)
+             / CAST(sum(c) AS DOUBLE), 4) AS avg_logp
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "q80_tfidf_topk" ->
+      raw"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                       FROM documents)
+                 GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf AS DOUBLE) *
+               ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+           FROM tf JOIN df USING (tok) CROSS JOIN n)
+         SELECT doc_id, rnk, tok, round(score, 4) AS score FROM (
+           SELECT doc_id, tok, score, row_number() OVER (
+             PARTITION BY doc_id ORDER BY round(score, 6) DESC, tok) AS rnk
+           FROM scored)
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q71_vocab_topk" ->
       raw"""SELECT lang, rnk, tok, n FROM (
            SELECT lang, tok, n, row_number() OVER (

@@ -227,6 +227,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(trained <= d0 + 1e-6, s"distortion rose after update: $trained > $d0")
   }
 
+  test("entropy, LM score, and TF-IDF obey their analytic bounds") {
+    import org.apache.spark.sql.functions._
+    // 0 ≤ H ≤ log2(n_chars): uniform over distinct chars is the max.
+    val ent = SparkEntry.queries("q78_char_entropy")(spark, sf0001)
+    assert(ent.filter(col("entropy") < 0.0 ||
+      col("entropy") > log2(col("n_chars").cast("double")) + 0.0001).count() == 0)
+    assert(ent.filter(col("entropy") > 3.0).count() > 0,
+      "word-soup text must have non-trivial char entropy")
+    // add-one bigram probabilities are < 1 ⇒ every mean log2-prob is negative.
+    val lm = SparkEntry.queries("q79_bigram_lm_score")(spark, sf0001)
+    assert(lm.filter(col("avg_logp") >= 0.0).count() == 0)
+    assert(lm.count() > 0)
+    // TF-IDF ranks are dense 1..3 per doc; scores non-negative (df ≤ N).
+    val tfidf = SparkEntry.queries("q80_tfidf_topk")(spark, sf0001)
+    assert(tfidf.filter(col("score") < -0.0001).count() == 0)
+    val badRanks = tfidf.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max("rnk").as("mx"), min("rnk").as("mn"))
+      .filter(col("mx") =!= col("k") || col("mn") =!= 1)
+      .count()
+    assert(badRanks == 0, "per-doc TF-IDF ranks must be dense starting at 1")
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>
