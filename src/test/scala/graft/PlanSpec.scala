@@ -123,6 +123,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"assignment must not window-shuffle the corpus:\n$plan")
   }
 
+  test("balance/rich-list/entropy/tfidf plans keep their scale shape") {
+    // q75's running balance must be a partitioned window, never global
+    val bal = planOf("q75_balance_history")
+    assert(bal.contains("windowspecdefinition(ergoTreeHash"),
+      s"balance window must partition by script:\n$bal")
+    // q76's as-of reconstruction stays an anti join + top-10 TakeOrdered
+    val rich = planOf("q76_rich_list_at_height")
+    assert(rich.contains("LeftAnti"), s"as-of UTXO must be an anti join:\n$rich")
+    assert(rich.contains("TakeOrderedAndProject"), s"top-10 must TakeOrdered:\n$rich")
+    // q78 is per-row column math: nothing shuffles except the final sort
+    val ent = planOf("q78_char_entropy")
+    val exchanges = "Exchange".r.findAllIn(ent).length
+    assert(exchanges <= 1, s"entropy must be map-side ($exchanges exchanges):\n$ent")
+    // q80's rank window partitions by doc_id and the doc-count dim broadcasts
+    val tfidf = planOf("q80_tfidf_topk")
+    assert(tfidf.contains("windowspecdefinition(doc_id"),
+      s"tfidf window must partition by doc:\n$tfidf")
+    assert(tfidf.contains("BroadcastNestedLoopJoin") || tfidf.contains("BroadcastHashJoin"),
+      s"the 1-row doc count must broadcast:\n$tfidf")
+  }
+
   test("per-doc text pipeline has no shuffle before the final sort") {
     val plan = planOf("q24_fingerprint")
     // one Exchange max (the presentation orderBy) — the md5/split work is map-side
