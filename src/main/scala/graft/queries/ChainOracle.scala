@@ -313,6 +313,16 @@ object ChainOracle {
                   GROUP BY a.tokenId, o.ergoTreeHash) h)
           WHERE rnk <= 3 ORDER BY tokenId, rnk""",
 
+    // Exact heavy hitters recomputed directly — verifying that the
+    // sketch-then-recount pipeline loses nothing above the bar.
+    "q81_hot_scripts_sketch" ->
+      s"""SELECT ergoTreeHash, count(*) AS n
+          FROM read_parquet('${p("outputs")}')
+          GROUP BY ergoTreeHash
+          HAVING count(*) * ${ChainQueries.HotK} >
+            (SELECT count(*) FROM read_parquet('${p("outputs")}'))
+          ORDER BY ergoTreeHash""",
+
     // Backfill result re-derived from the RAW nested blocks: unnest replays
     // the flatten, NOT EXISTS replays the UTXO anti-join.
     "q51_chain_backfill" ->

@@ -26,6 +26,12 @@ object ChainQueries extends QueryModule {
   // so both the settled-≤h and spent-≤h prunes are exercised.
   private[queries] val RichListHeight = 40
 
+  // Misra–Gries counters for q81: k=8 guarantees candidates above N/9
+  // frequency; the exact filter keeps scripts above N/8 (> N/9, so the
+  // sketch's candidate set provably covers the answer). The fixture's fee
+  // contract (~1/4 of outputs) is the planted heavy hitter.
+  private[queries] val HotK = 8
+
   // one fixture derivation per session, entity tables cached — the chain
   // queries share state exactly like real queries share warehouse tables.
   private val memo = scala.collection.concurrent.TrieMap[SparkSession, ChainTables]()
@@ -236,6 +242,31 @@ object ChainQueries extends QueryModule {
       held.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .orderBy("tokenId", "rnk")
+    }),
+
+    // Hot-script detection via a Misra–Gries sketch (the reference's
+    // supernode problem, SuperNodeCollector.scala:13-65, solved in O(k)
+    // memory instead of a full per-key counter table). Two-phase exact:
+    // the k-counter sketch guarantees every script above N/(k+1) frequency
+    // survives as a candidate, so an exact recount of just the (≤ k,
+    // broadcast) candidates emits precisely the scripts above the N/HotK
+    // bar — no full groupBy over the key space ever happens, which is the
+    // point at 100 TB where the key space is billions of scripts.
+    "q81_hot_scripts_sketch" -> ((s, _) => {
+      import s.implicits._
+      val t = tables(s)
+      val scripts = t.outputs.select(col("ergoTreeHash")).as[String]
+      val sk = scripts
+        .select(new graft.functions.FrequentItemsAggregator(HotK).toColumn)
+        .toDF("sk")
+      val cands = sk.select(explode(map_keys(col("sk"))).as("ergoTreeHash"))
+      val total = t.outputs.agg(count(lit(1)).as("total"))
+      t.outputs.join(broadcast(cands), Seq("ergoTreeHash"), "left_semi")
+        .groupBy("ergoTreeHash").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") * HotK > col("total"))
+        .select(col("ergoTreeHash"), col("n"))
+        .orderBy("ergoTreeHash")
     }),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).

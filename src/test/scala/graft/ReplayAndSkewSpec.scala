@@ -130,6 +130,31 @@ class ReplayAndSkewSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("misra-gries sketch keeps every item above N/(k+1) with bounded undercount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed stream: item i appears 2^(10-i) times, i = 0..9, plus 1000
+    // singleton ids — 2023 items total, far more distinct keys than counters.
+    val skewed = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"hot$i")) ++
+      (0 until 1000).map(i => s"cold$i")
+    val n = skewed.size.toLong
+    val k = 8
+    val ds = spark.createDataset(skewed).repartition(7) // force partial merges
+    val sketch = ds.select(new graft.functions.FrequentItemsAggregator(k).toColumn)
+      .head()
+    val exact = skewed.groupBy(identity).map { case (x, xs) => x -> xs.size.toLong }
+    val bar = n / (k + 1)
+    exact.filter(_._2 > bar).foreach { case (x, c) =>
+      assert(sketch.contains(x), s"$x (count $c > $bar) missing from sketch")
+      assert(sketch(x) <= c, s"sketch must never overcount: $x ${sketch(x)} > $c")
+      assert(sketch(x) >= c - bar, s"undercount bound violated for $x")
+    }
+    assert(sketch.size <= k, s"sketch exceeded $k counters: ${sketch.size}")
+    // the q81 two-phase pipeline returns exactly the above-bar scripts
+    val q81 = graft.queries.ChainQueries.queries("q81_hot_scripts_sketch")(spark, "")
+    assert(q81.count() >= 1, "the fee contract must be detected as hot")
+  }
+
   test("2-hop graph traversal finds paths through intermediate scripts") {
     import spark.implicits._
     val t = BlockDerivation.derive(spark.createDataset(ChainFixture.generate(60)))
