@@ -311,11 +311,25 @@ object RelationalQueries extends QueryModule {
     // HLL cardinality (approx_count_distinct) — the datasketches TODO the
     // reference never built (readme.md:226). Approximate ⇒ no value oracle;
     // PipelineSpec bounds the error against the exact count.
+    // HLL++ sketch vs exact cardinality. HLL register merges are max()
+    // (commutative/associative), so the approx value is deterministic for a
+    // given dataset regardless of partitioning — but not portable to
+    // DuckDB's different sketch. The hash-comparable contract is therefore:
+    // exact counts (both engines) + a within-5×rsd relative-error flag that
+    // the oracle asserts as literal TRUE — Spark's sketch drifting out of
+    // tolerance turns the row red. (Default 5% rsd misses ~1.4k-key groups
+    // by >2%, so the sketch is tightened to rsd=1% — 2^14 registers, the
+    // supernode-cardinality trade the reference's datasketches TODO is
+    // about.)
     "q49_approx_distinct" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(approx_count_distinct("o_custkey").as("approx_custs"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
+          countDistinct("o_custkey").as("n_custs"),
           count(lit(1)).as("n_orders"))
+        .select(col("o_orderstatus"), col("n_custs"), col("n_orders"),
+          (abs(col("approx") - col("n_custs")).cast("double") <=
+            lit(0.05) * col("n_custs").cast("double")).as("within_5pct"))
         .orderBy("o_orderstatus")
     }),
 
@@ -419,6 +433,10 @@ object RelationalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_approx_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders, TRUE AS within_5pct
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
