@@ -24,13 +24,13 @@ object ChainQueries extends QueryModule {
 
   // Point-in-time height for the rich-list reconstruction (q76) — mid-chain
   // so both the settled-≤h and spent-≤h prunes are exercised.
-  private[queries] val RichListHeight = 40
+  private[graft] val RichListHeight = 40
 
   // Misra–Gries counters for q81: k=8 guarantees candidates above N/9
   // frequency; the exact filter keeps scripts above N/8 (> N/9, so the
   // sketch's candidate set provably covers the answer). The fixture's fee
   // contract (~1/4 of outputs) is the planted heavy hitter.
-  private[queries] val HotK = 8
+  private[graft] val HotK = 8
 
   // one fixture derivation per session, entity tables cached — the chain
   // queries share state exactly like real queries share warehouse tables.
@@ -182,7 +182,7 @@ object ChainQueries extends QueryModule {
         .localCheckpoint(true)
       val edges = star.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(star.select(col("b").as("src"), col("a").as("dst")))
-      val labels = Clustering.minLabelComponents(edges, s)
+      val labels = Clustering.minLabelComponents(edges)
       val all = t.outputs.select(col("ergoTreeHash")).distinct()
         .join(broadcast(labels.toDF("node", "cid")),
           col("ergoTreeHash") === col("node"), "left")

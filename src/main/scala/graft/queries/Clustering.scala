@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -11,34 +11,35 @@ import org.apache.spark.sql.types.DecimalType
   * Scale contract: callers pass only the EDGE SUBGRAPH (nodes that have at
   * least one edge); isolated nodes are singleton components by definition
   * and are cheaper to rejoin afterwards than to drag through supersteps.
-  * Each superstep shuffles O(edges); convergence is detected by the
-  * label-sum invariant (labels only ever decrease to the component min, so
-  * the sum strictly decreases until fixpoint — one scalar aggregate per
-  * superstep instead of a joined old-vs-new comparison).
+  * Each superstep shuffles O(edges).
+  *
+  * Convergence: labels only ever decrease per node (min of self and
+  * neighbors), so a cheap scalar label-sum is monitored per superstep —
+  * numeric labels sum exactly (strictly decreasing until fixpoint); string
+  * labels (script hashes) sum a 60-bit hex-prefix surrogate that is
+  * per-node MONOTONE non-increasing under lexicographic min, so per-node
+  * deltas cannot cancel across nodes — an unchanged sum means every node's
+  * slice is unchanged. A slice can miss a label change only when old and
+  * new label share the 15-char prefix, so when the sum first repeats, the
+  * fixpoint is CONFIRMED EXACTLY with one old-vs-new join before the loop
+  * exits — the sum is purely an optimization to avoid that join on every
+  * superstep, never the correctness authority.
   */
 private[queries] object Clustering {
 
   /** `edges`: two columns `src`,`dst`, already direction-doubled (u→v and
     * v→u). Returns (`node`, `label`) for every node with ≥1 edge, where
-    * `label` = min node id of its component. Labels are orderable values
-    * (long or string); the decimal convergence sum uses a stable surrogate
-    * (dense hash) when labels are strings.
+    * `label` = min node id of its component (longs or strings).
     */
-  def minLabelComponents(edges: DataFrame, s: SparkSession, maxIter: Int = 64): DataFrame = {
+  def minLabelComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    // label-sum convergence surrogate: numeric labels sum directly (strictly
-    // decreasing until fixpoint). String labels (script hashes) sum two
-    // 60-bit slices — one from each end of the hex — so an undetected change
-    // needs two distinct hashes agreeing on BOTH ends (2^-120): the prefix
-    // slice alone is only non-strictly monotone under lexicographic min.
     val isNumeric = edges.schema("src").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def sumExpr = {
       val v = if (isNumeric) col("label").cast(DecimalType(38, 0))
-      else (conv(substring(col("label"), 1, 15), 16, 10).cast(DecimalType(38, 0)) +
-        conv(substring(col("label"), -15, 15), 16, 10).cast(DecimalType(38, 0)))
+      else conv(substring(col("label"), 1, 15), 16, 10).cast(DecimalType(38, 0))
       sum(v)
     }
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -53,7 +54,14 @@ private[queries] object Clustering {
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
+      if (nextSum.compareTo(prevSum) == 0) {
+        // candidate fixpoint — confirm exactly (both sides checkpointed, so
+        // this join is cheap and runs only on candidate supersteps)
+        converged = next.as("n")
+          .join(labels.withColumnRenamed("label", "prev"), "node")
+          .filter(col("label") =!= col("prev"))
+          .isEmpty
+      }
       prevSum = nextSum
       labels = next
       iter += 1

@@ -219,50 +219,16 @@ object DedupQueries extends QueryModule {
         .select("a_id", "b_id").localCheckpoint(true)
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      // iterate ONLY over nodes that have an edge: the dup subgraph is a
-      // tiny fraction of the corpus (≈1% of docs at any scale), so every
-      // superstep shuffles O(edges), not O(corpus). Edge-free docs are
-      // singleton clusters by definition and rejoin after convergence.
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
-        .localCheckpoint(true)
-      // convergence via the label-sum invariant: labels only ever decrease
-      // (min of self and neighbors), so the sum strictly decreases until
-      // fixpoint — one scalar aggregate per superstep instead of a
-      // joined old-vs-new comparison. Decimal so corpus-scale id sums
-      // cannot overflow.
-      // sum() of zero rows is null — a clean corpus (no near-dup pairs at
-      // all) must read as 0, not NPE on the first compareTo
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        Option(df.agg(sum(col("cluster_id").cast(
-          org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0))
-          .getOrElse(java.math.BigDecimal.ZERO)
-      var prevSum = labelSum(labels)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 64) {
-        val prop = edges.join(labels, col("src") === col("doc_id"))
-          .select(col("dst").as("doc_id"), col("cluster_id"))
-        val next = labels.unionByName(prop)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-          .localCheckpoint(true)
-        val nextSum = labelSum(next)
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
-        labels = next
-        iter += 1
-      }
-      // a component whose diameter exceeds the cap would silently mislabel —
-      // fail loudly instead (64 supersteps covers any realistic dup chain;
-      // if ever hit, switch the loop to small-star/large-star contraction).
-      if (!converged)
-        throw new IllegalStateException(
-          s"dedup clustering did not converge after $iter supersteps")
+      // the shared superstep kernel iterates ONLY over nodes that have an
+      // edge: the dup subgraph is a tiny fraction of the corpus (≈1% of
+      // docs at any scale), so every superstep shuffles O(edges), not
+      // O(corpus). Edge-free docs are singleton clusters by definition and
+      // rejoin after convergence.
+      val labels = Clustering.minLabelComponents(edges)
       // singletons: cluster = self. The converged subgraph labels broadcast
       // back onto the one full-corpus pass.
       val full = docs(s, dir).select(col("doc_id"))
-        .join(broadcast(labels.withColumnRenamed("cluster_id", "cid")),
-          Seq("doc_id"), "left")
+        .join(broadcast(labels.toDF("doc_id", "cid")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
       val sizes = full.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
       full.join(sizes, "cluster_id")

@@ -93,7 +93,11 @@ object RelationalQueries extends QueryModule {
     // A3: cumulative running totals over an ordered dimension (cumulative
     // chain stats analog, reference BlockBuilder.scala:23-66). Daily revenue
     // is rounded first so the sequential cumsum is bit-identical across
-    // engines; the running sum itself is an ordered-window prefix sum.
+    // engines; the running sum itself is an ordered-window prefix sum. The
+    // window input is the per-day aggregate (bounded by the calendar, not
+    // the fact table), so the single-partition prefix sum stays tiny at any
+    // corpus scale; unbounded-key cumulative sums use the two-phase scheme
+    // in BlockDerivation (A3/A5).
     "q6_running_total" -> ((s, dir) => {
       val daily = t(s, dir, "orders")
         .groupBy(col("o_orderdate").cast("date").as("day"))
@@ -297,7 +301,9 @@ object RelationalQueries extends QueryModule {
     }),
 
     // RANGE-frame window: trailing-7-day revenue per day (value-based frame,
-    // not row count — the moving-aggregate shape the reference lacks).
+    // not row count — the moving-aggregate shape the reference lacks). Like
+    // q6, the window runs over the calendar-bounded per-day aggregate, so
+    // the unpartitioned frame never sees fact-table cardinality.
     "q48_range_window" -> ((s, dir) => {
       val daily = t(s, dir, "orders")
         .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("dnum"))
@@ -309,8 +315,7 @@ object RelationalQueries extends QueryModule {
     }),
 
     // HLL cardinality (approx_count_distinct) — the datasketches TODO the
-    // reference never built (readme.md:226). Approximate ⇒ no value oracle;
-    // PipelineSpec bounds the error against the exact count.
+    // reference never built (readme.md:226).
     // HLL++ sketch vs exact cardinality. HLL register merges are max()
     // (commutative/associative), so the approx value is deterministic for a
     // given dataset regardless of partitioning — but not portable to

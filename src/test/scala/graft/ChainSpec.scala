@@ -122,8 +122,17 @@ class ChainSpec extends AnyFunSuite {
       .filter(coalesce(col("finalBalance"), lit(0L)) =!= coalesce(col("liveValue"), lit(0L)))
       .count()
     assert(mismatch == 0, "final running balance must equal live UTXO value")
-    // law 3: the rich list at the tip equals the live top-10
+    // law 3: every rich-list balance equals the q75 running balance as of
+    // the same height (two independent plans — anti-join reconstruction vs
+    // windowed ledger — must agree on the as-of state)
     val q76 = q("q76_rich_list_at_height")(spark, "")
+    val asOf = q("q75_balance_history")(spark, "")
+      .filter(col("height") <= graft.queries.ChainQueries.RichListHeight)
+      .groupBy("ergoTreeHash")
+      .agg(max_by(col("balance"), col("height")).as("histBalance"))
+    val balMismatch = q76.join(asOf, "ergoTreeHash")
+      .filter(col("balance") =!= col("histBalance")).count()
+    assert(balMismatch == 0, "as-of reconstruction must match the ledger window")
     assert(q76.count() == 10)
     // law 4: token holders hold only live boxes, ranks are 1..3 per token
     val th = q("q77_token_holders")(spark, "")
