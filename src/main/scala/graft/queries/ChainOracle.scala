@@ -313,6 +313,32 @@ object ChainOracle {
                   GROUP BY a.tokenId, o.ergoTreeHash) h)
           WHERE rnk <= 3 ORDER BY tokenId, rnk""",
 
+    // Script→script flows recomputed from scratch: same input-resolution,
+    // payback-exclusion and dust semantics as the q37 oracle, then the
+    // per-tx funder × receiver join and the (src, dst) roll-up.
+    "q82_chain_flows" ->
+      s"""WITH in_scripts AS (
+            SELECT i.txId, o.ergoTreeHash, sum(o.ergValue) AS value
+            FROM read_parquet('${p("inputs")}') i
+            JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId
+            GROUP BY i.txId, o.ergoTreeHash),
+          out_scripts AS (
+            SELECT txId, ergoTreeHash, sum(ergValue) AS value
+            FROM read_parquet('${p("outputs")}')
+            GROUP BY txId, ergoTreeHash),
+          from_e AS (SELECT * FROM in_scripts WHERE value >= 1000000),
+          to_e AS (SELECT o.* FROM out_scripts o
+            WHERE NOT EXISTS (SELECT 1 FROM in_scripts i
+                              WHERE i.txId = o.txId
+                                AND i.ergoTreeHash = o.ergoTreeHash)
+              AND o.value >= 1000000)
+          SELECT f.ergoTreeHash AS src, t.ergoTreeHash AS dst,
+            count(DISTINCT f.txId) AS nTxs,
+            CAST(sum(t.value) AS BIGINT) AS totalValue
+          FROM from_e f JOIN to_e t ON f.txId = t.txId
+          GROUP BY f.ergoTreeHash, t.ergoTreeHash
+          ORDER BY src, dst""",
+
     // Exact heavy hitters recomputed directly — verifying that the
     // sketch-then-recount pipeline loses nothing above the bar.
     "q81_hot_scripts_sketch" ->

@@ -244,6 +244,24 @@ object ChainQueries extends QueryModule {
         .orderBy("tokenId", "rnk")
     }),
 
+    // Script-to-script value flows — the address→tx→address traversal the
+    // reference built JanusGraph for (TxGraphWriter.scala:34-74), as one
+    // keyed self-join on txId: from-edges (funders) × to-edges (receivers)
+    // per tx, rolled up per (src, dst) pair. The payback/dust semantics are
+    // inherited from the edge derivation (J7/J8/P15).
+    "q82_chain_flows" -> ((s, _) => {
+      val e = GraphEdges.txEdges(tables(s), dust = 1000000L)
+      val from = e.filter(col("direction") === "from")
+        .select(col("txId"), col("ergoTreeHash").as("src"))
+      val to = e.filter(col("direction") === "to")
+        .select(col("txId"), col("ergoTreeHash").as("dst"),
+          col("value").as("received"))
+      from.join(to, "txId")
+        .groupBy("src", "dst")
+        .agg(countDistinct("txId").as("nTxs"), sum("received").as("totalValue"))
+        .orderBy("src", "dst")
+    }),
+
     // Hot-script detection via a Misra–Gries sketch (the reference's
     // supernode problem, SuperNodeCollector.scala:13-65, solved in O(k)
     // memory instead of a full per-key counter table). Two-phase exact:
