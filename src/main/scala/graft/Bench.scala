@@ -23,7 +23,14 @@ object Bench {
       li.limit(100).join(li.limit(100), "l_orderkey").count()
       spark.range(10).select(get_json_object(lit("""{"k":1}"""), "$.k")).count()
       queries.ChainOracle.dump(spark)
-      queries.ChainQueries.fixtureTables(spark).outputs.count()
+      // materialize EVERY cached fixture entity table (not just outputs):
+      // the first chain query otherwise pays blocks/ergoTrees/assets cache
+      // population — address rendering UDFs included — inside its timing.
+      locally {
+        val t = queries.ChainQueries.fixtureTables(spark)
+        Seq(t.blocks, t.txs, t.outputs, t.inputs, t.assets, t.ergoTrees,
+          t.ergoTreeT8s, t.dataInputs, t.registers, t.tokens).foreach(_.count())
+      }
       queries.DedupQueries.warm(spark, sfDir)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

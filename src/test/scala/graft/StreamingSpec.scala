@@ -297,6 +297,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("misra-gries sketch aggregates across micro-batches (mergeable streaming state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // the sketch as streaming state: k counters per group, merged batch
+    // over batch — the supernode counter (A8) with O(k) memory instead of
+    // per-key state for an unbounded key space
+    val sketched = stream.toDS()
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.FrequentItemsAggregator(4).toColumn.name("sk"))
+    val query = sketched.toDF("g", "sk").writeStream
+      .format("memory").queryName("mg_sketch").outputMode("complete").start()
+    try {
+      stream.addData(Seq.fill(50)("hot") ++ (0 until 20).map(i => s"a$i"): _*)
+      query.processAllAvailable()
+      stream.addData(Seq.fill(30)("hot") ++ (0 until 20).map(i => s"b$i"): _*)
+      query.processAllAvailable()
+      val sk = spark.table("mg_sketch")
+        .select("sk").head().getMap[String, Long](0)
+      // N=120, k=4 ⇒ anything over N/5=24 must survive; 'hot' has 80
+      assert(sk.contains("hot"), s"hot key missing from streaming sketch: $sk")
+      assert(sk("hot") <= 80 && sk("hot") >= 80 - 24, s"bound violated: $sk")
+      assert(sk.size <= 4)
+    } finally query.stop()
+  }
+
   test("tumbling event-time windows aggregate incrementally and drop late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
