@@ -71,7 +71,17 @@ object BlockDerivation {
     (ergoTrees, t8)
   }
 
-  def derive(raw: Dataset[RawBlock], feeTree: String = ChainFixture.FeeTree): ChainTables = {
+  /** `protocolTrees` (P14 applied to the economics, Const.scala:21-95
+    * Protocol.{Emission,Foundation,NoPremine}): outputs paying a protocol
+    * contract stay in the box tables but are EXCLUDED from the coin sums
+    * (blockCoins/totalCoinsInTxs). On real mainnet data the re-emitted
+    * emission box is ~9.3·10^16 nanoERG per block — the reference's plain
+    * Long sum (BlockBuilder.scala:19-23) silently wraps past ~100 blocks;
+    * excluding protocol boxes keeps the "coins moved in user txs" semantics
+    * those columns are meant to carry, exactly and overflow-free.
+    */
+  def derive(raw: Dataset[RawBlock], feeTree: String = ChainFixture.FeeTree,
+    protocolTrees: Seq[String] = Nil): ChainTables = {
     val spark = raw.sparkSession
 
     // P1: block → tx flatten with positional index; coinbase = last tx.
@@ -184,10 +194,13 @@ object BlockDerivation {
 
     // A1/A2: per-block sums. The fee filter (P3) and coinbase value are
     // column conditions; everything reduces in one partial-agg pass.
+    val econValue =
+      if (protocolTrees.isEmpty) col("ergValue")
+      else when(col("ergoTree").isin(protocolTrees: _*), lit(0L)).otherwise(col("ergValue"))
     val perBlock = outputs
       .groupBy("blockId")
       .agg(
-        sum("ergValue").as("sumOutputValue"),
+        sum(econValue).as("sumOutputValue"),
         sum(when(col("ergoTree") === feeTree, col("ergValue")).otherwise(0L)).as("blockFee"),
         count(lit(1)).as("boxCount"))
     val perBlockTx = txsWithStruct

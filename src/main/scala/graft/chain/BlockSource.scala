@@ -29,4 +29,96 @@ object BlockSource {
     */
   def writeJsonLines(blocks: Dataset[RawBlock], path: String): Unit =
     blocks.toJSON.write.mode("overwrite").text(path)
+
+  val nodeSchema = Encoders.product[NodeBlock].schema
+
+  /** S2 against the REAL node-API JSON shape (`blockTransactions` wrapper,
+    * nested `powSolutions`, quoted decimal difficulty, ~65-digit numeric
+    * `d` — reference Codecs.scala:1-133): explicit-schema decode into the
+    * node model, then a typed map into [[RawBlock]]. A reference user can
+    * point this at the node's own block dumps unchanged.
+    */
+  def fromNodeJsonLines(spark: SparkSession, path: String, fromHeight: Int = 0): Dataset[RawBlock] = {
+    import spark.implicits._
+    spark.read.schema(nodeSchema).json(path)
+      .filter(col("header.height") >= fromHeight)
+      .as[NodeBlock]
+      .map(NodeBlock.toRaw)
+  }
+}
+
+// --- the node-API wire model (NodeModel.scala:9-96 analog), decoded with an
+// --- explicit schema; unknown JSON fields are ignored by the reader.
+
+case class NodePow(pk: String, w: String, n: String, d: Option[String])
+
+case class NodeHeader(
+  id: String, parentId: String, version: Int, height: Int, nBits: Long,
+  difficulty: String, timestamp: Long, stateRoot: String, adProofsRoot: String,
+  transactionsRoot: String, extensionHash: String, powSolutions: NodePow,
+  votes: String)
+
+case class NodeProof(proofBytes: Option[String])
+case class NodeInput(boxId: String, spendingProof: Option[NodeProof])
+case class NodeDataInput(boxId: String)
+case class NodeAsset(tokenId: String, amount: Long)
+
+case class NodeOutput(
+  boxId: String, value: Long, creationHeight: Int, ergoTree: String,
+  assets: Option[Seq[NodeAsset]], additionalRegisters: Option[Map[String, String]],
+  index: Int)
+
+case class NodeTx(
+  id: String, inputs: Seq[NodeInput], dataInputs: Option[Seq[NodeDataInput]],
+  outputs: Seq[NodeOutput], size: Option[Int])
+
+case class NodeTxs(headerId: String, transactions: Seq[NodeTx])
+
+/** extension.fields is a list of [key, value] hex pairs on the wire. */
+case class NodeExtension(headerId: Option[String], digest: Option[String],
+  fields: Option[Seq[Seq[String]]])
+
+case class NodeAdProofs(headerId: Option[String], proofBytes: Option[String],
+  digest: Option[String])
+
+case class NodeBlock(
+  header: NodeHeader,
+  blockTransactions: NodeTxs,
+  extension: Option[NodeExtension],
+  adProofs: Option[NodeAdProofs],
+  size: Option[Int])
+
+object NodeBlock {
+  /** Render the extension field pairs back to the JSON-object passthrough
+    * form the engine carries (§2.8 JSON passthrough). Keys/values are hex
+    * strings on the wire, so escaping is trivial.
+    */
+  private def fieldsJson(fields: Seq[Seq[String]]): String =
+    fields.collect { case Seq(k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+
+  def toRaw(nb: NodeBlock): RawBlock = {
+    val h = nb.header
+    RawBlock(
+      RawHeader(h.id, h.parentId, h.version.toByte, h.height, h.nBits,
+        new java.math.BigDecimal(h.difficulty), h.timestamp, h.stateRoot,
+        h.adProofsRoot, h.transactionsRoot, h.extensionHash,
+        h.powSolutions.pk, h.powSolutions.w, h.powSolutions.n,
+        h.powSolutions.d.getOrElse("0"), h.votes),
+      RawTransactions(nb.blockTransactions.headerId,
+        nb.blockTransactions.transactions.map(tx => RawTx(tx.id,
+          tx.inputs.map(i => RawInput(i.boxId,
+            i.spendingProof.map(p => SpendingProof(p.proofBytes, "{}")))),
+          tx.dataInputs.getOrElse(Nil).map(d => RawDataInput(d.boxId)),
+          tx.outputs.map(o => RawOutput(o.boxId, o.value, o.creationHeight,
+            o.ergoTree, o.assets.getOrElse(Nil).map(a => RawAsset(a.tokenId, a.amount)),
+            o.additionalRegisters.getOrElse(Map.empty))),
+          tx.size))),
+      RawExtension(nb.extension.flatMap(_.headerId).getOrElse(h.id),
+        nb.extension.flatMap(_.digest).getOrElse(""),
+        fieldsJson(nb.extension.flatMap(_.fields).getOrElse(Nil))),
+      nb.adProofs.map(a => RawAdProofs(a.headerId.getOrElse(h.id),
+        a.proofBytes.getOrElse(""), a.digest.getOrElse(""))),
+      nb.size.getOrElse(0))
+  }
 }

@@ -39,6 +39,41 @@ object ChainConst {
   /** Dust threshold for graph edges (TxGraphWriter.scala:44,59). */
   val DustThreshold: Long = CoinsInOneErgo
 
+  /** The mainnet miner-fee contract tree. The reference derives it at
+    * runtime from ergo-wallet (`ErgoScriptPredef.feeProposition`,
+    * Const.scala:86); the engine pins the resulting wire bytes, as observed
+    * in mainnet fee outputs, so fee attribution (P3/A2) works on real
+    * blocks without the wallet dependency.
+    */
+  val MainnetFeeTree: String =
+    "1005040004000e36100204a00b08cd0279be667ef9dcbbac55a06295ce870b0702" +
+      "9bfcdb2dce28d959f2815b16f81798ea02d192a39a8cc7a701730073011001020402" +
+      "d19683030193a38cc7b2a57300000193c2b2a57301007473027303830108cdeeac93b1a57304"
+
+  /** Mainnet protocol contract trees (public chain constants — reference
+    * Const.scala:30-78 Protocol.{Emission,Foundation,NoPremine}): the
+    * P14 blacklist fed to [[BlockDerivation.derive]] so protocol boxes
+    * (the ~9.3·10^16-nanoERG re-emitted emission box above all) never
+    * enter the user-coin economics sums.
+    */
+  val MainnetEmissionTree: String =
+    "101004020e36100204a00b08cd0279be667ef9dcbbac55a06295ce870b07029bfc" +
+      "db2dce28d959f2815b16f81798ea02d192a39a8cc7a7017300730110010204020404" +
+      "040004c0fd4f05808c82f5f6030580b8c9e5ae040580f882ad16040204c0944004c0" +
+      "f407040004000580f882ad16d19683030191a38cc7a7019683020193c2b2a5730000" +
+      "7473017302830108cdeeac93a38cc7b2a573030001978302019683040193b1a57304" +
+      "93c2a7c2b2a573050093958fa3730673079973089c73097e9a730a9d99a3730b730c" +
+      "0599c1a7c1b2a5730d00938cc7b2a5730e0001a390c1a7730f"
+  val MainnetFoundationTree: String =
+    "100e040004c094400580809cde91e7b0010580acc7f03704be94400480894805808" +
+      "0c7b7e4992c0580b4c4c32104fe884804c0fd4f0580bcc1960b04befd4f05000400" +
+      "ea03d192c1b2a5730000958fa373019a73029c73037e997304a305958fa373059a7" +
+      "3069c73077e997308a305958fa373099c730a7e99730ba305730cd193c2a7c2b2a5" +
+      "730d00d5040800"
+  val MainnetNoPremineTree: String = "10010100d17300"
+  val MainnetProtocolTrees: Seq[String] =
+    Seq(MainnetEmissionTree, MainnetFoundationTree, MainnetNoPremineTree)
+
   // number of reducing epochs until emission hits zero: 75/3 = 25 → epochs
   // 1..24 are positive, epoch 25 is the first zero-rate epoch.
   private val PositiveEpochs: Long = FixedRate / OneEpochReduction - 1

@@ -143,7 +143,7 @@ object ChainFixture {
           extensionHash = md5Hex(s"ext:$salt:$h"),
           minerPk = md5Hex(s"minerpk:${h % 5}"),
           w = md5Hex(s"w:$h"), n = md5Hex(s"n:$h").take(16),
-          d = java.math.BigDecimal.ZERO,
+          d = "0",
           votes = "000000"),
         RawTransactions(id, txs),
         RawExtension(id, md5Hex(s"extd:$salt:$h"), "{}"),

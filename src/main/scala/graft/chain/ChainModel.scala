@@ -53,7 +53,11 @@ case class RawHeader(
   minerPk: String,
   w: String,
   n: String,
-  d: java.math.BigDecimal,
+  // PoW distance — arbitrary-precision decimal rendered as a string: real
+  // mainnet d values run to ~65 digits, past DecimalType(38)'s capacity
+  // (the reference's Cassandra DECIMAL is arbitrary-precision too,
+  // schema-tables.cql:9).
+  d: String,
   votes: String)
 
 case class RawExtension(headerId: String, digest: String, fields: String)

@@ -1,0 +1,128 @@
+package graft
+
+import graft.chain._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden end-to-end replay of REAL mainnet blocks 1–4200 (the reference's
+  * own canned fixtures, node-pool/src/test/resources/blocks/blocks.gz —
+  * read in place, never copied) through the node-JSON decode and the full
+  * derivation. This is the StreamSchedulerSpec.scala:24-85 analog with
+  * harder assertions: the scheduled reward is checked against the values
+  * real coinbase outputs actually paid, positional indexes against the
+  * node-reported ones, and hashes against an independent JVM sha256.
+  * Skipped (assume) when the reference checkout is not present.
+  */
+class NodeReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val fixture =
+    "/root/reference/modules/node-pool/src/test/resources/blocks/blocks.gz"
+
+  private lazy val tables: ChainTables = {
+    val raw = BlockSource.fromNodeJsonLines(spark, fixture)
+    val t = BlockDerivation.derive(raw, feeTree = ChainConst.MainnetFeeTree,
+      protocolTrees = ChainConst.MainnetProtocolTrees)
+    ChainTables(t.blocks.cache(), t.txs.cache(), t.outputs.cache(),
+      t.inputs.cache(), t.assets.cache(), t.ergoTrees.cache(),
+      t.ergoTreeT8s.cache(), t.dataInputs.cache(), t.registers.cache(),
+      t.tokens.cache())
+  }
+
+  private def assumeFixture(): Unit =
+    assume(new java.io.File(fixture).exists(), "reference fixtures not present")
+
+  test("decodes all 4200 mainnet blocks into a contiguous linked chain") {
+    assumeFixture()
+    assert(tables.blocks.count() == 4200)
+    assert(UtxoQueries.missingHeights(tables, 4200).count() == 0)
+    assert(tables.blocks.groupBy("height").count().filter(col("count") > 1).count() == 0)
+    val broken = tables.blocks.as("c")
+      .join(tables.blocks.as("p"), col("c.parentId") === col("p.blockId"))
+      .filter(col("c.height") =!= col("p.height") + 1).count()
+    assert(broken == 0, "parent links must chain")
+    // the real chain's difficulty/timestamp columns survive the decode
+    assert(tables.blocks.filter(col("difficulty").isNull ||
+      col("timestamp") <= 0).count() == 0)
+  }
+
+  test("the emission schedule matches what real coinbase outputs paid") {
+    assumeFixture()
+    // every block must contain an output paying EXACTLY the derived
+    // minerReward (mainnet pays 67.5 ERG while the treasury tranche runs)
+    val paid = tables.blocks.as("b")
+      .join(tables.outputs.as("o"), col("b.blockId") === col("o.blockId"))
+      .filter(col("o.ergValue") === col("b.minerReward"))
+      .select(col("b.blockId")).distinct().count()
+    assert(paid == 4200, s"only $paid/4200 blocks pay the scheduled reward")
+    assert(tables.blocks.filter(col("minerReward") =!= 67500000000L).count() == 0)
+    // blocks with user txs attribute their fees to the REAL fee contract
+    val feeBlocks = tables.blocks.filter(col("blockFee") > 0).count()
+    assert(feeBlocks > 0, "fixture range contains fee-paying blocks")
+    val feeOutputs = tables.outputs
+      .filter(col("ergoTree") === ChainConst.MainnetFeeTree).count()
+    assert(feeOutputs > 0)
+  }
+
+  test("derived positional indexes equal the node-reported output indexes") {
+    assumeFixture()
+    val nodeIdx = spark.read
+      .schema(BlockSource.nodeSchema)
+      .json(fixture)
+      .select(explode(col("blockTransactions.transactions")).as("tx"))
+      .select(explode(col("tx.outputs")).as("o"))
+      .select(col("o.boxId").as("boxId"), col("o.index").as("nodeIndex"))
+    val mismatches = tables.outputs.select(col("boxId"), col("index"))
+      .join(nodeIdx, "boxId")
+      .filter(col("index") =!= col("nodeIndex"))
+      .count()
+    assert(mismatches == 0, "posexplode indexes must equal the node's")
+  }
+
+  test("tree hashes, templates, addresses and registers hold on real scripts") {
+    assumeFixture()
+    // independent JVM sha256 over the raw tree hex for a sample
+    val sample = tables.outputs.select("ergoTree", "ergoTreeHash")
+      .distinct().limit(50).collect()
+    assert(sample.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    sample.foreach { r =>
+      val bytes = r.getString(0).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      val expect = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(r.getString(1) == expect, s"hash mismatch for ${r.getString(0).take(16)}")
+    }
+    // P2PK trees have no template; each real P2PK renders a mainnet '9...'
+    // address that round-trips through the base58+blake2b checksum codec
+    val p2pk = tables.ergoTrees
+      .filter(col("hex").startsWith("0008cd")).limit(20).collect()
+    assert(p2pk.nonEmpty)
+    p2pk.foreach { r =>
+      val addr = r.getAs[String]("address")
+      assert(addr.startsWith("9"), s"mainnet P2PK address must start with 9: $addr")
+      assert(graft.functions.CryptoFunctions.addressToErgoTree(addr)
+        .contains(r.getAs[String]("hex")), s"address round-trip failed: $addr")
+    }
+    // the fee contract is constant-segregated: the walker must extract a
+    // template for it, and every real register must decode or degrade to
+    // SUnparsed without throwing (52 non-empty registers in range)
+    assert(tables.ergoTreeT8s.count() > 0, "segregated trees must yield templates")
+    assert(tables.registers.count() > 0, "real registers must surface")
+    assert(tables.registers.filter(col("sigmaType").isNull).count() == 0)
+  }
+
+  test("the real-chain UTXO set obeys the partition law at the tip") {
+    assumeFixture()
+    val all = tables.outputs.count()
+    val spent = UtxoQueries.spentBoxes(tables).count()
+    val unspent = UtxoQueries.utxos(tables).count()
+    assert(spent + unspent == all)
+    assert(unspent > 0 && spent > 0)
+    // cumulative columns are monotone over the real chain
+    val rows = tables.blocks.orderBy("height")
+      .select("totalTxsCount", "maxBoxGix").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(0) > a.getLong(0) && b.getLong(1) > a.getLong(1))
+    }
+  }
+}
