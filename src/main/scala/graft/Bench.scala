@@ -45,11 +45,27 @@ object Bench {
     // parquet, so its measured seconds are pure read+derive+aggregate.
     val blocksPerS = results.get("q51_chain_backfill")
       .filter(_ > 0).map(t => queries.ChainOracle.BackfillBlocks / t)
+    // REAL-data throughput: the reference's 4200 canned mainnet blocks
+    // (pre-converted to splittable parquet, untimed) through the full
+    // derivation + UTXO materialization — directly comparable to
+    // BASELINE.md's ~255 blocks/s full-pipeline rate on real data.
+    val mainnetPerS = queries.ChainOracle.ensureMainnetBackfill(spark).map { dir =>
+      import graft.chain._
+      val t0 = System.nanoTime()
+      val t = BlockDerivation.derive(
+        spark.read.parquet(dir).as[RawBlock](
+          org.apache.spark.sql.Encoders.product[RawBlock]),
+        feeTree = ChainConst.MainnetFeeTree,
+        protocolTrees = ChainConst.MainnetProtocolTrees)
+      t.blocks.count(); UtxoQueries.utxos(t).count()
+      4200 / ((System.nanoTime() - t0) / 1e9)
+    }
     // take the LAST "sf<number>" path component; never emit a bare '.' or
     // unrelated trailing digits (the line must stay parseable JSON)
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir)
       .map(_.group(1)).toSeq.lastOption.getOrElse("0")
-    val extra = blocksPerS.map(b => s""","backfill_blocks_per_s":$b""").getOrElse("")
+    val extra = blocksPerS.map(b => s""","backfill_blocks_per_s":$b""").getOrElse("") +
+      mainnetPerS.map(b => s""","mainnet_blocks_per_s":$b""").getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":$sfNum}"""
     spark.stop()

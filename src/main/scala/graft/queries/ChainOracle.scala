@@ -101,6 +101,25 @@ object ChainOracle {
     }
   }
 
+  /** The reference's 4200 canned REAL mainnet blocks as splittable parquet
+    * (the source gzip is one stream = one task; the conversion is untimed
+    * warehouse population, exactly like [[ensureBackfill]]). Returns None
+    * when the reference checkout isn't present.
+    */
+  val MainnetFixture =
+    "/root/reference/modules/node-pool/src/test/resources/blocks/blocks.gz"
+  def ensureMainnetBackfill(s: SparkSession): Option[String] = synchronized {
+    val out = s"$Dir/mainnet-backfill"
+    if (new java.io.File(s"$out/_SUCCESS").exists()) Some(out)
+    else if (!new java.io.File(MainnetFixture).exists()) None
+    else {
+      graft.chain.BlockSource.fromNodeJsonLines(s, MainnetFixture)
+        .repartition(16)
+        .write.mode("overwrite").parquet(out)
+      Some(out)
+    }
+  }
+
   /** The UTXO set as portable SQL (J5 anti-join, recomputed). */
   private def utxoSql(alias: String): String =
     s"""FROM read_parquet('${p("outputs")}') $alias

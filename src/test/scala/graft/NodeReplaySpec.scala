@@ -111,6 +111,33 @@ class NodeReplaySpec extends AnyFunSuite {
     assert(tables.registers.filter(col("sigmaType").isNull).count() == 0)
   }
 
+  test("real fork fixtures resolve to the reference's winning branch") {
+    assumeFixture()
+    val forkDir = "/root/reference/modules/node-pool/src/test/resources/forks"
+    assume(new java.io.File(s"$forkDir/forks_longer.txt").exists())
+    // both competing real branches (shorter: 7 blocks, longer: 10, common
+    // trunk through height 4) — the StreamSchedulerSpec.scala:78-83 scenario
+    val both = {
+      import spark.implicits._
+      BlockSource.fromNodeJsonLines(spark, s"$forkDir/forks_shorter.txt")
+        .unionByName(BlockSource.fromNodeJsonLines(spark, s"$forkDir/forks_longer.txt"))
+        .toDF().withColumn("_bid", col("header.id")).dropDuplicates("_bid")
+        .drop("_bid").as[RawBlock]
+    }
+    val resolved = ForkResolver.mainChain(both)
+    val expected = scala.io.Source.fromFile(s"$forkDir/forkIds_longer.txt")
+      .getLines().map(_.trim).filter(_.nonEmpty).toSet
+    import spark.implicits._
+    val got = resolved.select(col("header.id")).as[String].collect().toSet
+    assert(got == expected, s"winner mismatch: got ${got.size}, want ${expected.size}")
+    // and the winners derive a clean contiguous chain
+    val t = BlockDerivation.derive(resolved,
+      feeTree = ChainConst.MainnetFeeTree,
+      protocolTrees = ChainConst.MainnetProtocolTrees)
+    assert(t.blocks.count() == 10)
+    assert(UtxoQueries.missingHeights(t, 10).count() == 0)
+  }
+
   test("the real-chain UTXO set obeys the partition law at the tip") {
     assumeFixture()
     val all = tables.outputs.count()
