@@ -107,8 +107,12 @@ class NodeReplaySpec extends AnyFunSuite {
     // template for it, and every real register must decode or degrade to
     // SUnparsed without throwing (52 non-empty registers in range)
     assert(tables.ergoTreeT8s.count() > 0, "segregated trees must yield templates")
+    // every real register in range is a Coll[SInt] ([2,720] reward params)
+    // or Coll[SByte] payload — the walker must FULLY decode them, not
+    // degrade to the SUnparsed passthrough
     assert(tables.registers.count() > 0, "real registers must surface")
-    assert(tables.registers.filter(col("sigmaType").isNull).count() == 0)
+    assert(tables.registers.filter(!col("sigmaType").startsWith("Coll[")).count() == 0,
+      "all in-range mainnet registers are collections and must decode")
   }
 
   test("real fork fixtures resolve to the reference's winning branch") {
