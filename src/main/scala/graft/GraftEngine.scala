@@ -71,4 +71,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def txEdges: DataFrame = GraphEdges.txEdges(tables)
   def neighbours(ergoTreeHash: String): DataFrame =
     GraphEdges.neighbours(txEdges, ergoTreeHash)
+  def flows(dust: Long = ChainConst.DustThreshold): DataFrame =
+    GraphEdges.flows(tables, dust = dust)
+
+  // ---- beyond-parity analytics (clustering, ledgers, sketches) ----
+
+  def addressClusters: DataFrame = UtxoQueries.addressClusters(tables)
+  def balanceHistory: DataFrame = UtxoQueries.balanceHistory(tables)
+  def richListAt(height: Int, k: Int = 10): DataFrame =
+    UtxoQueries.richListAt(tables, height, k)
+  def tokenHolders(k: Int = 3): DataFrame = UtxoQueries.tokenHolders(tables, k)
+  def hotScripts(k: Int = 64): DataFrame = UtxoQueries.hotScripts(tables, k)
 }

@@ -40,6 +40,25 @@ object GraphEdges {
       t.txs.select(col("txId"), col("height"), col("timestamp")), Seq("txId"))
   }
 
+  /** Script→script value flows — the address→tx→address traversal the
+    * reference provisioned JanusGraph for, as ONE keyed self-join on txId:
+    * from-edges (funders) × to-edges (receivers) per tx, rolled up per
+    * (src, dst) pair. Payback/dust semantics inherited from [[txEdges]].
+    */
+  def flows(t: ChainTables, blacklist: Seq[String] = Nil,
+    dust: Long = ChainConst.DustThreshold): DataFrame = {
+    val e = txEdges(t, blacklist, dust)
+    val from = e.filter(col("direction") === "from")
+      .select(col("txId"), col("ergoTreeHash").as("src"))
+    val to = e.filter(col("direction") === "to")
+      .select(col("txId"), col("ergoTreeHash").as("dst"),
+        col("value").as("received"))
+    from.join(to, "txId")
+      .groupBy("src", "dst")
+      .agg(countDistinct("txId").as("nTxs"), sum("received").as("totalValue"))
+      .orderBy("src", "dst")
+  }
+
   /** 1-hop neighbourhood of a script: every counterparty script that shares
     * a tx with it (address→tx→address traversal, one self-join).
     */

@@ -142,4 +142,99 @@ object UtxoQueries {
       .join(t.blocks.select("height"), Seq("height"), "left_anti")
       .orderBy("height")
   }
+
+  // ---- beyond-parity chain analytics (q74–q77, q81) ----
+
+  /** Per-script balance ledger: credits at settlement height, debits at
+    * spend height, running balance via a window PARTITIONED by script —
+    * never global, so the plan scales with the address count.
+    */
+  def balanceHistory(t: ChainTables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val credits = t.outputs.select(col("ergoTreeHash"),
+      col("settlementHeight").as("height"), col("ergValue").as("delta"))
+    val debits = t.inputs.select(col("boxId"), col("height"))
+      .join(t.outputs.select("boxId", "ergoTreeHash", "ergValue"), "boxId")
+      .select(col("ergoTreeHash"), col("height"), (-col("ergValue")).as("delta"))
+    val w = Window.partitionBy("ergoTreeHash").orderBy("height")
+    credits.unionByName(debits)
+      .groupBy("ergoTreeHash", "height").agg(sum("delta").as("net"))
+      .withColumn("balance", sum("net").over(w))
+      .orderBy("ergoTreeHash", "height")
+  }
+
+  /** Point-in-time rich list: the UTXO set AS OF `height` (both anti-join
+    * sides height-pruned so the scan reads only the history prefix).
+    */
+  def richListAt(t: ChainTables, height: Int, k: Int): DataFrame = {
+    val spentByH = t.inputs.filter(col("height") <= height).select("boxId")
+    t.outputs.filter(col("settlementHeight") <= height)
+      .join(spentByH, Seq("boxId"), "left_anti")
+      .groupBy("ergoTreeHash")
+      .agg(sum("ergValue").as("balance"), count(lit(1)).as("nBoxes"))
+      .orderBy(desc("balance"), asc("ergoTreeHash"))
+      .limit(k)
+  }
+
+  /** Top-`k` holder scripts per token over the live UTXO set. */
+  def tokenHolders(t: ChainTables, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val held = utxos(t).select(col("boxId"), col("ergoTreeHash"))
+      .join(t.assets.select("boxId", "tokenId", "amount"), "boxId")
+      .groupBy("tokenId", "ergoTreeHash")
+      .agg(sum("amount").as("held"), count(lit(1)).as("nBoxes"))
+    val w = Window.partitionBy("tokenId")
+      .orderBy(desc("held"), asc("ergoTreeHash"))
+    held.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("tokenId", "rnk")
+  }
+
+  /** Exact heavy-hitter scripts above frequency N/`k` via a k-counter
+    * Misra–Gries sketch + broadcast recount (the SuperNodeCollector analog
+    * with O(k) memory — no full groupBy over the key space ever happens).
+    */
+  def hotScripts(t: ChainTables, k: Int): DataFrame = {
+    val s = t.outputs.sparkSession
+    import s.implicits._
+    val scripts = t.outputs.select(col("ergoTreeHash")).as[String]
+    val sk = scripts
+      .select(new graft.functions.FrequentItemsAggregator(k).toColumn)
+      .toDF("sk")
+    val cands = sk.select(explode(map_keys(col("sk"))).as("ergoTreeHash"))
+    val total = t.outputs.agg(count(lit(1)).as("total"))
+    t.outputs.join(broadcast(cands), Seq("ergoTreeHash"), "left_semi")
+      .groupBy("ergoTreeHash").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * k > col("total"))
+      .select(col("ergoTreeHash"), col("n"))
+      .orderBy("ergoTreeHash")
+  }
+
+  /** Common-input-ownership address clustering: star edges per tx (linear
+    * in Σ inputs) + min-label propagation over the co-spend subgraph only;
+    * scripts never co-spent are singletons and rejoin after convergence.
+    */
+  def addressClusters(t: ChainTables): DataFrame = {
+    val inScripts = t.inputs.select("boxId", "txId")
+      .join(t.outputs.select("boxId", "ergoTreeHash"), "boxId")
+      .select("txId", "ergoTreeHash").distinct()
+    val txMin = inScripts.groupBy("txId").agg(min("ergoTreeHash").as("m"))
+    val star = inScripts.join(txMin, "txId")
+      .filter(col("ergoTreeHash") =!= col("m"))
+      .select(col("ergoTreeHash").as("a"), col("m").as("b")).distinct()
+      .localCheckpoint(true)
+    val edges = star.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(star.select(col("b").as("src"), col("a").as("dst")))
+    val labels = graft.functions.Clustering.minLabelComponents(edges)
+    val all = t.outputs.select(col("ergoTreeHash")).distinct()
+      .join(broadcast(labels.toDF("node", "cid")),
+        col("ergoTreeHash") === col("node"), "left")
+      .select(col("ergoTreeHash"),
+        coalesce(col("cid"), col("ergoTreeHash")).as("cluster_id"))
+    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    all.join(sizes, "cluster_id")
+      .select("ergoTreeHash", "cluster_id", "csize")
+      .orderBy("ergoTreeHash")
+  }
 }

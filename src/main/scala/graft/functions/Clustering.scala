@@ -1,4 +1,4 @@
-package graft.queries
+package graft.functions
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.DecimalType
   * exits — the sum is purely an optimization to avoid that join on every
   * superstep, never the correctness authority.
   */
-private[queries] object Clustering {
+private[graft] object Clustering {
 
   /** `edges`: two columns `src`,`dst`, already direction-doubled (u→v and
     * v→u). Returns (`node`, `label`) for every node with ≥1 edge, where

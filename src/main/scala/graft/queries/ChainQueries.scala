@@ -161,131 +161,16 @@ object ChainQueries extends QueryModule {
         .orderBy("tokenId")
     }),
 
-    // Common-input-ownership address clustering — the classic UTXO-chain
-    // analytics heuristic: scripts co-spent as inputs of one tx belong to one
-    // wallet; clusters are the connected components of the co-spend graph.
-    // Star edges (script ↔ per-tx min script) instead of all within-tx pairs
-    // keep the edge count linear in Σ inputs — a tx with 1000 inputs emits
-    // 999 edges, not 500k — and min-label propagation iterates ONLY over the
-    // co-spend subgraph (scripts never co-spent are singletons by
-    // definition and rejoin after convergence), so each superstep shuffles
-    // O(edges), not O(scripts).
-    "q74_address_clusters" -> ((s, _) => {
-      val t = tables(s)
-      val inScripts = t.inputs.select("boxId", "txId")
-        .join(t.outputs.select("boxId", "ergoTreeHash"), "boxId")
-        .select("txId", "ergoTreeHash").distinct()
-      val txMin = inScripts.groupBy("txId").agg(min("ergoTreeHash").as("m"))
-      val star = inScripts.join(txMin, "txId")
-        .filter(col("ergoTreeHash") =!= col("m"))
-        .select(col("ergoTreeHash").as("a"), col("m").as("b")).distinct()
-        .localCheckpoint(true)
-      val edges = star.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(star.select(col("b").as("src"), col("a").as("dst")))
-      val labels = Clustering.minLabelComponents(edges)
-      val all = t.outputs.select(col("ergoTreeHash")).distinct()
-        .join(broadcast(labels.toDF("node", "cid")),
-          col("ergoTreeHash") === col("node"), "left")
-        .select(col("ergoTreeHash"),
-          coalesce(col("cid"), col("ergoTreeHash")).as("cluster_id"))
-      val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
-      all.join(sizes, "cluster_id")
-        .select("ergoTreeHash", "cluster_id", "csize")
-        .orderBy("ergoTreeHash")
-    }),
-
-    // Per-script balance history: credits at settlement height, debits at
-    // spend height, running balance via a window PARTITIONED by script —
-    // never a global single-partition window, so the plan scales with the
-    // address count.
-    "q75_balance_history" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = tables(s)
-      val credits = t.outputs.select(col("ergoTreeHash"),
-        col("settlementHeight").as("height"), col("ergValue").as("delta"))
-      val debits = t.inputs.select(col("boxId"), col("height"))
-        .join(t.outputs.select("boxId", "ergoTreeHash", "ergValue"), "boxId")
-        .select(col("ergoTreeHash"), col("height"), (-col("ergValue")).as("delta"))
-      val w = Window.partitionBy("ergoTreeHash").orderBy("height")
-      credits.unionByName(debits)
-        .groupBy("ergoTreeHash", "height").agg(sum("delta").as("net"))
-        .withColumn("balance", sum("net").over(w))
-        .orderBy("ergoTreeHash", "height")
-    }),
-
-    // Point-in-time rich list: reconstruct the UTXO set AS OF RichListHeight
-    // (outputs settled ≤ h minus boxes spent ≤ h — the anti-join with both
-    // sides height-pruned, so the scan prunes to the history prefix) and
-    // rank scripts by held value.
-    "q76_rich_list_at_height" -> ((s, _) => {
-      val t = tables(s)
-      val spentByH = t.inputs.filter(col("height") <= RichListHeight).select("boxId")
-      t.outputs.filter(col("settlementHeight") <= RichListHeight)
-        .join(spentByH, Seq("boxId"), "left_anti")
-        .groupBy("ergoTreeHash")
-        .agg(sum("ergValue").as("balance"), count(lit(1)).as("nBoxes"))
-        .orderBy(desc("balance"), asc("ergoTreeHash"))
-        .limit(10)
-    }),
-
-    // Token holder distribution: per token, the top-3 holding scripts over
-    // the LIVE utxo set — rank inside a window partitioned by tokenId.
-    "q77_token_holders" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = tables(s)
-      val held = UtxoQueries.utxos(t).select(col("boxId"), col("ergoTreeHash"))
-        .join(t.assets.select("boxId", "tokenId", "amount"), "boxId")
-        .groupBy("tokenId", "ergoTreeHash")
-        .agg(sum("amount").as("held"), count(lit(1)).as("nBoxes"))
-      val w = Window.partitionBy("tokenId")
-        .orderBy(desc("held"), asc("ergoTreeHash"))
-      held.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .orderBy("tokenId", "rnk")
-    }),
-
-    // Script-to-script value flows — the address→tx→address traversal the
-    // reference built JanusGraph for (TxGraphWriter.scala:34-74), as one
-    // keyed self-join on txId: from-edges (funders) × to-edges (receivers)
-    // per tx, rolled up per (src, dst) pair. The payback/dust semantics are
-    // inherited from the edge derivation (J7/J8/P15).
-    "q82_chain_flows" -> ((s, _) => {
-      val e = GraphEdges.txEdges(tables(s), dust = 1000000L)
-      val from = e.filter(col("direction") === "from")
-        .select(col("txId"), col("ergoTreeHash").as("src"))
-      val to = e.filter(col("direction") === "to")
-        .select(col("txId"), col("ergoTreeHash").as("dst"),
-          col("value").as("received"))
-      from.join(to, "txId")
-        .groupBy("src", "dst")
-        .agg(countDistinct("txId").as("nTxs"), sum("received").as("totalValue"))
-        .orderBy("src", "dst")
-    }),
-
-    // Hot-script detection via a Misra–Gries sketch (the reference's
-    // supernode problem, SuperNodeCollector.scala:13-65, solved in O(k)
-    // memory instead of a full per-key counter table). Two-phase exact:
-    // the k-counter sketch guarantees every script above N/(k+1) frequency
-    // survives as a candidate, so an exact recount of just the (≤ k,
-    // broadcast) candidates emits precisely the scripts above the N/HotK
-    // bar — no full groupBy over the key space ever happens, which is the
-    // point at 100 TB where the key space is billions of scripts.
-    "q81_hot_scripts_sketch" -> ((s, _) => {
-      import s.implicits._
-      val t = tables(s)
-      val scripts = t.outputs.select(col("ergoTreeHash")).as[String]
-      val sk = scripts
-        .select(new graft.functions.FrequentItemsAggregator(HotK).toColumn)
-        .toDF("sk")
-      val cands = sk.select(explode(map_keys(col("sk"))).as("ergoTreeHash"))
-      val total = t.outputs.agg(count(lit(1)).as("total"))
-      t.outputs.join(broadcast(cands), Seq("ergoTreeHash"), "left_semi")
-        .groupBy("ergoTreeHash").agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
-        .filter(col("n") * HotK > col("total"))
-        .select(col("ergoTreeHash"), col("n"))
-        .orderBy("ergoTreeHash")
-    }),
+    // Beyond-parity chain analytics — thin delegates into the chain layer
+    // (UtxoQueries/GraphEdges carry the implementations and the scale
+    // rationale; GraftEngine exposes the same calls over a warehouse).
+    "q74_address_clusters" -> ((s, _) => UtxoQueries.addressClusters(tables(s))),
+    "q75_balance_history" -> ((s, _) => UtxoQueries.balanceHistory(tables(s))),
+    "q76_rich_list_at_height" -> ((s, _) =>
+      UtxoQueries.richListAt(tables(s), RichListHeight, 10)),
+    "q77_token_holders" -> ((s, _) => UtxoQueries.tokenHolders(tables(s), 3)),
+    "q82_chain_flows" -> ((s, _) => GraphEdges.flows(tables(s), dust = 1000000L)),
+    "q81_hot_scripts_sketch" -> ((s, _) => UtxoQueries.hotScripts(tables(s), HotK)),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).
     // The target script is picked deterministically (min hash) with a 1-row

@@ -224,7 +224,7 @@ object DedupQueries extends QueryModule {
       // docs at any scale), so every superstep shuffles O(edges), not
       // O(corpus). Edge-free docs are singleton clusters by definition and
       // rejoin after convergence.
-      val labels = Clustering.minLabelComponents(edges)
+      val labels = graft.functions.Clustering.minLabelComponents(edges)
       // singletons: cluster = self. The converged subgraph labels broadcast
       // back onto the one full-corpus pass.
       val full = docs(s, dir).select(col("doc_id"))
