@@ -38,7 +38,9 @@ class ChainIngest(
   val warehouse: String,
   keepVersions: Int = 10,
   bucketSize: Int = ChainConst.HeightBucketSize,
-  compactEvery: Int = 8) {
+  compactEvery: Int = 8,
+  feeTree: String = ChainFixture.FeeTree,
+  protocolTrees: Seq[String] = Nil) {
 
   require(keepVersions >= 1 && compactEvery >= 1 && bucketSize >= 1,
     "keepVersions, compactEvery, and bucketSize must be positive")
@@ -140,7 +142,7 @@ class ChainIngest(
   private def appendIncremental(
     batch: Dataset[RawBlock], tip: Option[Row],
     minBatchHeight: Int, firstTs: Option[Long]): Unit = {
-    val t = BlockDerivation.derive(batch)
+    val t = BlockDerivation.derive(batch, feeTree, protocolTrees)
     val (blocksShifted, txsShifted, outputsShifted) =
       shiftFromTip(t, tip, minBatchHeight, firstTs)
 
@@ -211,7 +213,7 @@ class ChainIngest(
       .as[RawBlock]
     val resolved = ForkResolver.mainChain(raw)
     val tail = resolved.filter(col("header.height") >= rebuildFrom)
-    val t = BlockDerivation.derive(tail)
+    val t = BlockDerivation.derive(tail, feeTree, protocolTrees)
 
     // seed from the last block BELOW the rebuilt range (untouched buckets
     // are correct by induction); the tail's own lowest block supplies the

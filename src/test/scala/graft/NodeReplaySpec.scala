@@ -142,6 +142,31 @@ class NodeReplaySpec extends AnyFunSuite {
     assert(UtxoQueries.missingHeights(t, 10).count() == 0)
   }
 
+  test("incremental warehouse ingest of real blocks equals one-shot derivation") {
+    assumeFixture()
+    import org.apache.spark.sql.functions.desc
+    val dir = java.nio.file.Files.createTempDirectory("graft-mainnet-ingest").toString
+    val ingest = new graft.streaming.ChainIngest(dir,
+      feeTree = ChainConst.MainnetFeeTree,
+      protocolTrees = ChainConst.MainnetProtocolTrees)
+    val raw = BlockSource.fromNodeJsonLines(spark, fixture)
+    Seq((0, 1400), (1401, 2800), (2801, 4200)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        ingest.processBatch(
+          raw.filter(col("header.height").between(lo, hi)).as(raw.encoder), i.toLong)
+    }
+    val streamed = ingest.blocks(spark)
+    assert(streamed.count() == 4200)
+    val sTip = streamed.orderBy(desc("height")).limit(1).collect()(0)
+    val bTip = tables.blocks.orderBy(desc("height")).limit(1).collect()(0)
+    Seq("totalTxsCount", "totalFees", "totalMinersReward", "totalCoinsInTxs",
+      "maxTxGix", "maxBoxGix").foreach { c =>
+      assert(sTip.getAs[Long](c) == bTip.getAs[Long](c), s"tip $c mismatch")
+    }
+    // the maintained UTXO view equals the one-shot anti-join on real data
+    assert(ingest.utxo(spark).count() == UtxoQueries.utxos(tables).count())
+  }
+
   test("the real-chain UTXO set obeys the partition law at the tip") {
     assumeFixture()
     val all = tables.outputs.count()
