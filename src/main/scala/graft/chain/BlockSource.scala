@@ -40,8 +40,11 @@ object BlockSource {
     */
   def fromNodeJsonLines(spark: SparkSession, path: String, fromHeight: Int = 0): Dataset[RawBlock] = {
     import spark.implicits._
+    // PERMISSIVE parse yields all-null rows for corrupt lines (a truncated
+    // dump, a stray log line): drop them by the non-nullable header id
+    // instead of NPE-ing in the typed map.
     spark.read.schema(nodeSchema).json(path)
-      .filter(col("header.height") >= fromHeight)
+      .filter(col("header.id").isNotNull && col("header.height") >= fromHeight)
       .as[NodeBlock]
       .map(NodeBlock.toRaw)
   }

@@ -38,6 +38,22 @@ class EngineSpec extends AnyFunSuite {
     val spent = engine.boxesByAddress(UtxoQueries.Spent, addr).count()
     val any = engine.boxesByAddress(UtxoQueries.Any, addr).count()
     assert(unspent + spent == any && any > 0)
+
+    // beyond-parity analytics over the PARQUET warehouse (not the cached
+    // fixture): clusters cover every script, ledger ties to the live UTXO,
+    // flows and the hot-script sketch return non-trivial results
+    val clusters = engine.addressClusters
+    assert(clusters.count() ==
+      engine.tables.outputs.select("ergoTreeHash").distinct().count())
+    val lastBal = engine.balanceHistory.groupBy("ergoTreeHash")
+      .agg(max_by(col("balance"), col("height")).as("b"))
+      .agg(sum("b")).head.getLong(0)
+    val liveTotal = engine.utxos.agg(sum("ergValue")).head.getLong(0)
+    assert(lastBal == liveTotal, "ledger tips must sum to the live UTXO value")
+    assert(engine.richListAt(n, 5).count() == 5)
+    assert(engine.flows(dust = 1000000L).count() > 0)
+    assert(engine.hotScripts(8).count() >= 1)
+    assert(engine.tokenHolders().count() > 0)
   }
 
   test("heal detects a crash between raw append and derivation and repairs it") {

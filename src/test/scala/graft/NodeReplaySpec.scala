@@ -115,6 +115,20 @@ class NodeReplaySpec extends AnyFunSuite {
       "all in-range mainnet registers are collections and must decode")
   }
 
+  test("corrupt lines in a node dump are dropped, not fatal") {
+    assumeFixture()
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    val f = dir.resolve("blocks.jsonl")
+    val good = scala.io.Source.fromInputStream(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(fixture))).getLines().take(5).toSeq
+    java.nio.file.Files.write(f,
+      (good.take(2) ++ Seq("not json at all", """{"header":{"broken":true}}""") ++
+        good.drop(2)).mkString("\n").getBytes)
+    val got = BlockSource.fromNodeJsonLines(spark, f.toString)
+    assert(got.count() == 5, "5 good blocks survive, 2 corrupt lines drop")
+  }
+
   test("real fork fixtures resolve to the reference's winning branch") {
     assumeFixture()
     val forkDir = "/root/reference/modules/node-pool/src/test/resources/forks"
