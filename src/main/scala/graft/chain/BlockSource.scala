@@ -100,6 +100,18 @@ object NodeBlock {
     fields.collect { case Seq(k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
 
+  /** Shared by block decode and the mempool path (the node serves the same
+    * tx shape confirmed and unconfirmed — NodeModel.scala:77-83).
+    */
+  def toRawTx(tx: NodeTx): RawTx = RawTx(tx.id,
+    tx.inputs.map(i => RawInput(i.boxId,
+      i.spendingProof.map(p => SpendingProof(p.proofBytes, "{}")))),
+    tx.dataInputs.getOrElse(Nil).map(d => RawDataInput(d.boxId)),
+    tx.outputs.map(o => RawOutput(o.boxId, o.value, o.creationHeight,
+      o.ergoTree, o.assets.getOrElse(Nil).map(a => RawAsset(a.tokenId, a.amount)),
+      o.additionalRegisters.getOrElse(Map.empty))),
+    tx.size)
+
   def toRaw(nb: NodeBlock): RawBlock = {
     val h = nb.header
     RawBlock(
@@ -109,14 +121,7 @@ object NodeBlock {
         h.powSolutions.pk, h.powSolutions.w, h.powSolutions.n,
         h.powSolutions.d.getOrElse("0"), h.votes),
       RawTransactions(nb.blockTransactions.headerId,
-        nb.blockTransactions.transactions.map(tx => RawTx(tx.id,
-          tx.inputs.map(i => RawInput(i.boxId,
-            i.spendingProof.map(p => SpendingProof(p.proofBytes, "{}")))),
-          tx.dataInputs.getOrElse(Nil).map(d => RawDataInput(d.boxId)),
-          tx.outputs.map(o => RawOutput(o.boxId, o.value, o.creationHeight,
-            o.ergoTree, o.assets.getOrElse(Nil).map(a => RawAsset(a.tokenId, a.amount)),
-            o.additionalRegisters.getOrElse(Map.empty))),
-          tx.size))),
+        nb.blockTransactions.transactions.map(toRawTx)),
       RawExtension(nb.extension.flatMap(_.headerId).getOrElse(h.id),
         nb.extension.flatMap(_.digest).getOrElse(""),
         fieldsJson(nb.extension.flatMap(_.fields).getOrElse(Nil))),

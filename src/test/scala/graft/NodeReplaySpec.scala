@@ -181,6 +181,36 @@ class NodeReplaySpec extends AnyFunSuite {
     assert(ingest.utxo(spark).count() == UtxoQueries.utxos(tables).count())
   }
 
+  test("the real unconfirmed-tx fixture flows through the mempool detector") {
+    assumeFixture()
+    val mempoolFile =
+      "/root/reference/modules/node-pool/src/test/resources/transactions/unconfirmed.json"
+    assume(new java.io.File(mempoolFile).exists())
+    import spark.implicits._
+    // the node serves a JSON ARRAY of the same tx shape blocks carry
+    val nodeTxs = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[NodeTx].schema)
+      .option("multiLine", true).json(mempoolFile)
+      .as[NodeTx].collect()
+    assert(nodeTxs.length == 9, "reference fixture holds 9 unconfirmed txs")
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val pool = nodeTxs.map(NodeBlock.toRawTx).map(tx =>
+      graft.streaming.MempoolTx(tx.id, t0, tx.inputs, tx.outputs))
+    val txDf = spark.createDataset(pool.toSeq).toDF()
+    // detector against the REAL 4200-block UTXO set; threshold 0 alerts
+    // every tx with any non-payback, non-fee external output
+    val feeHash = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(ChainConst.MainnetFeeTree.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray)
+        .map("%02x".format(_)).mkString
+    }
+    val detector = new graft.streaming.MempoolStream.HighValueDetector(0L, feeHash)
+    val alerts = detector.onNewTransactions(txDf, UtxoQueries.utxos(tables)).collect()
+    assert(alerts.nonEmpty && alerts.length <= 9)
+    assert(alerts.forall(_.getAs[Long]("transferredValue") > 0))
+  }
+
   test("the real-chain UTXO set obeys the partition law at the tip") {
     assumeFixture()
     val all = tables.outputs.count()
