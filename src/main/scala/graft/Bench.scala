@@ -57,7 +57,13 @@ object Bench {
           org.apache.spark.sql.Encoders.product[RawBlock]),
         feeTree = ChainConst.MainnetFeeTree,
         protocolTrees = ChainConst.MainnetProtocolTrees)
-      t.blocks.count(); UtxoQueries.utxos(t).count()
+      // one action (q51's shape) — two separate counts would re-derive
+      // the shared flatten and under-report the single-pass rate
+      t.blocks.agg(org.apache.spark.sql.functions.max("height"))
+        .crossJoin(UtxoQueries.utxos(t)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))))
+        .count()
       4200 / ((System.nanoTime() - t0) / 1e9)
     }
     // take the LAST "sf<number>" path component; never emit a bare '.' or

@@ -16,9 +16,19 @@ import org.apache.spark.sql.functions._
   * demand; at warehouse scale they'd be materialized by the ingest the same
   * way the entity tables are.
   */
-class GraftEngine(spark: SparkSession, warehouse: String) {
+/** `feeTree`/`protocolTrees` configure the chain economics (defaults fit
+  * the synthetic fixture; pass `ChainConst.MainnetFeeTree` /
+  * `ChainConst.MainnetProtocolTrees` for real-chain warehouses) — they
+  * thread into every derivation the engine performs, INCLUDING the
+  * heal/fork rebuild path, so a crash repair re-derives with the same
+  * semantics the warehouse was built with.
+  */
+class GraftEngine(spark: SparkSession, warehouse: String,
+  feeTree: String = ChainFixture.FeeTree,
+  protocolTrees: Seq[String] = Nil) {
 
-  val ingest = new ChainIngest(warehouse)
+  val ingest = new ChainIngest(warehouse, feeTree = feeTree,
+    protocolTrees = protocolTrees)
 
   /** Batch backfill from a json-lines block file/dir (S3). */
   def backfill(blocksPath: String, fromHeight: Int = 0): Unit =

@@ -41,10 +41,17 @@ object BlockSource {
   def fromNodeJsonLines(spark: SparkSession, path: String, fromHeight: Int = 0): Dataset[RawBlock] = {
     import spark.implicits._
     // PERMISSIVE parse yields all-null rows for corrupt lines (a truncated
-    // dump, a stray log line): drop them by the non-nullable header id
-    // instead of NPE-ing in the typed map.
+    // dump, a stray log line) and null FIELDS for well-formed JSON of the
+    // wrong shape (a headers-endpoint line mixed into a blocks dump): guard
+    // every block-level field the typed deserializer/toRaw requires, so bad
+    // lines drop instead of aborting the read.
     spark.read.schema(nodeSchema).json(path)
-      .filter(col("header.id").isNotNull && col("header.height") >= fromHeight)
+      .filter(col("header.id").isNotNull && col("header.timestamp").isNotNull &&
+        col("header.nBits").isNotNull && col("header.version").isNotNull &&
+        col("header.difficulty").isNotNull && col("header.powSolutions").isNotNull &&
+        col("blockTransactions").isNotNull &&
+        col("blockTransactions.transactions").isNotNull &&
+        col("header.height") >= fromHeight)
       .as[NodeBlock]
       .map(NodeBlock.toRaw)
   }

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphEdges {
 
-  /** tx_edges(txId, ergoTreeHash, direction, value, height, timestamp). */
-  def txEdges(t: ChainTables, blacklist: Seq[String] = Nil,
-    dust: Long = ChainConst.DustThreshold): DataFrame = {
-
+  /** Edge set WITHOUT the tx-metadata join — the shared core of [[txEdges]]
+    * and [[flows]] (which discards height/timestamp, so paying the txs join
+    * twice across its self-join branches would be a wasted shuffle).
+    */
+  private def edgeCore(t: ChainTables, blacklist: Seq[String],
+    dust: Long): DataFrame = {
     val inScripts = UtxoQueries.resolvedInputs(t)
       .groupBy("txId", "ergoTreeHash")
       .agg(sum("ergValue").as("value"))
@@ -33,12 +35,15 @@ object GraphEdges {
 
     val edges = fromEdges.unionByName(toEdges)
       .filter(col("value") >= dust) // P15 dust filter
-    val filtered =
-      if (blacklist.isEmpty) edges
-      else edges.filter(!col("ergoTreeHash").isin(blacklist: _*))
-    filtered.join(
-      t.txs.select(col("txId"), col("height"), col("timestamp")), Seq("txId"))
+    if (blacklist.isEmpty) edges
+    else edges.filter(!col("ergoTreeHash").isin(blacklist: _*))
   }
+
+  /** tx_edges(txId, ergoTreeHash, direction, value, height, timestamp). */
+  def txEdges(t: ChainTables, blacklist: Seq[String] = Nil,
+    dust: Long = ChainConst.DustThreshold): DataFrame =
+    edgeCore(t, blacklist, dust).join(
+      t.txs.select(col("txId"), col("height"), col("timestamp")), Seq("txId"))
 
   /** Script→script value flows — the address→tx→address traversal the
     * reference provisioned JanusGraph for, as ONE keyed self-join on txId:
@@ -47,7 +52,7 @@ object GraphEdges {
     */
   def flows(t: ChainTables, blacklist: Seq[String] = Nil,
     dust: Long = ChainConst.DustThreshold): DataFrame = {
-    val e = txEdges(t, blacklist, dust)
+    val e = edgeCore(t, blacklist, dust)
     val from = e.filter(col("direction") === "from")
       .select(col("txId"), col("ergoTreeHash").as("src"))
     val to = e.filter(col("direction") === "to")

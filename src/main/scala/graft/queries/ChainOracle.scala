@@ -106,8 +106,14 @@ object ChainOracle {
     * warehouse population, exactly like [[ensureBackfill]]). Returns None
     * when the reference checkout isn't present.
     */
-  val MainnetFixture =
-    "/root/reference/modules/node-pool/src/test/resources/blocks/blocks.gz"
+  /** Reference-checkout root (env-overridable like [[Dir]]); all mainnet
+    * fixture paths — blocks, forks, unconfirmed txs — derive from it.
+    */
+  val ReferenceRoot: String =
+    sys.env.getOrElse("GRAFT_REFERENCE_ROOT", "/root/reference")
+  val ReferenceResources: String =
+    s"$ReferenceRoot/modules/node-pool/src/test/resources"
+  val MainnetFixture = s"$ReferenceResources/blocks/blocks.gz"
   def ensureMainnetBackfill(s: SparkSession): Option[String] = synchronized {
     val out = s"$Dir/mainnet-backfill"
     if (new java.io.File(s"$out/_SUCCESS").exists()) Some(out)

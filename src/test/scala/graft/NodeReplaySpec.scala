@@ -16,8 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class NodeReplaySpec extends AnyFunSuite {
   import TestSpark._
 
-  private val fixture =
-    "/root/reference/modules/node-pool/src/test/resources/blocks/blocks.gz"
+  private val fixture = graft.queries.ChainOracle.MainnetFixture
+  private val refRes = graft.queries.ChainOracle.ReferenceResources
 
   private lazy val tables: ChainTables = {
     val raw = BlockSource.fromNodeJsonLines(spark, fixture)
@@ -62,6 +62,22 @@ class NodeReplaySpec extends AnyFunSuite {
     val feeOutputs = tables.outputs
       .filter(col("ergoTree") === ChainConst.MainnetFeeTree).count()
     assert(feeOutputs > 0)
+    // pin the protocol-tree constants against reality: a typo in the pinned
+    // hex would silently skip the economics exclusion and wrap the Long
+    // cumulative sums. Every block re-emits the emission box; the range
+    // also contains foundation outputs.
+    assert(tables.outputs
+      .filter(col("ergoTree") === ChainConst.MainnetEmissionTree).count() == 4200,
+      "the pinned emission tree must match every block's re-emission output")
+    assert(tables.outputs
+      .filter(col("ergoTree") === ChainConst.MainnetFoundationTree).count() > 0,
+      "the pinned foundation tree must match in-range outputs")
+    // and the exclusion engaged: coins-moved stays in sane (un-wrapped)
+    // Long range instead of accumulating ~9.3e16 per block
+    val tipCoins = tables.blocks.orderBy(desc("height")).limit(1)
+      .select("totalCoinsInTxs").head.getLong(0)
+    assert(tipCoins >= 0 && tipCoins < 4200L * 100000000000L,
+      s"totalCoinsInTxs $tipCoins implies the emission box leaked into economics")
   }
 
   test("derived positional indexes equal the node-reported output indexes") {
@@ -122,16 +138,22 @@ class NodeReplaySpec extends AnyFunSuite {
     val good = scala.io.Source.fromInputStream(
       new java.util.zip.GZIPInputStream(
         new java.io.FileInputStream(fixture))).getLines().take(5).toSeq
+    // three corruption classes: unparseable text, wrong-shape JSON, and a
+    // WELL-FORMED header-only line (valid header.id but no transactions —
+    // the one PERMISSIVE parsing alone would let through to NPE)
     java.nio.file.Files.write(f,
-      (good.take(2) ++ Seq("not json at all", """{"header":{"broken":true}}""") ++
+      (good.take(2) ++ Seq(
+        "not json at all",
+        """{"header":{"broken":true}}""",
+        """{"header":{"id":"ab","height":3,"timestamp":1,"nBits":1,"version":1,"difficulty":"1","powSolutions":{"pk":"x","w":"y","n":"z"}}}""") ++
         good.drop(2)).mkString("\n").getBytes)
     val got = BlockSource.fromNodeJsonLines(spark, f.toString)
-    assert(got.count() == 5, "5 good blocks survive, 2 corrupt lines drop")
+    assert(got.count() == 5, "5 good blocks survive, 3 corrupt lines drop")
   }
 
   test("real fork fixtures resolve to the reference's winning branch") {
     assumeFixture()
-    val forkDir = "/root/reference/modules/node-pool/src/test/resources/forks"
+    val forkDir = s"$refRes/forks"
     assume(new java.io.File(s"$forkDir/forks_longer.txt").exists())
     // both competing real branches (shorter: 7 blocks, longer: 10, common
     // trunk through height 4) — the StreamSchedulerSpec.scala:78-83 scenario
@@ -183,8 +205,7 @@ class NodeReplaySpec extends AnyFunSuite {
 
   test("the real unconfirmed-tx fixture flows through the mempool detector") {
     assumeFixture()
-    val mempoolFile =
-      "/root/reference/modules/node-pool/src/test/resources/transactions/unconfirmed.json"
+    val mempoolFile = s"$refRes/transactions/unconfirmed.json"
     assume(new java.io.File(mempoolFile).exists())
     import spark.implicits._
     // the node serves a JSON ARRAY of the same tx shape blocks carry
