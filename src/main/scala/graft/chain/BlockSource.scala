@@ -68,7 +68,13 @@ case class NodeHeader(
   transactionsRoot: String, extensionHash: String, powSolutions: NodePow,
   votes: String)
 
-case class NodeProof(proofBytes: Option[String])
+/** `extension` is the input's context-extension map (varId → serialized
+  * sigma value hex) — real dApp/oracle txs carry non-empty ones, and the
+  * reference persists them as arbitrary JSON (Codecs.scala
+  * apiSpendingProofDecoder, FullBlockBuilder.scala:97).
+  */
+case class NodeProof(proofBytes: Option[String],
+  extension: Option[Map[String, String]])
 case class NodeInput(boxId: String, spendingProof: Option[NodeProof])
 case class NodeDataInput(boxId: String)
 case class NodeAsset(tokenId: String, amount: Long)
@@ -99,20 +105,40 @@ case class NodeBlock(
   size: Option[Int])
 
 object NodeBlock {
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case c if c < ' '  => "\\u%04x".format(c.toInt)
+    case c             => c.toString
+  }
+
+  private def jsonObj(pairs: Seq[(String, String)]): String =
+    pairs.map { case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }
+      .mkString("{", ",", "}")
+
   /** Render the extension field pairs back to the JSON-object passthrough
-    * form the engine carries (§2.8 JSON passthrough). Keys/values are hex
-    * strings on the wire, so escaping is trivial.
+    * form the engine carries (§2.8 JSON passthrough). Wire data is hex, but
+    * nothing enforces that — escape instead of trusting the shape; entries
+    * that are not [key, value] pairs are kept faithfully as a JSON array
+    * rather than silently dropped.
     */
   private def fieldsJson(fields: Seq[Seq[String]]): String =
-    fields.collect { case Seq(k, v) => s""""$k":"$v"""" }
-      .mkString("{", ",", "}")
+    if (fields.forall(_.length == 2))
+      jsonObj(fields.map { case Seq(k, v) => (k, v) })
+    else
+      fields.map(_.map(e => s""""${jsonEscape(e)}"""").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
 
   /** Shared by block decode and the mempool path (the node serves the same
     * tx shape confirmed and unconfirmed — NodeModel.scala:77-83).
     */
   def toRawTx(tx: NodeTx): RawTx = RawTx(tx.id,
     tx.inputs.map(i => RawInput(i.boxId,
-      i.spendingProof.map(p => SpendingProof(p.proofBytes, "{}")))),
+      i.spendingProof.map(p => SpendingProof(p.proofBytes,
+        // deterministic key order; (length, lexical) sorts the numeric
+        // varIds the node emits ("2" < "10") without parsing them
+        jsonObj(p.extension.getOrElse(Map.empty).toSeq
+          .sortBy(kv => (kv._1.length, kv._1))))))),
     tx.dataInputs.getOrElse(Nil).map(d => RawDataInput(d.boxId)),
     tx.outputs.map(o => RawOutput(o.boxId, o.value, o.creationHeight,
       o.ergoTree, o.assets.getOrElse(Nil).map(a => RawAsset(a.tokenId, a.amount)),

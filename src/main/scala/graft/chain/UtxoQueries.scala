@@ -227,8 +227,11 @@ object UtxoQueries {
     val edges = star.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(star.select(col("b").as("src"), col("a").as("dst")))
     val labels = graft.functions.Clustering.minLabelComponents(edges)
+    // no broadcast hint: on a real chain most scripts are eventually
+    // co-spent, so the label table scales with the address count — let the
+    // planner choose (AQE broadcasts it anyway when it is actually small)
     val all = t.outputs.select(col("ergoTreeHash")).distinct()
-      .join(broadcast(labels.toDF("node", "cid")),
+      .join(labels.toDF("node", "cid"),
         col("ergoTreeHash") === col("node"), "left")
       .select(col("ergoTreeHash"),
         coalesce(col("cid"), col("ergoTreeHash")).as("cluster_id"))

@@ -68,6 +68,10 @@ object ChainOracle {
     // but their results dumped as parquet let DuckDB recompute the
     // aggregation layer of q42/q43 independently.
     val media = graft.multimodal.MediaFixture.generate(s, MultimodalQueries.MediaRows)
+    // the RAW media rows (binary content + typed metadata): DuckDB re-parses
+    // the container header straight from the blob (hex + substr), so the
+    // decode stage itself is oracle-verified, not echoed (q41/q43).
+    write(media.toDF(), "media")
     write(graft.multimodal.MediaFunctions.extractFeatures(media).toDF(), "media_features")
     write(graft.multimodal.MediaFunctions.sampleFrames(media,
       MultimodalQueries.FrameStride).toDF(), "media_frames")

@@ -63,6 +63,16 @@ object MultimodalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // The decode stage re-derived by DuckDB DIRECTLY from the binary
+    // container bytes (magic(4) + kind(1) + width int32 BE + height int32
+    // BE): hex + substr + 0x-cast replays decodeHeader independently.
+    "q41_media_decode" ->
+      s"""SELECT mediaId, CAST(0 AS INTEGER) AS frameIndex,
+         CAST(('0x' || substr(hex(content), 11, 8)) AS INTEGER) AS width,
+         CAST(('0x' || substr(hex(content), 19, 8)) AS INTEGER) AS height,
+         CAST(octet_length(content) AS INTEGER) AS nBytes
+         FROM read_parquet('${ChainOracle.p("media")}')
+         ORDER BY mediaId""",
     // aggregation layers over the dumped stage outputs (ChainOracle.dump)
     "q42_media_features" ->
       s"""SELECT kind, count(*) AS n, count(DISTINCT mediaId) AS nMedia,
@@ -70,10 +80,16 @@ object MultimodalQueries extends QueryModule {
          CAST(sum(nBytes) AS BIGINT) AS totalBytes
          FROM read_parquet('${ChainOracle.p("media_features")}')
          GROUP BY kind ORDER BY kind""",
+    // Frame sampling re-derived from the RAW blob: synthetic frame count =
+    // max(1, (len-13)/16), sampled every ${FrameStride}th -> ceil division.
     "q43_media_frames" ->
-      s"""SELECT mediaId, count(*) AS nFrames, max(width) AS width
-         FROM read_parquet('${ChainOracle.p("media_frames")}')
-         GROUP BY mediaId ORDER BY mediaId""",
+      s"""SELECT mediaId,
+         CAST((greatest(1, (octet_length(content) - 13) // 16) + ${FrameStride - 1})
+           // $FrameStride AS BIGINT) AS nFrames,
+         CAST(('0x' || substr(hex(content), 11, 8)) AS INTEGER) AS width
+         FROM read_parquet('${ChainOracle.p("media")}')
+         WHERE kind = 'video'
+         ORDER BY mediaId""",
     "q44_token_count_native" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,

@@ -151,6 +151,65 @@ class NodeReplaySpec extends AnyFunSuite {
     assert(got.count() == 5, "5 good blocks survive, 3 corrupt lines drop")
   }
 
+  test("spendingProof context extensions survive the node decode") {
+    // real dApp/oracle txs carry non-empty context extensions; the fixture
+    // range does not, so pin the passthrough on a synthetic node line
+    // (reference decodes them as arbitrary JSON — Codecs.scala
+    // apiSpendingProofDecoder)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext")
+    val f = dir.resolve("block.jsonl")
+    val line =
+      """{"header":{"id":"h1","parentId":"h0","version":1,"height":1,""" +
+        """"nBits":1,"difficulty":"1","timestamp":1,"stateRoot":"s",""" +
+        """"adProofsRoot":"a","transactionsRoot":"t","extensionHash":"e",""" +
+        """"powSolutions":{"pk":"p","w":"w","n":"n","d":"0"},"votes":"000000"},""" +
+        """"blockTransactions":{"headerId":"h1","transactions":[{"id":"tx1",""" +
+        """"inputs":[{"boxId":"b1","spendingProof":{"proofBytes":"aa",""" +
+        """"extension":{"10":"0e02abcd","2":"0402"}}}],""" +
+        """"outputs":[{"boxId":"o1","value":1,"creationHeight":1,""" +
+        """"ergoTree":"00","assets":[],"additionalRegisters":{},"index":0}]}]},""" +
+        """"extension":{"headerId":"h1","digest":"d",""" +
+        """"fields":[["0100","02"],["01","va\"l"]]}}"""
+    java.nio.file.Files.write(f, line.getBytes)
+    val raw = BlockSource.fromNodeJsonLines(spark, f.toString).collect()
+    assert(raw.length == 1)
+    val proof = raw.head.transactions.transactions.head.inputs.head.spendingProof.get
+    assert(proof.proofBytes.contains("aa"))
+    // numeric varId order ("2" before "10"), not lexical
+    assert(proof.extension == """{"2":"0402","10":"0e02abcd"}""")
+    // extension fields render as VALID JSON even with a quote in a value
+    val fields = raw.head.extension.fields
+    assert(fields == """{"0100":"02","01":"va\"l"}""")
+    assert(spark.range(1)
+      .select(get_json_object(lit(fields), "$.01")).head.getString(0) == """va"l""")
+    // a tx with no spendingProof at all still decodes (extension absent)
+    val line2 = line.replace(
+      """"spendingProof":{"proofBytes":"aa","extension":{"10":"0e02abcd","2":"0402"}}""",
+      """"spendingProof":{"proofBytes":"bb"}""")
+    java.nio.file.Files.write(f, line2.getBytes)
+    val raw2 = BlockSource.fromNodeJsonLines(spark, f.toString).collect()
+    assert(raw2.head.transactions.transactions.head
+      .inputs.head.spendingProof.get.extension == "{}")
+  }
+
+  test("malformed extension-field shapes are kept faithfully, not dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext2")
+    val f = dir.resolve("block.jsonl")
+    val line =
+      """{"header":{"id":"h1","parentId":"h0","version":1,"height":1,""" +
+        """"nBits":1,"difficulty":"1","timestamp":1,"stateRoot":"s",""" +
+        """"adProofsRoot":"a","transactionsRoot":"t","extensionHash":"e",""" +
+        """"powSolutions":{"pk":"p","w":"w","n":"n","d":"0"},"votes":"000000"},""" +
+        """"blockTransactions":{"headerId":"h1","transactions":[]},""" +
+        """"extension":{"headerId":"h1","digest":"d",""" +
+        """"fields":[["0100","02"],["orphan"]]}}"""
+    java.nio.file.Files.write(f, line.getBytes)
+    val raw = BlockSource.fromNodeJsonLines(spark, f.toString).collect()
+    // a non-pair entry degrades the whole field set to a JSON array form —
+    // still valid JSON, nothing silently lost
+    assert(raw.head.extension.fields == """[["0100","02"],["orphan"]]""")
+  }
+
   test("real fork fixtures resolve to the reference's winning branch") {
     assumeFixture()
     val forkDir = s"$refRes/forks"
