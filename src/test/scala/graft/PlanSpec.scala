@@ -59,6 +59,18 @@ class PlanSpec extends AnyFunSuite {
       s"q29 must not plan an all-pairs join:\n$plan")
   }
 
+  test("as-of and range joins never plan a nested-loop over the fact table") {
+    // q83: union + window — there should be no join at all beyond the
+    // pre-aggregation; q84: candidates must come from the (user, bucket)
+    // equi-join, not the raw range predicate (which would plan a BNLJ).
+    val asof = planOf("q83_asof_join")
+    assert(!asof.contains("BroadcastNestedLoopJoin") && !asof.contains("CartesianProduct"),
+      s"q83 must not plan an all-pairs join:\n$asof")
+    val range = planOf("q84_range_join")
+    assert(!range.contains("BroadcastNestedLoopJoin") && !range.contains("CartesianProduct"),
+      s"q84 must not plan an all-pairs join:\n$range")
+  }
+
   test("bucketed jaccard is keyed joins only — never a cartesian") {
     val plan = planOf("q59_jaccard_lsh_bucketed")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
