@@ -92,4 +92,7 @@ class GraftEngine(spark: SparkSession, warehouse: String,
     UtxoQueries.richListAt(tables, height, k)
   def tokenHolders(k: Int = 3): DataFrame = UtxoQueries.tokenHolders(tables, k)
   def hotScripts(k: Int = 64): DataFrame = UtxoQueries.hotScripts(tables, k)
+  def coinBlocksDestroyed: DataFrame = UtxoQueries.coinBlocksDestroyed(tables)
+  def utxoAgeDistribution(bucketLen: Int = 16): DataFrame =
+    UtxoQueries.utxoAgeDistribution(tables, bucketLen)
 }

@@ -211,6 +211,38 @@ object UtxoQueries {
       .orderBy("ergoTreeHash")
   }
 
+  /** Coin-blocks destroyed per epoch (the block-height analog of the
+    * coin-days-destroyed velocity metric): every spend weighs its value by
+    * the box's age at spend time. One resolution join on boxId (uniform
+    * key) + one keyed aggregation — linear at any chain size.
+    */
+  def coinBlocksDestroyed(t: ChainTables,
+    epochLen: Int = ChainConst.StatsEpochLength): DataFrame =
+    t.inputs.select(col("boxId"), col("height").as("spendHeight"))
+      .join(t.outputs.select(col("boxId"), col("ergValue"),
+        col("settlementHeight")), "boxId")
+      .withColumn("age", col("spendHeight") - col("settlementHeight"))
+      .groupBy(floor(col("spendHeight") / epochLen).as("epoch"))
+      .agg(count(lit(1)).as("nSpends"),
+        sum(col("ergValue") * col("age")).as("coinBlocksDestroyed"),
+        max("age").as("maxAge"))
+      .orderBy("epoch")
+
+  /** Live-UTXO age distribution at the chain tip: boxes bucketed by age in
+    * `bucketLen`-block ranges with value totals — the "HODL wave" query.
+    * The tip is a 1-row broadcast; everything else is the standard UTXO
+    * anti-join + one aggregation.
+    */
+  def utxoAgeDistribution(t: ChainTables, bucketLen: Int = 16): DataFrame = {
+    val tip = t.blocks.agg(max("height").as("tipHeight"))
+    utxos(t)
+      .crossJoin(broadcast(tip))
+      .withColumn("age", col("tipHeight") - col("settlementHeight"))
+      .groupBy(floor(col("age") / bucketLen).as("ageBucket"))
+      .agg(count(lit(1)).as("nBoxes"), sum("ergValue").as("totalValue"))
+      .orderBy("ageBucket")
+  }
+
   /** Common-input-ownership address clustering: star edges per tx (linear
     * in Σ inputs) + min-label propagation over the co-spend subgraph only;
     * scripts never co-spent are singletons and rejoin after convergence.

@@ -378,6 +378,28 @@ object ChainOracle {
             (SELECT count(*) FROM read_parquet('${p("outputs")}'))
           ORDER BY ergoTreeHash""",
 
+    // Coin-blocks destroyed: spend resolution join + age weighting,
+    // recomputed from the raw input/output dumps.
+    "q88_coin_blocks_destroyed" ->
+      s"""SELECT i.height // 16 AS epoch, count(*) AS nSpends,
+            CAST(sum(o.ergValue * (i.height - o.settlementHeight)) AS BIGINT)
+              AS coinBlocksDestroyed,
+            max(i.height - o.settlementHeight) AS maxAge
+          FROM read_parquet('${p("inputs")}') i
+          JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId
+          GROUP BY 1 ORDER BY epoch""",
+
+    // Live-UTXO age distribution at the tip (HODL waves): anti-join + age
+    // bucketing recomputed.
+    "q89_utxo_age" ->
+      s"""WITH tip AS (SELECT max(height) AS h FROM read_parquet('${p("blocks")}'))
+          SELECT (tip.h - o.settlementHeight) // 16 AS ageBucket,
+            count(*) AS nBoxes, CAST(sum(o.ergValue) AS BIGINT) AS totalValue
+          FROM read_parquet('${p("outputs")}') o, tip
+          WHERE NOT EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
+                            WHERE i.boxId = o.boxId)
+          GROUP BY 1 ORDER BY ageBucket""",
+
     // Backfill result re-derived from the RAW nested blocks: unnest replays
     // the flatten, NOT EXISTS replays the UTXO anti-join.
     "q51_chain_backfill" ->

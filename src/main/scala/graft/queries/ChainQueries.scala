@@ -171,6 +171,11 @@ object ChainQueries extends QueryModule {
     "q77_token_holders" -> ((s, _) => UtxoQueries.tokenHolders(tables(s), 3)),
     "q82_chain_flows" -> ((s, _) => GraphEdges.flows(tables(s), dust = 1000000L)),
     "q81_hot_scripts_sketch" -> ((s, _) => UtxoQueries.hotScripts(tables(s), HotK)),
+    // epochLen 16 so the 80-block fixture exercises multiple epochs (the
+    // API default is the reference's 1024-block stats epoch)
+    "q88_coin_blocks_destroyed" -> ((s, _) =>
+      UtxoQueries.coinBlocksDestroyed(tables(s), epochLen = 16)),
+    "q89_utxo_age" -> ((s, _) => UtxoQueries.utxoAgeDistribution(tables(s))),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).
     // The target script is picked deterministically (min hash) with a 1-row

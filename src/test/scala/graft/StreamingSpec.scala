@@ -297,6 +297,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream confirmation join pairs within the horizon, drops outside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pending = MemoryStream[(String, java.sql.Timestamp)]
+    val confirmed = MemoryStream[(String, java.sql.Timestamp, Int)]
+    val joined = graft.streaming.ConfirmationJoin.confirmations(
+      pending.toDF().toDF("txId", "seenAt"),
+      confirmed.toDF().toDF("txId", "confirmedAt", "height"),
+      horizon = "30 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("confirmations").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def ts(offsetS: Long) = new java.sql.Timestamp(t0 + offsetS * 1000)
+      pending.addData(("a", ts(0)), ("b", ts(0)), ("c", ts(0)))
+      query.processAllAvailable()
+      confirmed.addData(
+        ("a", ts(120), 10),      // 2 min wait → pairs
+        ("b", ts(3600), 11),     // 60 min > horizon → dropped
+        ("z", ts(120), 10))      // never pending → no pair
+      query.processAllAvailable()
+      // cross-micro-batch pairing: c confirms two batches later, still
+      // inside the horizon — the state store must have kept it
+      confirmed.addData(("c", ts(600), 12))
+      query.processAllAvailable()
+      val got = spark.table("confirmations")
+        .select("txId", "height", "waitS").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sorted
+      assert(got.toSeq == Seq(("a", 10, 120.0), ("c", 12, 600.0)))
+    } finally query.stop()
+  }
+
   test("misra-gries sketch aggregates across micro-batches (mergeable streaming state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
