@@ -71,6 +71,17 @@ class GraftEngine(spark: SparkSession, warehouse: String,
   def boxesByIds(mode: UtxoQueries.BoxMode, ids: Seq[String]): DataFrame =
     UtxoQueries.boxesByIds(tables, mode, ids)
 
+  // ---- the BlockService lookups (BlockService.scala:12-24) ----
+
+  /** Point lookup by block id — the predicate pushes into the scan, and a
+    * height-bucketed warehouse prunes to one partition when the caller
+    * filters by height range first.
+    */
+  def blockById(blockId: String): DataFrame =
+    tables.blocks.filter(col("blockId") === blockId)
+  def blocksByIds(ids: Seq[String]): DataFrame =
+    tables.blocks.filter(col("blockId").isin(ids: _*))
+
   // ---- stats + graph ----
 
   def topAddressesByValue(k: Int): DataFrame = UtxoQueries.topAddressesByValue(tables, k)

@@ -338,6 +338,26 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // Approximate percentiles (Greenwald–Khanna sketch, accuracy 100) vs
+    // the exact quantile, same error-bound-as-oracle contract as q49: the
+    // oracle recomputes the exact values and asserts the sketch landed
+    // within 2% of them — completes the mergeable-sketch family
+    // (HLL q49, Misra–Gries q81, quantile sketch here). At 100 TB the
+    // sketch is THE percentile path: mergeable partials, no global sort.
+    "q90_approx_percentile" -> ((s, dir) => {
+      val exact = expr("percentile(o_totalprice, array(0.5, 0.99))")
+      val approx = expr("approx_percentile(o_totalprice, array(0.5, 0.99), 100)")
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(exact.getItem(0), 2).as("p50"),
+          round(exact.getItem(1), 2).as("p99"),
+          approx.getItem(0).as("a50"), approx.getItem(1).as("a99"))
+        .select(col("o_orderstatus"), col("p50"), col("p99"),
+          (abs(col("a50") - col("p50")) <= lit(0.02) * col("p50")).as("p50_within_2pct"),
+          (abs(col("a99") - col("p99")) <= lit(0.02) * col("p99")).as("p99_within_2pct"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Fact ⋈ part-dim aggregation (completes the star-schema coverage).
     "q52_part_join" -> ((s, dir) => {
       val part = t(s, dir, "part").select("p_partkey", "p_brand")
@@ -441,6 +461,12 @@ object RelationalQueries extends QueryModule {
     "q49_approx_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
            count(*) AS n_orders, TRUE AS within_5pct
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q90_approx_percentile" ->
+      """SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+           TRUE AS p50_within_2pct, TRUE AS p99_within_2pct
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -54,6 +54,18 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.flows(dust = 1000000L).count() > 0)
     assert(engine.hotScripts(8).count() >= 1)
     assert(engine.tokenHolders().count() > 0)
+
+    // BlockService lookups: by one id, by an id set, miss → empty
+    val tipRow = engine.lastBlocks(2).select("blockId").collect().map(_.getString(0))
+    assert(engine.blockById(tipRow.head).count() == 1)
+    assert(engine.blocksByIds(tipRow.toSeq).count() == 2)
+    assert(engine.blockById("no-such-block").count() == 0)
+
+    // velocity + age analytics over the warehouse
+    assert(engine.coinBlocksDestroyed.agg(sum("nSpends")).head.getLong(0) ==
+      engine.tables.inputs.count(), "every spend is aged exactly once")
+    val ageBoxes = engine.utxoAgeDistribution().agg(sum("nBoxes")).head.getLong(0)
+    assert(ageBoxes == engine.utxos.count(), "age buckets partition the UTXO set")
   }
 
   test("heal detects a crash between raw append and derivation and repairs it") {
