@@ -72,11 +72,13 @@ object TemporalQueries extends QueryModule {
           col("p_event_id")))
       val w = Window.partitionBy("user_id").orderBy("ts", "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // both carried values in ONE select so CollapseWindow merges them
+      // into a single Window pass (sequential withColumn leaves two)
       tagged
-        .withColumn("m_id", last(col("c_event_id"), ignoreNulls = true).over(w))
-        .withColumn("m_us",
+        .select(col("*"),
+          last(col("c_event_id"), ignoreNulls = true).over(w).as("m_id"),
           last(when(col("side") === 0, unix_micros(col("ts"))),
-            ignoreNulls = true).over(w))
+            ignoreNulls = true).over(w).as("m_us"))
         .filter(col("side") === 1)
         .select(col("p_event_id"), col("user_id"),
           unix_micros(col("ts")).as("p_us"),

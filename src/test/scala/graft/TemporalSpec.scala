@@ -105,6 +105,41 @@ class TemporalSpec extends AnyFunSuite {
       collectSet(naiveRange(Tables.load(spark, dir, "events"))))
   }
 
+  test("random event sets: composed joins equal naive definitions (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // dense user/time spaces force collisions, same-instant ties, windows
+    // straddling bucket edges, and empty match sets — the corners the
+    // blocking/window constructions must not care about
+    val base = 1690000000000000L
+    val rowGen = for {
+      user <- Gen.choose(1L, 6L)
+      tpe <- Gen.oneOf("click", "purchase", "error", "view")
+      // offsets cluster around multiples of the 600s window so interval
+      // endpoints land on bucket boundaries often
+      us <- Gen.oneOf(
+        Gen.choose(0L, 3L * WindowUs),
+        Gen.choose(0L, 6L).map(_ * WindowUs),
+        Gen.choose(0L, 6L).map(_ * WindowUs - 1))
+    } yield (user, tpe, base + us)
+    val setGen = Gen.listOfN(120, rowGen)
+    (0 until 5).foreach { i =>
+      val rows = setGen(Gen.Parameters.default, Seed(1234L + i)).get
+        .zipWithIndex.map { case ((u, tpe, us), id) => (id.toLong, u, tpe, us) }
+      val ev = rows.toDF("event_id", "user_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-prop$i").toString
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val loaded = Tables.load(spark, dir, "events")
+      assert(collectSet(SparkEntry.queries("q83_asof_join")(spark, dir)) ==
+        collectSet(naiveAsof(loaded)), s"as-of law failed for seed ${1234 + i}")
+      assert(collectSet(SparkEntry.queries("q84_range_join")(spark, dir)) ==
+        collectSet(naiveRange(loaded)), s"range law failed for seed ${1234 + i}")
+    }
+  }
+
   test("chunking covers every token exactly and respects stride/size") {
     val rows = SparkEntry.queries("q87_doc_chunking")(spark, sf0001).collect()
     assert(rows.nonEmpty)
