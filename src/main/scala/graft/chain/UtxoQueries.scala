@@ -95,16 +95,21 @@ object UtxoQueries {
       lit(bestHeight) - col("settlementHeight") + 1)
 
   /** J1: box enriched with script hex and block metadata
-    * (PersistentBoxRepo.joinUtxoWithErgoTreeAndBlock:72-86). The dims are
-    * broadcast; the fact side never shuffles.
+    * (PersistentBoxRepo.joinUtxoWithErgoTreeAndBlock:72-86). NO broadcast
+    * hints: both dims grow with the chain (one row per script with the full
+    * hex — wide; one per block), so a forced broadcast is the same OOM
+    * class the address-cluster label join had. AQE picks the right side at
+    * runtime from actual sizes: a point query's few boxes broadcast against
+    * the dims, a full-scan enrich degrades to a shuffle join instead of
+    * blowing up the driver.
     */
   def enrichedBoxes(t: ChainTables, boxes: DataFrame): DataFrame =
     boxes
-      .join(broadcast(t.ergoTrees.select(col("hash"), col("hex"), col("address"))),
+      .join(t.ergoTrees.select(col("hash"), col("hex"), col("address")),
         boxes("ergoTreeHash") === col("hash"))
       .drop("hash")
-      .join(broadcast(t.blocks.select(col("blockId"), col("height").as("blockHeight"),
-        col("timestamp").as("blockTimestamp"))), Seq("blockId"))
+      .join(t.blocks.select(col("blockId"), col("height").as("blockHeight"),
+        col("timestamp").as("blockTimestamp")), Seq("blockId"))
 
   // ---- stats (A6/A7/A11, O1–O4) ----
 

@@ -81,8 +81,9 @@ object ChainQueries extends QueryModule {
     // Top-K addresses by held value (A7) with address rendering (J1/P7).
     "q36_chain_top_addresses" -> ((s, _) => {
       val t = tables(s)
-      UtxoQueries.topAddressesByValue(t, 10)
-        .join(broadcast(t.ergoTrees.select(col("hash"), col("address"))),
+      // broadcast the 10-ROW top-K result, not the unbounded script dim
+      broadcast(UtxoQueries.topAddressesByValue(t, 10))
+        .join(t.ergoTrees.select(col("hash"), col("address")),
           col("ergoTreeHash") === col("hash"))
         .select("address", "ergoTreeHash", "totalValue")
         .orderBy(desc("totalValue"), asc("ergoTreeHash"))
