@@ -106,4 +106,6 @@ class GraftEngine(spark: SparkSession, warehouse: String,
   def coinBlocksDestroyed: DataFrame = UtxoQueries.coinBlocksDestroyed(tables)
   def utxoAgeDistribution(bucketLen: Int = 16): DataFrame =
     UtxoQueries.utxoAgeDistribution(tables, bucketLen)
+  def scriptPageRank(iters: Int = 3): DataFrame =
+    GraphEdges.pageRank(tables, iters)
 }

@@ -64,6 +64,45 @@ object GraphEdges {
       .orderBy("src", "dst")
   }
 
+  /** Value-weighted PageRank over the script flow graph — the importance
+    * ranking the reference's JanusGraph provisioning gestures at. Each
+    * superstep is keyed joins + aggregations only: out-weight-normalized
+    * contributions shuffle on the edge key, the dangling mass folds into a
+    * 1-row broadcast, N stays a 1-row broadcast (never a driver-side
+    * constant). `iters` is fixed (power iteration converges geometrically
+    * at d=0.85); at warehouse scale each superstep would localCheckpoint
+    * like [[graft.functions.Clustering]] to keep lineage O(1).
+    */
+  def pageRank(t: ChainTables, iters: Int = 3, damping: Double = 0.85,
+    dust: Long = ChainConst.DustThreshold): DataFrame = {
+    val edges = flows(t, dust = dust)
+      .select(col("src"), col("dst"), col("totalValue").cast("double").as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val eNorm = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+    val nodes = t.outputs.select(col("ergoTreeHash").as("node")).distinct()
+    val nTot = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var pr = nodes.crossJoin(broadcast(nTot))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val dangling = pr
+        .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      val contrib = eNorm
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("pr")).as("cin"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nTot))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") + lit(damping) *
+            (coalesce(col("cin"), lit(0.0)) + col("dm") / col("n"))).as("pr"))
+    }
+    pr.select(col("node").as("ergoTreeHash"), round(col("pr"), 6).as("pagerank"))
+      .orderBy("ergoTreeHash")
+  }
+
   /** 1-hop neighbourhood of a script: every counterparty script that shares
     * a tx with it (address→tx→address traversal, one self-join).
     */

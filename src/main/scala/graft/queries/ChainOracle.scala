@@ -400,6 +400,49 @@ object ChainOracle {
                             WHERE i.boxId = o.boxId)
           GROUP BY 1 ORDER BY ageBucket""",
 
+    // PageRank re-derived with UNROLLED power iterations (3 CTE rounds):
+    // the flow-edge CTE is the same recomputation q82 uses; each round
+    // recomputes dangling mass, in-contributions, and the damped update.
+    "q91_script_pagerank" -> {
+      val iterCtes = (1 to 3).map { i =>
+        val prev = s"pr${i - 1}"
+        s"""d$i AS (SELECT coalesce(sum(pr), 0) AS dm FROM $prev
+                    WHERE node NOT IN (SELECT src FROM outw)),
+            c$i AS (SELECT en.dst AS node, sum(en.p * $prev.pr) AS cin
+                    FROM en JOIN $prev ON en.src = $prev.node GROUP BY 1),
+            pr$i AS (SELECT nodes.node,
+                       0.15 / nt.n + 0.85 * (coalesce(c$i.cin, 0) + d$i.dm / nt.n) AS pr
+                     FROM nodes LEFT JOIN c$i USING (node), d$i, nt)"""
+      }.mkString(",\n")
+      s"""WITH in_scripts AS (
+            SELECT i.txId, o.ergoTreeHash, sum(o.ergValue) AS value
+            FROM read_parquet('${p("inputs")}') i
+            JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId
+            GROUP BY i.txId, o.ergoTreeHash),
+          out_scripts AS (
+            SELECT txId, ergoTreeHash, sum(ergValue) AS value
+            FROM read_parquet('${p("outputs")}')
+            GROUP BY txId, ergoTreeHash),
+          from_e AS (SELECT * FROM in_scripts WHERE value >= 1000000),
+          to_e AS (SELECT o.* FROM out_scripts o
+            WHERE NOT EXISTS (SELECT 1 FROM in_scripts i
+                              WHERE i.txId = o.txId
+                                AND i.ergoTreeHash = o.ergoTreeHash)
+              AND o.value >= 1000000),
+          fl AS (SELECT f.ergoTreeHash AS src, t.ergoTreeHash AS dst,
+                   CAST(sum(t.value) AS DOUBLE) AS w
+                 FROM from_e f JOIN to_e t ON f.txId = t.txId GROUP BY 1, 2),
+          outw AS (SELECT src, sum(w) AS ow FROM fl GROUP BY 1),
+          en AS (SELECT src, dst, w / ow AS p FROM fl JOIN outw USING (src)),
+          nodes AS (SELECT DISTINCT ergoTreeHash AS node
+                    FROM read_parquet('${p("outputs")}')),
+          nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          pr0 AS (SELECT node, 1.0 / nt.n AS pr FROM nodes, nt),
+          $iterCtes
+          SELECT node AS ergoTreeHash, round(pr, 6) AS pagerank
+          FROM pr3 ORDER BY ergoTreeHash"""
+    },
+
     // Backfill result re-derived from the RAW nested blocks: unnest replays
     // the flatten, NOT EXISTS replays the UTXO anti-join.
     "q51_chain_backfill" ->

@@ -177,6 +177,11 @@ object ChainQueries extends QueryModule {
     "q88_coin_blocks_destroyed" -> ((s, _) =>
       UtxoQueries.coinBlocksDestroyed(tables(s), epochLen = 16)),
     "q89_utxo_age" -> ((s, _) => UtxoQueries.utxoAgeDistribution(tables(s))),
+    // Value-weighted PageRank over the flow graph (3 power iterations,
+    // d=0.85, dust matching the q82 flow semantics so the oracle's edge
+    // CTE is shared).
+    "q91_script_pagerank" -> ((s, _) =>
+      GraphEdges.pageRank(tables(s), iters = 3, dust = 1000000L)),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).
     // The target script is picked deterministically (min hash) with a 1-row

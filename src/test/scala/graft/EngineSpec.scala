@@ -66,6 +66,10 @@ class EngineSpec extends AnyFunSuite {
       engine.tables.inputs.count(), "every spend is aged exactly once")
     val ageBoxes = engine.utxoAgeDistribution().agg(sum("nBoxes")).head.getLong(0)
     assert(ageBoxes == engine.utxos.count(), "age buckets partition the UTXO set")
+
+    // PageRank is a probability distribution over every script
+    val prSum = engine.scriptPageRank().agg(sum("pagerank")).head.getDouble(0)
+    assert(math.abs(prSum - 1.0) < 1e-3, s"pagerank mass $prSum must be ~1")
   }
 
   test("heal detects a crash between raw append and derivation and repairs it") {
