@@ -75,15 +75,25 @@ object GraphEdges {
     */
   def pageRank(t: ChainTables, iters: Int = 3, damping: Double = 0.85,
     dust: Long = ChainConst.DustThreshold): DataFrame = {
+    // materialize the loop-invariant tables ONCE and checkpoint each
+    // superstep: pr is referenced three times per iteration (dangling mass,
+    // contributions, final join), so a lazy plan recomputes the whole
+    // lineage 3^iters times — the checkpoint keeps every superstep O(1)
+    // lineage and single-evaluation (same discipline as
+    // Clustering.minLabelComponents).
     val edges = flows(t, dust = dust)
       .select(col("src"), col("dst"), col("totalValue").cast("double").as("w"))
-    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+      .localCheckpoint(true)
+    val outw = edges.groupBy("src").agg(sum("w").as("ow")).localCheckpoint(true)
     val eNorm = edges.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .localCheckpoint(true)
     val nodes = t.outputs.select(col("ergoTreeHash").as("node")).distinct()
+      .localCheckpoint(true)
     val nTot = nodes.agg(count(lit(1)).cast("double").as("n"))
     var pr = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val dangling = pr
         .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
@@ -98,6 +108,7 @@ object GraphEdges {
         .select(col("node"),
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("cin"), lit(0.0)) + col("dm") / col("n"))).as("pr"))
+        .localCheckpoint(true)
     }
     pr.select(col("node").as("ergoTreeHash"), round(col("pr"), 6).as("pagerank"))
       .orderBy("ergoTreeHash")
