@@ -114,17 +114,25 @@ object GraphEdges {
       .orderBy("ergoTreeHash")
   }
 
-  /** 1-hop neighbourhood of a script: every counterparty script that shares
-    * a tx with it (address→tx→address traversal, one self-join).
+  /** 1-hop neighbourhood: every counterparty script sharing a tx with the
+    * target (address→tx→address traversal, one self-join). `target` is a
+    * 1-row (target) DataFrame so the whole plan stays distributed — no
+    * driver-side hash lookup in the query path.
     */
-  def neighbours(edges: DataFrame, ergoTreeHash: String): DataFrame = {
-    val mine = edges.filter(col("ergoTreeHash") === ergoTreeHash)
-      .select(col("txId"), col("direction").as("myDirection"))
+  def neighboursOf(edges: DataFrame, target: DataFrame): DataFrame = {
+    val mine = edges
+      .join(broadcast(target), col("ergoTreeHash") === col("target"))
+      .select(col("txId"), col("target"))
     edges.join(mine, "txId")
-      .filter(col("ergoTreeHash") =!= ergoTreeHash)
+      .filter(col("ergoTreeHash") =!= col("target"))
       .groupBy("ergoTreeHash")
       .agg(count(lit(1)).as("sharedTxs"), sum("value").as("totalValue"))
       .orderBy(desc("sharedTxs"), asc("ergoTreeHash"))
+  }
+
+  def neighbours(edges: DataFrame, ergoTreeHash: String): DataFrame = {
+    import edges.sparkSession.implicits._
+    neighboursOf(edges, Seq(ergoTreeHash).toDF("target"))
   }
 
   /** 2-hop traversal (address→tx→address→tx→address): the motif query shape
@@ -132,15 +140,21 @@ object GraphEdges {
     * script. `maxHop1` caps fan-out so a supernode in the middle cannot
     * explode the frontier (the graph analog of the skew guard).
     */
-  def twoHop(edges: DataFrame, ergoTreeHash: String, maxHop1: Int = 100): DataFrame = {
-    val hop1 = neighbours(edges, ergoTreeHash).limit(maxHop1)
+  def twoHopOf(edges: DataFrame, target: DataFrame, maxHop1: Int = 100): DataFrame = {
+    val hop1 = neighboursOf(edges, target).limit(maxHop1)
       .select(col("ergoTreeHash").as("mid"))
     val midTxs = edges.join(hop1, col("ergoTreeHash") === col("mid"))
       .select(col("txId"), col("mid"))
     edges.join(midTxs, "txId")
-      .filter(col("ergoTreeHash") =!= ergoTreeHash && col("ergoTreeHash") =!= col("mid"))
+      .crossJoin(broadcast(target))
+      .filter(col("ergoTreeHash") =!= col("target") && col("ergoTreeHash") =!= col("mid"))
       .groupBy(col("ergoTreeHash"))
       .agg(countDistinct("mid").as("nPaths"), sum("value").as("totalValue"))
       .orderBy(desc("nPaths"), asc("ergoTreeHash"))
+  }
+
+  def twoHop(edges: DataFrame, ergoTreeHash: String, maxHop1: Int = 100): DataFrame = {
+    import edges.sparkSession.implicits._
+    twoHopOf(edges, Seq(ergoTreeHash).toDF("target"), maxHop1)
   }
 }

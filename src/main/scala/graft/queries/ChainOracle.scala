@@ -136,6 +136,30 @@ object ChainOracle {
         WHERE NOT EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
                           WHERE i.boxId = $alias.boxId)"""
 
+  /** The q37/q82 graph-edge construction (input resolution, payback
+    * exclusion, dust ≥ 1000000) as a reusable CTE body — shared by the
+    * traversal oracles so every graph query verifies against ONE
+    * independent edge recomputation.
+    */
+  private def edgeCteSql: String =
+    s"""in_scripts AS (
+          SELECT i.txId, o.ergoTreeHash, sum(o.ergValue) AS value
+          FROM read_parquet('${p("inputs")}') i
+          JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId
+          GROUP BY i.txId, o.ergoTreeHash),
+        out_scripts AS (
+          SELECT txId, ergoTreeHash, sum(ergValue) AS value
+          FROM read_parquet('${p("outputs")}')
+          GROUP BY txId, ergoTreeHash),
+        edges AS (
+          SELECT txId, ergoTreeHash, value FROM in_scripts WHERE value >= 1000000
+          UNION ALL
+          SELECT o.txId, o.ergoTreeHash, o.value FROM out_scripts o
+          WHERE NOT EXISTS (SELECT 1 FROM in_scripts i
+                            WHERE i.txId = o.txId
+                              AND i.ergoTreeHash = o.ergoTreeHash)
+            AND o.value >= 1000000)"""
+
   /** DuckDB oracles for q33–q40 + q51 (chain domain — SURVEY.md §2/§3). */
   val oracles: Map[String, String] = Map(
     // A1–A3/A5/P4: per-block economics from the dump; every cumulative
@@ -399,6 +423,37 @@ object ChainOracle {
           WHERE NOT EXISTS (SELECT 1 FROM read_parquet('${p("inputs")}') i
                             WHERE i.boxId = o.boxId)
           GROUP BY 1 ORDER BY ageBucket""",
+
+    // Graph traversals re-derived: the same q37 edge construction, the
+    // busiest-script target, then the 1-hop / capped 2-hop joins.
+    "q92_neighbours" ->
+      s"""WITH $edgeCteSql,
+          tgt AS (SELECT ergoTreeHash AS target FROM edges
+                  GROUP BY 1 ORDER BY count(*) DESC, ergoTreeHash LIMIT 1),
+          mine AS (SELECT e.txId FROM edges e
+                   JOIN tgt ON e.ergoTreeHash = tgt.target)
+          SELECT e2.ergoTreeHash, count(*) AS sharedTxs,
+            CAST(sum(e2.value) AS BIGINT) AS totalValue
+          FROM edges e2 JOIN mine USING (txId), tgt
+          WHERE e2.ergoTreeHash <> tgt.target
+          GROUP BY 1 ORDER BY sharedTxs DESC, e2.ergoTreeHash""",
+    "q93_two_hop" ->
+      s"""WITH $edgeCteSql,
+          tgt AS (SELECT ergoTreeHash AS target FROM edges
+                  GROUP BY 1 ORDER BY count(*) DESC, ergoTreeHash LIMIT 1),
+          mine AS (SELECT e.txId FROM edges e
+                   JOIN tgt ON e.ergoTreeHash = tgt.target),
+          hop1 AS (SELECT e2.ergoTreeHash AS mid, count(*) AS st
+                   FROM edges e2 JOIN mine USING (txId), tgt
+                   WHERE e2.ergoTreeHash <> tgt.target
+                   GROUP BY 1 ORDER BY st DESC, mid LIMIT 100),
+          midTxs AS (SELECT e.txId, h.mid FROM edges e
+                     JOIN hop1 h ON e.ergoTreeHash = h.mid)
+          SELECT e2.ergoTreeHash, count(DISTINCT m.mid) AS nPaths,
+            CAST(sum(e2.value) AS BIGINT) AS totalValue
+          FROM edges e2 JOIN midTxs m USING (txId), tgt
+          WHERE e2.ergoTreeHash <> tgt.target AND e2.ergoTreeHash <> m.mid
+          GROUP BY 1 ORDER BY nPaths DESC, e2.ergoTreeHash""",
 
     // PageRank re-derived with UNROLLED power iterations (3 CTE rounds):
     // the flow-edge CTE is the same recomputation q82 uses; each round

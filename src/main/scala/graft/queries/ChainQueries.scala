@@ -32,6 +32,14 @@ object ChainQueries extends QueryModule {
   // contract (~1/4 of outputs) is the planted heavy hitter.
   private[graft] val HotK = 8
 
+  /** The script with the most graph-edge rows (ties by hash) as a 1-row
+    * (target) frame — the deterministic traversal root for q92/q93.
+    */
+  private def busiestScript(edges: org.apache.spark.sql.DataFrame) =
+    edges.groupBy("ergoTreeHash").agg(count(lit(1)).as("ec"))
+      .orderBy(desc("ec"), asc("ergoTreeHash")).limit(1)
+      .select(col("ergoTreeHash").as("target"))
+
   // one fixture derivation per session, entity tables cached — the chain
   // queries share state exactly like real queries share warehouse tables.
   private val memo = scala.collection.concurrent.TrieMap[SparkSession, ChainTables]()
@@ -182,6 +190,16 @@ object ChainQueries extends QueryModule {
     // CTE is shared).
     "q91_script_pagerank" -> ((s, _) =>
       GraphEdges.pageRank(tables(s), iters = 3, dust = 1000000L)),
+    // Graph traversals from the busiest script (most edge rows; ties by
+    // hash) — target picked by a 1-row broadcast, never a driver lookup.
+    "q92_neighbours" -> ((s, _) => {
+      val e = GraphEdges.txEdges(tables(s), dust = 1000000L)
+      GraphEdges.neighboursOf(e, busiestScript(e))
+    }),
+    "q93_two_hop" -> ((s, _) => {
+      val e = GraphEdges.txEdges(tables(s), dust = 1000000L)
+      GraphEdges.twoHopOf(e, busiestScript(e))
+    }),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).
     // The target script is picked deterministically (min hash) with a 1-row
