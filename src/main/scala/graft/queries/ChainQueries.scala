@@ -192,12 +192,14 @@ object ChainQueries extends QueryModule {
       GraphEdges.pageRank(tables(s), iters = 3, dust = 1000000L)),
     // Graph traversals from the busiest script (most edge rows; ties by
     // hash) — target picked by a 1-row broadcast, never a driver lookup.
+    // the edge table is referenced 2×/5× inside the traversal plans (mine,
+    // hop1, hop2, target) — materialize it once, like the PageRank loop
     "q92_neighbours" -> ((s, _) => {
-      val e = GraphEdges.txEdges(tables(s), dust = 1000000L)
+      val e = GraphEdges.txEdges(tables(s), dust = 1000000L).localCheckpoint(true)
       GraphEdges.neighboursOf(e, busiestScript(e))
     }),
     "q93_two_hop" -> ((s, _) => {
-      val e = GraphEdges.txEdges(tables(s), dust = 1000000L)
+      val e = GraphEdges.txEdges(tables(s), dust = 1000000L).localCheckpoint(true)
       GraphEdges.twoHopOf(e, busiestScript(e))
     }),
 
