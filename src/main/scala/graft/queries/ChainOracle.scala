@@ -4,6 +4,8 @@ import graft.chain._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.nio.file.{Files, Paths}
+
 /** Hard-correctness bridge for the chain domain: dumps the deterministic
   * fixture-derived entity tables (plus the raw fork/backfill fixtures) to
   * parquet at a fixed path so the driver's DuckDB gate can re-execute every
@@ -42,6 +44,22 @@ object ChainOracle {
   })
 
   val BackfillBlocks = 2000
+
+  /** Bump when the fixture generator or the node-JSON decode changes shape:
+    * the raw-fixture caches below persist across build rounds keyed only by
+    * `_SUCCESS`, so without a version stamp a decode fix would silently
+    * keep serving stale conversions.
+    */
+  val CacheFormatVersion = 2
+
+  private def cacheValid(dir: String): Boolean =
+    Files.exists(Paths.get(s"$dir/_SUCCESS")) &&
+      scala.util.Try(Files.readString(Paths.get(s"$dir/_graft_cache_version")).trim)
+        .toOption.contains(CacheFormatVersion.toString)
+
+  private def stampCache(dir: String): Unit =
+    Files.writeString(Paths.get(s"$dir/_graft_cache_version"),
+      CacheFormatVersion.toString)
 
   /** Glob for one dumped table, as DuckDB sees it. */
   def p(name: String): String = s"$Dir/$name/*.parquet"
@@ -97,11 +115,12 @@ object ChainOracle {
     * parallel.
     */
   def ensureBackfill(s: SparkSession): Unit = synchronized {
-    if (!new java.io.File(s"$Dir/backfill/_SUCCESS").exists()) {
+    if (!cacheValid(s"$Dir/backfill")) {
       import s.implicits._
       s.createDataset(ChainFixture.generate(BackfillBlocks))
         .repartition(16)
         .write.mode("overwrite").parquet(s"$Dir/backfill")
+      stampCache(s"$Dir/backfill")
     }
   }
 
@@ -120,12 +139,13 @@ object ChainOracle {
   val MainnetFixture = s"$ReferenceResources/blocks/blocks.gz"
   def ensureMainnetBackfill(s: SparkSession): Option[String] = synchronized {
     val out = s"$Dir/mainnet-backfill"
-    if (new java.io.File(s"$out/_SUCCESS").exists()) Some(out)
+    if (cacheValid(out)) Some(out)
     else if (!new java.io.File(MainnetFixture).exists()) None
     else {
       graft.chain.BlockSource.fromNodeJsonLines(s, MainnetFixture)
         .repartition(16)
         .write.mode("overwrite").parquet(out)
+      stampCache(out)
       Some(out)
     }
   }
