@@ -7,10 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (binary media + typed metadata, stubbed
-  * decode — SURVEY.md §7.5) and the native-Expression text path. Media
-  * queries are fixture-driven (rows-only checks; MultimodalSpec holds the
-  * invariants); q44 runs the custom Catalyst `token_count` expression and
-  * IS oracle-checked — its values must match the portable split-based SQL.
+  * decode — SURVEY.md §7.5) and the native-Expression text path. ALL
+  * queries here are oracle-checked: q41/q43 against DuckDB re-parsing the
+  * binary container header straight from the dumped blobs, q42 against the
+  * dumped feature-stage output, and q44 (the custom Catalyst `token_count`
+  * expression) against the portable split-based SQL. MultimodalSpec holds
+  * the batching/schema invariants.
   */
 object MultimodalQueries extends QueryModule {
 
