@@ -108,4 +108,8 @@ class GraftEngine(spark: SparkSession, warehouse: String,
     UtxoQueries.utxoAgeDistribution(tables, bucketLen)
   def scriptPageRank(iters: Int = 3): DataFrame =
     GraphEdges.pageRank(tables, iters)
+
+  /** Partition-pruned height-range scan of the warehouse block table. */
+  def blocksInRange(fromHeight: Int, toHeight: Int): DataFrame =
+    ingest.blocksInRange(spark, fromHeight, toHeight)
 }

@@ -464,4 +464,24 @@ class ChainIngest(
   }
 
   def blocks(spark: SparkSession): DataFrame = spark.read.parquet(p("blocks"))
+
+  /** Height-range scan WITH partition pruning: a height predicate alone
+    * cannot prune `heightBucket` partitions (Spark does not invert the
+    * bucket function), so the derived bucket-range predicate is added
+    * explicitly — at chain scale this is the difference between reading
+    * two bucket directories and scanning the whole table. `heightCol`
+    * names the table's height column ("height", "settlementHeight",
+    * "issuingHeight").
+    */
+  def rangeScan(spark: SparkSession, table: String, heightCol: String,
+    fromHeight: Int, toHeight: Int): DataFrame = {
+    require(fromHeight <= toHeight, "empty height range")
+    spark.read.parquet(p(table))
+      .filter(col("heightBucket")
+        .between(fromHeight / bucketSize, toHeight / bucketSize))
+      .filter(col(heightCol).between(fromHeight, toHeight))
+  }
+
+  def blocksInRange(spark: SparkSession, fromHeight: Int, toHeight: Int): DataFrame =
+    rangeScan(spark, "blocks", "height", fromHeight, toHeight)
 }

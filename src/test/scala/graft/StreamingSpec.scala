@@ -74,6 +74,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("range scans prune heightBucket partitions and stay result-identical") {
+    import spark.implicits._
+    val base = tmpDir("graft-prune")
+    val ingest = new ChainIngest(s"$base/warehouse", bucketSize = 10)
+    ingest.processBatch(spark.createDataset(ChainFixture.generate(30)), 0L)
+    val pruned = ingest.blocksInRange(spark, 5, 9)
+    // the scan's PartitionFilters must constrain heightBucket — a bare
+    // height predicate reads every bucket directory
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("heightBucket"), s"no partition pruning in:\n$plan")
+    // result-identical to the unpruned filter, and only bucket 0 is read
+    val expect = ingest.blocks(spark).filter(col("height").between(5, 9))
+      .select("blockId").collect().map(_.getString(0)).toSet
+    assert(pruned.select("blockId").collect().map(_.getString(0)).toSet == expect)
+    assert(pruned.count() == 5)
+    // cross-bucket range still prunes (covers exactly buckets 0 and 1)
+    val two = ingest.rangeScan(spark, "blocks", "height", 8, 12)
+    assert(two.count() == 5)
+    assert(two.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters:"))
+      .exists(_.contains("heightBucket")))
+  }
+
   test("replaying a delivered batch leaves the warehouse unchanged (idempotency)") {
     import spark.implicits._
     val all = ChainFixture.generate(20)
