@@ -518,6 +518,24 @@ object ChainOracle {
           FROM pr3 ORDER BY ergoTreeHash"""
     },
 
+    // The warehouse's base+delta UTXO view, row-level, against the plain
+    // relational anti-join — verifies the MVCC versioning (compacted base +
+    // live deltas) reconstructs exactly the unspent set.
+    "q94_wh_utxo_view" ->
+      s"""SELECT o.boxId, o.txId, o.blockId, o.settlementHeight, o.ergValue,
+            o.ergoTreeHash
+          ${utxoSql("o")}
+          ORDER BY o.boxId""",
+
+    // The partition-pruned range scan against an unpruned recomputation of
+    // the same height range over the full dump.
+    "q95_wh_range_scan" ->
+      s"""SELECT height, blockId, txsCount, blockFee, totalTxsCount, maxBoxGix
+          FROM read_parquet('${p("blocks")}')
+          WHERE height BETWEEN ${ChainQueries.RangeScanFrom}
+            AND ${ChainQueries.RangeScanTo}
+          ORDER BY height""",
+
     // Backfill result re-derived from the RAW nested blocks: unnest replays
     // the flatten, NOT EXISTS replays the UTXO anti-join.
     "q51_chain_backfill" ->

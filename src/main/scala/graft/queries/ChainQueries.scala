@@ -4,17 +4,23 @@ import graft.chain._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Chain-domain query surface exercised end-to-end over the deterministic
-  * block fixture (SURVEY.md §2 / §3 — the reference's actual domain). These
-  * have no DuckDB oracle (the nested fixture lives in the JVM, and the
-  * domain invariants are relational laws, not SQL-reducible values), so the
-  * driver records rows-only checks; ChainSpec asserts the invariants:
-  * spent ∪ unspent partitions boxes, Σinputs = Σoutputs per non-coinbase tx,
-  * cumulative monotonicity, the token-minting rule, and fork resolution.
+/** Chain-domain query surface (SURVEY.md §2 / §3 — the reference's actual
+  * domain), every query DuckDB-oracle-checked (ChainOracle recomputes the
+  * relational layer independently over the dumped fixture tables) and
+  * ChainSpec-pinned on the domain laws (spent ∪ unspent partitions boxes,
+  * Σinputs = Σoutputs per non-coinbase tx, cumulative monotonicity, the
+  * token-minting rule, fork resolution).
+  *
+  * Storage path: the queries read the [[ChainWarehouse]] — a real
+  * ChainIngest parquet warehouse built through the incremental ingest
+  * (bucket-partitioned entity tables, base+delta UTXO versions), NOT an
+  * in-memory derivation — so the oracle gate covers the write→read round
+  * trip, the tip-carried cumulative offsets, and the MVCC view exactly as
+  * a production deployment runs them.
   */
 object ChainQueries extends QueryModule {
 
-  private val FixtureBlocks = 80
+  private[graft] val FixtureBlocks = 80
 
   // Fork-fixture parameters — shared with ChainOracle so the DuckDB side
   // re-resolves exactly the same branch set.
@@ -32,6 +38,11 @@ object ChainQueries extends QueryModule {
   // contract (~1/4 of outputs) is the planted heavy hitter.
   private[graft] val HotK = 8
 
+  // q95 height range — spans warehouse buckets 1..3 (of 5, bucketSize 16),
+  // so both endpoints exercise mid-bucket pruning; shared with the oracle.
+  private[graft] val RangeScanFrom = 24
+  private[graft] val RangeScanTo = 55
+
   /** The script with the most graph-edge rows (ties by hash) as a 1-row
     * (target) frame — the deterministic traversal root for q92/q93.
     */
@@ -40,20 +51,15 @@ object ChainQueries extends QueryModule {
       .orderBy(desc("ec"), asc("ergoTreeHash")).limit(1)
       .select(col("ergoTreeHash").as("target"))
 
-  // one fixture derivation per session, entity tables cached — the chain
-  // queries share state exactly like real queries share warehouse tables.
+  // one warehouse view per session — nothing is pinned in executor memory;
+  // every query plans straight over the warehouse parquet (scans, pruning,
+  // and the UTXO view stay visible to Catalyst and to the oracle gate).
   private val memo = scala.collection.concurrent.TrieMap[SparkSession, ChainTables]()
-  Memos.register(s => memo.remove(s).foreach(t =>
-    Seq(t.blocks, t.txs, t.outputs, t.inputs, t.assets, t.ergoTrees,
-      t.ergoTreeT8s, t.dataInputs, t.registers, t.tokens).foreach(_.unpersist())))
+  Memos.register(s => memo.remove(s))
   private[graft] def fixtureTables(s: SparkSession): ChainTables = tables(s)
   private def tables(s: SparkSession): ChainTables = memo.getOrElseUpdate(s, {
     Memos.hook(s)
-    import s.implicits._
-    val t = BlockDerivation.derive(s.createDataset(ChainFixture.generate(FixtureBlocks)))
-    ChainTables(t.blocks.cache(), t.txs.cache(), t.outputs.cache(),
-      t.inputs.cache(), t.assets.cache(), t.ergoTrees.cache(), t.ergoTreeT8s.cache(),
-      t.dataInputs.cache(), t.registers.cache(), t.tokens.cache())
+    ChainWarehouse.tables(s)
   })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,6 +207,30 @@ object ChainQueries extends QueryModule {
     "q93_two_hop" -> ((s, _) => {
       val e = GraphEdges.txEdges(tables(s), dust = 1000000L).localCheckpoint(true)
       GraphEdges.twoHopOf(e, busiestScript(e))
+    }),
+
+    // The MVCC UTXO view itself, row-level: base(v5) ∪ delta adds ∖ delta
+    // removes must equal the relational anti-join the oracle recomputes —
+    // the hard check that K2's base+delta versioning loses/duplicates
+    // nothing across compaction and live deltas.
+    "q94_wh_utxo_view" -> ((s, _) => {
+      ChainWarehouse.ensure(s).utxo(s)
+        .select("boxId", "txId", "blockId", "settlementHeight", "ergValue",
+          "ergoTreeHash")
+        .orderBy("boxId")
+    }),
+
+    // Partition-pruned height-range scan (the secondary-index translation,
+    // SURVEY §4): heights 24..55 span buckets 1..3 of 5 — the derived
+    // heightBucket predicate prunes bucket dirs 0 and 4 out of the scan
+    // (PlanSpec asserts PartitionFilters), and the oracle recomputes the
+    // range over the full dump.
+    "q95_wh_range_scan" -> ((s, _) => {
+      ChainWarehouse.ensure(s)
+        .blocksInRange(s, RangeScanFrom, RangeScanTo)
+        .select("height", "blockId", "txsCount", "blockFee", "totalTxsCount",
+          "maxBoxGix")
+        .orderBy("height")
     }),
 
     // Unspent boxes by address — the reference's flagship REST query (§3.1).

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.chain._
+import graft.streaming.ChainIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/** The chain-domain queries' storage layer: a REAL [[ChainIngest]] parquet
+  * warehouse built from the deterministic fixture through the incremental
+  * ingest path (8 batches), NOT an in-memory derivation. Every chain query
+  * that runs over [[tables]] therefore exercises, under the DuckDB oracle
+  * gate, exactly what a production deployment reads:
+  *
+  *  - height-bucket-partitioned entity tables written batch-by-batch with
+  *    cumulative/global-index offsets carried from the stored tip
+  *    (`BlockBuilder(prev)` semantics, reference BlockBuilder.scala:19-66);
+  *  - the MVCC UTXO state as base + live delta versions — `compactEvery` is
+  *    sized so the final state is one base AND several uncompacted deltas,
+  *    so the live view's `base ∪ adds ∖ removes` union is what q34/q94 (and
+  *    every UTXO-derived query) actually compute over;
+  *  - partition-pruned range scans ([[ChainIngest.rangeScan]]) — `bucketSize`
+  *    is far below the 10k production default so the 80-block fixture spans
+  *    5 real bucket directories and pruning is observable in plans (PlanSpec)
+  *    and results (q95).
+  *
+  * The build is disk-cached under the oracle dir (version-stamped like the
+  * backfill fixtures — ChainOracle.CacheFormatVersion invalidates it when
+  * the fixture or decode shape changes; LayoutVersion when the warehouse
+  * parameters here do).
+  */
+object ChainWarehouse {
+
+  val Dir: String = s"${ChainOracle.Dir}/warehouse-fixture"
+
+  /** 80 fixture blocks / bucket 16 → 5 bucket partitions per table. */
+  val BucketSize = 16
+
+  /** 8 batches of 10 blocks; compaction after 5 deltas → final UTXO state =
+    * base v5 + live deltas v6..v8 (both view legs exercised).
+    */
+  val BatchSize = 10
+  val CompactEvery = 5
+
+  /** Bump when the warehouse build parameters or layout change. */
+  val LayoutVersion = 2
+
+  private def stamp = s"${ChainOracle.CacheFormatVersion}-$LayoutVersion"
+  private def marker = Paths.get(s"$Dir/_graft_warehouse_version")
+
+  private def rmTree(path: String): Unit = {
+    val victim = Paths.get(path)
+    if (Files.exists(victim)) {
+      val walk = Files.walk(victim)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  private def ingest(): ChainIngest =
+    new ChainIngest(Dir, bucketSize = BucketSize, compactEvery = CompactEvery)
+
+  /** Build (or reuse) the fixture warehouse; returns the ingest handle whose
+    * [[ChainIngest.utxo]] / [[ChainIngest.rangeScan]] views the queries use.
+    */
+  def ensure(s: SparkSession): ChainIngest = synchronized {
+    val valid = Files.exists(marker) &&
+      scala.util.Try(Files.readString(marker).trim).toOption.contains(stamp) &&
+      Files.exists(Paths.get(s"$Dir/blocks"))
+    val ing = ingest()
+    if (!valid) {
+      rmTree(Dir)
+      import s.implicits._
+      ChainFixture.generate(ChainQueries.FixtureBlocks)
+        .grouped(BatchSize).zipWithIndex
+        .foreach { case (b, i) => ing.processBatch(s.createDataset(b), i.toLong) }
+      // Script dims are MATERIALIZED warehouse tables, not per-query
+      // derivations: they aggregate UDF-heavy address rendering over every
+      // output, so a production warehouse computes them once at ingest (the
+      // reference keeps the same per-script tables), and twenty queries
+      // reading them pay a columnar scan, not twenty re-renderings.
+      val (ergoTrees, t8) = BlockDerivation.scriptDims(
+        s.read.parquet(s"$Dir/outputs").drop("heightBucket"))
+      ergoTrees.write.mode("overwrite").parquet(s"$Dir/ergo_trees")
+      t8.write.mode("overwrite").parquet(s"$Dir/ergo_tree_t8s")
+      Files.writeString(marker, stamp)
+    }
+    ing
+  }
+
+  /** The warehouse read view as ChainTables — every table straight off
+    * parquet (the partition column dropped so the schema is identical to a
+    * direct derivation); nothing pinned in executor memory.
+    */
+  def tables(s: SparkSession): ChainTables = {
+    ensure(s)
+    def t(name: String): DataFrame =
+      s.read.parquet(s"$Dir/$name").drop("heightBucket")
+    ChainTables(
+      blocks = t("blocks"),
+      txs = t("txs"),
+      outputs = t("outputs"),
+      inputs = t("inputs"),
+      assets = t("assets"),
+      ergoTrees = t("ergo_trees"),
+      ergoTreeT8s = t("ergo_tree_t8s"),
+      dataInputs = t("data_inputs"),
+      registers = t("registers"),
+      tokens = t("tokens"))
+  }
+}

@@ -230,13 +230,20 @@ object DedupQueries extends QueryModule {
       // O(corpus). Edge-free docs are singleton clusters by definition and
       // rejoin after convergence.
       val labels = graft.functions.Clustering.minLabelComponents(edges)
-      // singletons: cluster = self. The converged subgraph labels broadcast
-      // back onto the one full-corpus pass.
+      // singletons: cluster = self. NO broadcast hint on the label side: the
+      // dup subgraph is corpus-dependent (web crawls run 30%+ duplicate), so
+      // a forced broadcast is a driver-OOM risk at scale — AQE broadcasts it
+      // at runtime whenever it actually is small.
       val full = docs(s, dir).select(col("doc_id"))
-        .join(broadcast(labels.toDF("doc_id", "cid")), Seq("doc_id"), "left")
+        .join(labels.toDF("doc_id", "cid"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
-      val sizes = full.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
-      full.join(sizes, "cluster_id")
+      // cluster sizes via a cluster-partitioned window — one shuffle on
+      // cluster_id and the corpus pass runs ONCE (the groupBy+join-back
+      // alternative evaluates `full` twice and re-plans the label join under
+      // AQE on both sides)
+      full
+        .withColumn("csize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
         .select(col("doc_id"), col("cluster_id"), col("csize"))
         .orderBy("doc_id")
     }),

@@ -24,6 +24,7 @@ object SimilarityQueries extends QueryModule {
   private val NProbe = 3
   private val NumPlanes = 6 // hyperplane-LSH code width (64 buckets)
   private val KMeansK = 8   // q73 Lloyd's training cluster count
+  private val SemDedupTau = 0.35 // q97 within-cluster near-dup threshold
 
   /** Corpus with the l2 norm precomputed once per vector — every downstream
     * pairwise stage is then a single dot product.
@@ -158,6 +159,40 @@ object SimilarityQueries extends QueryModule {
         .orderBy("c_id")
     }),
 
+    // SemDeDup (Abbas et al.): semantic deduplication with LEARNED blocking —
+    // k-means clusters (q73's trained centroids, not a given label) bound the
+    // pairwise cosine kernel to within-cluster pairs, O(n²/K) instead of
+    // O(n²), and at 100 TB the per-cluster work is an independent keyed
+    // equi-join. Keep-rule: the lowest vec_id in each near-dup relation
+    // survives; every other member reports dup_of = its smallest duplicate
+    // neighbor.
+    "q97_semdedup" -> ((s, dir) => {
+      val e = corpus(s, dir).select("vec_id", "v")
+      val cent0 = e.filter(col("vec_id") < KMeansK)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val cent1 = centroidsOf(lloydAssign(e, cent0))
+      // the assignment table is referenced three times below (both sides of
+      // the pair join + the final join-back): checkpoint it once so the two
+      // Lloyd's passes run once, not 3× — the same O(1)-lineage discipline
+      // as GraphEdges.pageRank / Clustering.minLabelComponents
+      val assigned = lloydAssign(e, cent1)
+        .withColumn("n", l2NormNative(col("v")))
+        .select("vec_id", "v", "n", "c_id")
+        .localCheckpoint(true)
+      val dups = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
+        .withColumn("cos",
+          dotNative(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+        .filter(round(col("cos"), 4) >= SemDedupTau)
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(min(col("b.vec_id")).as("dup_of"))
+      assigned.select("vec_id", "c_id")
+        .join(dups, Seq("vec_id"), "left")
+        .select("vec_id", "c_id", "dup_of")
+        .orderBy("vec_id")
+    }),
+
     // Symmetric int8 quantization of the embedding column (the storage /
     // bandwidth stage an ANN index at 100 TB actually serves from):
     // per-vector scale = 127 / max|x|, reconstruction RMSE aggregated per
@@ -286,6 +321,39 @@ object SimilarityQueries extends QueryModule {
                       FROM e CROSS JOIN cent1 c))
          SELECT c_id, count(*) AS n_members, round(avg(d2), 6) AS avg_d2
          FROM r2 WHERE rn = 1 GROUP BY c_id ORDER BY c_id""",
+
+    "q97_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KMeansK),
+         r1 AS (SELECT vec_id, v, c_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
+                FROM (SELECT e.vec_id, e.v, c.c_id,
+                        list_dot_product(e.v, e.v)
+                          - 2.0 * list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) AS d2
+                      FROM e CROSS JOIN cent0 c)),
+         a1 AS (SELECT vec_id, v, c_id FROM r1 WHERE rn = 1),
+         comp AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM a1),
+         cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                   FROM (SELECT c_id, pos, round(avg(x), 9) AS cx
+                         FROM comp GROUP BY c_id, pos)
+                   GROUP BY c_id),
+         r2 AS (SELECT vec_id, v, c_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
+                FROM (SELECT e.vec_id, e.v, c.c_id,
+                        list_dot_product(e.v, e.v)
+                          - 2.0 * list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) AS d2
+                      FROM e CROSS JOIN cent1 c)),
+         a2 AS (SELECT vec_id, v, c_id FROM r2 WHERE rn = 1),
+         dups AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+                  FROM a2 a JOIN a2 b
+                    ON a.c_id = b.c_id AND a.vec_id > b.vec_id
+                  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $SemDedupTau
+                  GROUP BY a.vec_id)
+         SELECT a.vec_id, a.c_id, d.dup_of
+         FROM a2 a LEFT JOIN dups d USING (vec_id) ORDER BY a.vec_id""",
 
     "q72_embedding_quantize" ->
       """SELECT label, count(*) AS n_vecs, round(avg(rmse), 6) AS avg_rmse,

@@ -268,6 +268,84 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id", "rnk")
     }),
 
+    // BM25 full-text ranking (Robertson/Lucene idf form) — the retrieval
+    // stage of a RAG / data-curation pipeline. The query set is a literal
+    // broadcast table; the corpus side collapses to (doc × query-vocab-term)
+    // BEFORE any join (the isin prefilter drops every non-query token at the
+    // explode, so the tf shuffle carries |vocab ∩ queries| terms per doc,
+    // not the corpus). Per-(query, doc) scores fold in term-sorted order —
+    // deterministic doubles, same convention as q79.
+    "q96_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val qterms = broadcast(
+        Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+          .toDF("q_id", "term"))
+      val vocab = Bm25Queries.flatMap(_._2).distinct
+      val base = docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("dl", size(col("tk")).cast("double"))
+      val stats = broadcast(base.agg(
+        count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl")))
+      // prune to the query vocabulary INSIDE the token array, before the
+      // explode — the per-row pass emits only vocab hits (a handful per
+      // doc), not the full token stream
+      val isVocab = (t: Column) => vocab.map(v => t === v).reduce(_ || _)
+      val tf = base
+        .select(col("doc_id"), col("dl"),
+          explode(filter(col("tk"), isVocab)).as("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      // df over the query vocabulary only: tf is unique per (doc, term), so
+      // a plain count is the document frequency
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val w = tf.join(broadcast(df), "term").join(qterms, "term")
+        .crossJoin(stats)
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("w", col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      val perDoc = w.groupBy("q_id", "doc_id")
+        .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("ws"))
+        .select(col("q_id"), col("doc_id"),
+          aggregate(col("ws"), lit(0.0), (a, t) => a + t.getField("w")).as("score"))
+      val rw = Window.partitionBy("q_id")
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+      perDoc.withColumn("rnk", row_number().over(rw))
+        .filter(col("rnk") <= Bm25TopK)
+        .select(col("q_id"), col("rnk"), col("doc_id"),
+          round(col("score"), 4).as("bm25"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Exact-substring duplication (the Lee et al. "deduplicating training
+    // data" span detector, hash-approximated): every 40-char window at
+    // stride 10 is fingerprinted per row (no shuffle); a window content-
+    // shared by ≥2 distinct docs marks a duplicated span. The only wide
+    // stages are keyed equi-ops on the window hash — candidate volume is
+    // O(corpus windows), never O(pairs).
+    "q98_substring_dup" -> ((s, dir) => {
+      val doc = docs(s, dir).filter(col("n_chars") >= SubWin)
+        .select(col("doc_id"), transform(
+          sequence(lit(0),
+            floor((length(col("text")) - lit(SubWin)) / lit(SubStride)).cast("int")),
+          i => md5(col("text").substr(i * SubStride + 1, lit(SubWin)))).as("hs"))
+      val win = doc.select(col("doc_id"), explode(col("hs")).as("h"))
+      val dup = win.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+        .select("h")
+      val perDoc = win.join(dup, "h")
+        .groupBy("doc_id").agg(countDistinct("h").as("nd"))
+      doc.select(col("doc_id"), size(col("hs")).cast("long").as("n_windows"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_dup", coalesce(col("nd"), lit(0L)))
+        .withColumn("dup_ratio",
+          round(col("n_dup").cast("double") / col("n_windows"), 6))
+        .select("doc_id", "n_windows", "n_dup", "dup_ratio")
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: exact-content fingerprint (md5 of the
     // canonical form) + order-insensitive bag fingerprint (md5 of the sorted
     // distinct token list).
@@ -289,6 +367,18 @@ object TextQueries extends QueryModule {
   private val RollSeed = 7
   private val RollMod = 1000000007L
   private val PackBudget = 256L // tokens per packed training sequence
+
+  // BM25 parameters (the standard Robertson defaults) + a deterministic
+  // 3-query workload over the synthetic vocabulary.
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 10
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("join", "window"), 1 -> Seq("table", "scan"), 2 -> Seq("spark", "stream"))
+
+  // q98 substring-window parameters (chars per window / stride).
+  private val SubWin = 40
+  private val SubStride = 10
 
   val oracles: Map[String, String] = Map(
     "q63_bpe_tokens" ->
@@ -425,6 +515,49 @@ object TextQueries extends QueryModule {
              PARTITION BY doc_id ORDER BY round(score, 6) DESC, tok) AS rnk
            FROM scored)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q96_bm25" -> {
+      val vocab = Bm25Queries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      val qvals = Bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      raw"""WITH d AS (SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+                 string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d) t
+                WHERE term IN ($vocab) GROUP BY doc_id, dl, term),
+         df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         qt(q_id, term) AS (VALUES $qvals),
+         scored AS (SELECT qt.q_id, tf.doc_id, tf.term,
+             ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * ($Bm25K1 + 1.0)
+               / (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * tf.dl / s.avgdl)) AS w
+           FROM tf JOIN df USING (term) JOIN qt USING (term) CROSS JOIN stats s),
+         agg AS (SELECT q_id, doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY term)),
+               (a, b) -> a + b) AS score
+           FROM scored GROUP BY q_id, doc_id)
+         SELECT q_id, rnk, doc_id, round(score, 4) AS bm25 FROM (
+           SELECT q_id, doc_id, score, row_number() OVER (
+             PARTITION BY q_id ORDER BY round(score, 6) DESC, doc_id) AS rnk
+           FROM agg)
+         WHERE rnk <= $Bm25TopK ORDER BY q_id, rnk"""
+    },
+    "q98_substring_dup" ->
+      s"""WITH doc AS (SELECT doc_id,
+                 list_transform(range(0,
+                     CAST(floor((length(text) - $SubWin) / $SubStride) AS BIGINT) + 1),
+                   i -> md5(substr(text, CAST(i * $SubStride + 1 AS INT), $SubWin))) AS hs
+               FROM documents WHERE n_chars >= $SubWin),
+         win AS (SELECT doc_id, unnest(hs) AS h FROM doc),
+         dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         pd AS (SELECT doc_id, count(DISTINCT h) AS nd
+                FROM win JOIN dup USING (h) GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.hs) AS BIGINT) AS n_windows,
+           COALESCE(pd.nd, 0) AS n_dup,
+           round(CAST(COALESCE(pd.nd, 0) AS DOUBLE) / len(d.hs), 6) AS dup_ratio
+         FROM doc d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     "q71_vocab_topk" ->
       raw"""SELECT lang, rnk, tok, n FROM (
            SELECT lang, tok, n, row_number() OVER (

@@ -251,6 +251,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(badRanks == 0, "per-doc TF-IDF ranks must be dense starting at 1")
   }
 
+  test("BM25 ranks are dense, scores non-increasing, and hits contain a query term") {
+    import org.apache.spark.sql.functions._
+    val bm = SparkEntry.queries("q96_bm25")(spark, sf001)
+    val perQ = bm.groupBy("q_id")
+      .agg(count(lit(1)).as("k"), min("rnk").as("mn"), max("rnk").as("mx"))
+      .collect()
+    assert(perQ.length == 3, s"expected 3 queries, got ${perQ.length}")
+    assert(perQ.forall(r => r.getAs[Long]("k") == 10 &&
+      r.getAs[Int]("mn") == 1 && r.getAs[Int]("mx") == 10),
+      "each query must return a dense top-10")
+    // scores never increase as rank grows (rounding-tolerant)
+    val inversions = bm.as("x").join(bm.as("y"),
+      col("x.q_id") === col("y.q_id") && col("x.rnk") === col("y.rnk") - 1)
+      .filter(col("x.bm25") < col("y.bm25") - 0.0001).count()
+    assert(inversions == 0, "BM25 scores must be non-increasing in rank")
+    // every hit really contains at least one of its query's terms
+    val vocab = Map(0 -> Seq("join", "window"), 1 -> Seq("table", "scan"),
+      2 -> Seq("spark", "stream"))
+    val docsTk = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+    val misses = bm.join(docsTk, "doc_id").collect().count { r =>
+      val tk = r.getAs[scala.collection.Seq[String]]("tk").toSet
+      !vocab(r.getAs[Int]("q_id")).exists(tk.contains)
+    }
+    assert(misses == 0, "a ranked doc lacks every term of its query")
+  }
+
+  test("SemDeDup keeps one survivor per duplicate relation, inside its own cluster") {
+    import org.apache.spark.sql.functions._
+    val sd = SparkEntry.queries("q97_semdedup")(spark, sf001).cache()
+    val n = Tables.load(spark, sf001, "embeddings").count()
+    assert(sd.count() == n, "every corpus vector must appear exactly once")
+    // a duplicate always points at a STRICTLY smaller id (the keep-rule)
+    assert(sd.filter(col("dup_of") >= col("vec_id")).count() == 0)
+    // dup_of stays within the duplicate's own cluster (blocking is honest)
+    val cross = sd.as("d").filter(col("dup_of").isNotNull)
+      .join(sd.as("k"), col("d.dup_of") === col("k.vec_id"))
+      .filter(col("d.c_id") =!= col("k.c_id")).count()
+    assert(cross == 0, "dup_of crossed a cluster boundary")
+    // the pointed-at survivor is itself either a survivor or a smaller dup —
+    // never a larger id (no cycles possible under the < keep-rule)
+    assert(sd.filter(col("dup_of").isNotNull).count() > 0,
+      "threshold produced no duplicates at sf0.01 — spec has no teeth")
+    sd.unpersist()
+  }
+
+  test("substring-dup windows are bounded and flag genuinely shared spans") {
+    import org.apache.spark.sql.functions._
+    val sub = SparkEntry.queries("q98_substring_dup")(spark, sf001).cache()
+    assert(sub.filter(col("n_dup") > col("n_windows")).count() == 0)
+    assert(sub.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() == 0)
+    assert(sub.filter(col("n_dup") > 0).count() > 0,
+      "no cross-doc duplicated 40-char windows found at sf0.01")
+    // every doc shorter than the window is excluded, all others present
+    val eligible = Tables.load(spark, sf001, "documents")
+      .filter(col("n_chars") >= 40).count()
+    assert(sub.count() == eligible)
+    sub.unpersist()
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>

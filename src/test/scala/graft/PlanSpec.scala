@@ -53,6 +53,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!part.contains("l_shipdate"), "part join must not read unused lineitem columns")
   }
 
+  test("SemDeDup's pairwise kernel is cluster-keyed — never a cartesian") {
+    val plan = planOf("q97_semdedup")
+    // the 1-row centroid-array crossJoin (lloydAssign) is the only nested
+    // loop allowed; the O(pairs) stage itself must join on the cluster key
+    assert(!plan.contains("CartesianProduct"),
+      s"q97 must block pairs by cluster id, not all-pairs:\n$plan")
+    // two lloydAssign passes ⇒ at most two 1-row nested loops; a third would
+    // mean the O(pairs) stage degenerated to an unkeyed join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 2,
+      s"unexpected nested loop beyond the centroid-array broadcasts:\n$plan")
+  }
+
+  test("BM25 broadcasts the query/term/stats sides; only tf shuffles") {
+    val plan = planOf("q96_bm25")
+    // the only nested-loop allowed is the 1-row corpus-stats crossJoin
+    // (same convention as q80's doc-count broadcast)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"df and query-terms joins must broadcast:\n$plan")
+  }
+
+  test("substring-dup joins only on the window hash — keyed equi-ops throughout") {
+    val plan = planOf("q98_substring_dup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q98 must stay keyed on the window hash:\n$plan")
+  }
+
   test("simhash pairing is block-keyed equi-joins — never a cartesian") {
     val plan = planOf("q29_simhash_pairs")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
@@ -162,6 +188,13 @@ class PlanSpec extends AnyFunSuite {
       s"tfidf window must partition by doc:\n$tfidf")
     assert(tfidf.contains("BroadcastNestedLoopJoin") || tfidf.contains("BroadcastHashJoin"),
       s"the 1-row doc count must broadcast:\n$tfidf")
+  }
+
+  test("warehouse range scan prunes heightBucket partitions at the source") {
+    val plan = planOf("q95_wh_range_scan")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("heightBucket"),
+      s"the derived bucket predicate must reach PartitionFilters:\n$plan")
   }
 
   test("per-doc text pipeline has no shuffle before the final sort") {
