@@ -25,6 +25,7 @@ object SimilarityQueries extends QueryModule {
   private val NumPlanes = 6 // hyperplane-LSH code width (64 buckets)
   private val KMeansK = 8   // q73 Lloyd's training cluster count
   private val SemDedupTau = 0.35 // q97 within-cluster near-dup threshold
+  private val OutlierK = 5  // q104 least-prototypical vectors flagged per label
 
   /** Corpus with the l2 norm precomputed once per vector — every downstream
     * pairwise stage is then a single dot product.
@@ -193,6 +194,29 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // Prototypicality / outlier screening (the SemDeDup-sibling curation
+    // rule: SemDeDup drops what sits TOO CLOSE to a neighbor, this flags
+    // what sits too FAR from its own class): cosine of every vector to its
+    // label's centroid, lowest-OutlierK per label flagged. The centroid
+    // table is labels × dim — broadcast; scoring is map-side arithmetic on
+    // the corpus splits; the only shuffle is the label-partitioned rank
+    // window, so the shape survives any corpus size with bounded labels.
+    "q104_embedding_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = corpus(s, dir)
+      val cent = centroidsOf(e.select(col("label").as("c_id"), col("v")))
+        .withColumn("cn", l2NormNative(col("cv")))
+      val w = Window.partitionBy("label")
+        .orderBy(round(col("cos"), 6).asc, col("vec_id").asc)
+      e.join(broadcast(cent), col("label") === col("c_id"))
+        .withColumn("cos", dotNative(col("v"), col("cv")) / (col("n") * col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("vec_id"), col("label"),
+          round(col("cos"), 4).as("cos_centroid"), col("rnk"),
+          (col("rnk") <= OutlierK).cast("int").as("outlier"))
+        .orderBy("label", "rnk")
+    }),
+
     // Symmetric int8 quantization of the embedding column (the storage /
     // bandwidth stage an ANN index at 100 TB actually serves from):
     // per-vector scale = 127 / max|x|, reconstruction RMSE aggregated per
@@ -294,6 +318,21 @@ object SimilarityQueries extends QueryModule {
                     list_cosine_similarity(q.qv, a.v) AS cos
                   FROM assigned a JOIN q ON a.bucket = q.bucket
                   WHERE a.vec_id <> q.q_id)"""),
+
+    "q104_embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         comp AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+         cent AS (SELECT label, list(cx ORDER BY pos) AS cv
+                  FROM (SELECT label, pos, round(avg(x), 9) AS cx
+                        FROM comp GROUP BY label, pos)
+                  GROUP BY label),
+         sc AS (SELECT vec_id, e.label, list_cosine_similarity(v, cv) AS cos
+                FROM e JOIN cent USING (label)),
+         rk AS (SELECT vec_id, label, cos, row_number() OVER (
+                  PARTITION BY label ORDER BY round(cos, 6), vec_id) AS rnk FROM sc)
+         SELECT vec_id, label, round(cos, 4) AS cos_centroid, rnk,
+           CASE WHEN rnk <= $OutlierK THEN 1 ELSE 0 END AS outlier
+         FROM rk ORDER BY label, rnk""",
 
     "q73_kmeans_train" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

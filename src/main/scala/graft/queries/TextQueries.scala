@@ -346,6 +346,175 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination (the train/eval overlap scan every serious
+    // training corpus runs — Brown et al. GPT-3 appendix C shape): the eval
+    // set's distinct 5-gram surface is tiny (benchmarks are KBs, the corpus
+    // is TBs), so it BROADCASTS; each training doc counts how many of its
+    // distinct 5-grams appear in the eval surface. One keyed equi-join on
+    // the gram, one per-doc count — no pairwise doc comparison anywhere.
+    "q99_decontaminate" -> ((s, dir) => {
+      graft.functions.WordShinglesExpression.register(s)
+      val g = docs(s, dir).select(col("doc_id"),
+        shingles(toks(col("text")), DecontamN).as("g"))
+      val isEval = col("doc_id") % EvalMod === EvalRes
+      val evalGrams = broadcast(
+        g.filter(isEval).select(explode(col("g")).as("gram")).distinct())
+      val train = g.filter(!isEval)
+      // grams are distinct within a doc, so the post-join count IS the
+      // distinct-overlap count — no second distinct pass
+      val hits = train.select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(evalGrams, "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      train.select(col("doc_id"), size(col("g")).cast("long").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contaminated", (col("n_hit") > 0).cast("int"))
+        .withColumn("overlap_ratio", when(col("n_grams") > 0,
+          round(col("n_hit").cast("double") / col("n_grams"), 6)).otherwise(0.0))
+        .select("doc_id", "n_grams", "n_hit", "contaminated", "overlap_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality rule (Rae et al. §A1.1): the mass of
+    // the single most-frequent bigram / trigram as a fraction of all gram
+    // instances (q68's distinct-ratio is the complementary signal). Both
+    // wide stages key on doc_id — per-doc work never leaves its partition,
+    // so the rule scales with corpus splits.
+    "q100_topgram_mass" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+      def gramExpr(w: Int) = transform(
+        sequence(lit(0), col("n") - w),
+        i => concat_ws(" ", (0 until w).map(o => element_at(col("tk"), i + o + 1)): _*))
+      def topFrac(w: Int, out: String) = base.filter(col("n") >= w)
+        .select(col("doc_id"), explode(gramExpr(w)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          round(max(col("c")).cast("double") / sum(col("c")), 6).as(out))
+      base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+        .join(topFrac(2, "top_bigram_frac"), Seq("doc_id"), "left")
+        .join(topFrac(3, "top_trigram_frac"), Seq("doc_id"), "left")
+        .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+        .withColumn("top_trigram_frac", coalesce(col("top_trigram_frac"), lit(0.0)))
+        .withColumn("keep", (col("top_bigram_frac") <= GopherTop2Max &&
+          col("top_trigram_frac") <= GopherTop3Max).cast("int"))
+        .select("doc_id", "n_tokens", "top_bigram_frac", "top_trigram_frac", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style importance weights (Xie et al.): per-doc log-likelihood
+    // ratio between a target (eval-subset) and the raw corpus over HASHED
+    // unigram buckets — the bucket weight table is ≤ DsirBuckets rows
+    // regardless of corpus size, so it broadcasts; the doc pass is one
+    // keyed explode + fold. Log ratios round to 9 places before the
+    // term-sorted fold so summation stays hash-identical to the oracle.
+    "q101_dsir_weights" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(hash64(col("tok"), DsirSeed), lit(DsirBuckets)).as("b"))
+      val isEval = col("doc_id") % EvalMod === EvalRes
+      val ct = tok.filter(isEval).groupBy("b").agg(count(lit(1)).as("ct"))
+      val cr = tok.filter(!isEval).groupBy("b").agg(count(lit(1)).as("cr"))
+      val totals = broadcast(
+        tok.agg(
+          sum(isEval.cast("long")).cast("double").as("nt"),
+          sum((!isEval).cast("long")).cast("double").as("nr")))
+      // add-1 smoothing over the bucket space; single-division + single-log
+      // form shared with the oracle so both sides round identical doubles
+      val w = broadcast(cr.join(ct, Seq("b"), "left")
+        .crossJoin(totals)
+        .select(col("b"), round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") * (col("nr") + DsirBuckets)) /
+            ((col("cr") + 1).cast("double") * (col("nt") + DsirBuckets))), 9).as("w")))
+      tok.filter(!isEval)
+        .join(w, "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sort_array(collect_list(struct(col("b"), col("w")))).as("ws"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(aggregate(col("ws"), lit(0.0),
+            (a, t) => a + t.getField("w")), 6).as("dsir_w"))
+        .orderBy("doc_id")
+    }),
+
+    // Model-based quality/language classifier (the fastText-classifier
+    // stage of CCNet/RefinedWeb-style pipelines, as a multinomial Naive
+    // Bayes so every weight is closed-form and oracle-reproducible): train
+    // on the small labeled seed split, score everything else. The model is
+    // a (lang × hashed-unigram-bucket) log-likelihood grid — ≤ NbBuckets ×
+    // n_langs rows no matter the corpus size, so it broadcasts; scoring is
+    // one keyed explode + equi-join + per-(doc,lang) fold, and the argmax
+    // is a doc_id-partitioned window. No corpus shuffle wider than doc_id.
+    "q102_nb_classifier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          pmod(hash64(col("tok"), NbSeed), lit(NbBuckets)).as("b"))
+      val isSeed = col("doc_id") % NbTrainMod === NbTrainRes
+      // class priors from seed-doc counts; likelihoods from seed-token
+      // bucket counts, add-1 smoothed over the bucket space
+      val docTotals = docs(s, dir).filter(isSeed)
+        .groupBy("lang").agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(
+          docs(s, dir).filter(isSeed).agg(count(lit(1)).as("ndAll"))))
+        .select(col("lang"),
+          round(log(col("nd").cast("double") / col("ndAll")), 9).as("prior"))
+      val tokTotals = tok.filter(isSeed).groupBy("lang").agg(count(lit(1)).as("ntok"))
+      val bucketCounts = tok.filter(isSeed).groupBy("lang", "b").agg(count(lit(1)).as("nb"))
+      val grid = broadcast(
+        tokTotals.join(docTotals, "lang")
+          .select(col("lang").as("m_lang"), col("ntok"), col("prior"),
+            explode(sequence(lit(0), lit(NbBuckets - 1))).as("b"))
+          .join(bucketCounts.withColumnRenamed("lang", "m_lang"), Seq("m_lang", "b"), "left")
+          .select(col("m_lang"), col("b"), col("prior"),
+            round(log((coalesce(col("nb"), lit(0L)) + 1).cast("double") /
+              (col("ntok") + NbBuckets)), 9).as("w")))
+      val scored = tok.filter(!isSeed)
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+        .join(grid, "b")
+        .groupBy("doc_id", "lang", "m_lang")
+        .agg(first("prior").as("prior"),
+          sort_array(collect_list(struct(col("b"), (col("n") * col("w")).as("t")))).as("ts"))
+        .select(col("doc_id"), col("lang"), col("m_lang"),
+          round(col("prior") + aggregate(col("ts"), lit(0.0),
+            (a, t) => a + t.getField("t")), 6).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_lang").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("m_lang").as("pred_lang"),
+          col("score"), (col("lang") === col("m_lang")).cast("int").as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    // Phrase-blocklist filter (the C4 "bad words" rule): the blocklist is
+    // DATA — a broadcast dictionary of uni/bi-gram phrases joined against
+    // the doc's sliding grams — not an `isin` literal chain, so it scales
+    // to real blocklists (thousands of entries) without recompiling the
+    // plan. C4 semantics: any hit drops the doc. Per-doc work never leaves
+    // its input split until the final doc_id aggregation.
+    "q103_blocklist_filter" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+      val bi = transform(sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
+      val grams = base.select(col("doc_id"), explode(col("tk")).as("g"))
+        .unionAll(base.filter(col("n") >= 2)
+          .select(col("doc_id"), explode(bi).as("g")))
+      val blk = broadcast(Blocklist.toDF("g"))
+      val hits = grams.join(blk, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), countDistinct(col("g")).as("n_kinds"))
+      base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("n_kinds", coalesce(col("n_kinds"), lit(0L)))
+        .withColumn("keep", (col("n_hits") === 0).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: exact-content fingerprint (md5 of the
     // canonical form) + order-insensitive bag fingerprint (md5 of the sorted
     // distinct token list).
@@ -379,6 +548,37 @@ object TextQueries extends QueryModule {
   // q98 substring-window parameters (chars per window / stride).
   private val SubWin = 40
   private val SubStride = 10
+
+  // Eval-subset selector shared by q99/q101 (deterministic ~5% of docs
+  // stands in for the held-out benchmark set).
+  private val EvalMod = 20
+  private val EvalRes = 7
+  // q99 decontamination gram width (GPT-3 appendix C uses 8–13-gram spans;
+  // 5 fits the ~50-token synthetic docs).
+  private val DecontamN = 5
+  // q100 Gopher §A1.1 keep-thresholds (top-2gram / top-3gram mass).
+  private val GopherTop2Max = 0.20
+  private val GopherTop3Max = 0.18
+  // q101 hashed-unigram feature space + hash seed.
+  private val DsirBuckets = 256
+  private val DsirSeed = 11
+  // q102 Naive-Bayes classifier feature space + hash seed (independent of
+  // DSIR's so the two models can't alias). Trains on a 50% labeled split —
+  // the realistic regime for a pipeline quality/language classifier (the
+  // 5% eval selector starves add-1 smoothing and degenerates to the
+  // majority class). NOTE the synthetic corpus is lexically
+  // near-uniform across langs (no token's relative frequency varies by
+  // more than ~1.4× between languages), so even the Bayes-optimal lexical
+  // classifier sits at the majority-class rate here; the oracle pins the
+  // model arithmetic exactly, the spec pins the mechanics.
+  private val NbBuckets = 128
+  private val NbSeed = 13
+  private val NbTrainMod = 2
+  private val NbTrainRes = 0
+  // q103 phrase blocklist (uni- and bi-gram entries over the synthetic
+  // vocabulary; real pipelines load thousands of phrases from a file).
+  private val Blocklist: Seq[String] =
+    Seq("slow", "drop", "slow fast", "table value", "big table")
 
   val oracles: Map[String, String] = Map(
     "q63_bpe_tokens" ->
@@ -558,6 +758,123 @@ object TextQueries extends QueryModule {
            COALESCE(pd.nd, 0) AS n_dup,
            round(CAST(COALESCE(pd.nd, 0) AS DOUBLE) / len(d.hs), 6) AS dup_ratio
          FROM doc d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+    "q99_decontaminate" ->
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(t) - ${DecontamN - 2}),
+                 i -> array_to_string(t[i:i+${DecontamN - 1}], ' '))) AS g
+               FROM tk),
+         ev AS (SELECT DISTINCT unnest(g) AS gram FROM g
+                WHERE doc_id % $EvalMod = $EvalRes),
+         tr AS (SELECT doc_id, g FROM g WHERE doc_id % $EvalMod <> $EvalRes),
+         hit AS (SELECT doc_id, count(*) AS n_hit
+                 FROM (SELECT doc_id, unnest(g) AS gram FROM tr) x
+                 JOIN ev USING (gram) GROUP BY doc_id)
+         SELECT tr.doc_id, CAST(len(tr.g) AS BIGINT) AS n_grams,
+           COALESCE(hit.n_hit, 0) AS n_hit,
+           CASE WHEN COALESCE(hit.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated,
+           CASE WHEN len(tr.g) > 0 THEN
+             round(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / len(tr.g), 6)
+             ELSE 0.0 END AS overlap_ratio
+         FROM tr LEFT JOIN hit USING (doc_id) ORDER BY tr.doc_id""",
+    "q100_topgram_mass" ->
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+         b2 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS f
+                FROM (SELECT doc_id, g, count(*) AS c
+                      FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                              i -> array_to_string(t[i:i+1], ' '))) AS g
+                            FROM tk WHERE len(t) >= 2) x
+                      GROUP BY doc_id, g) GROUP BY doc_id),
+         b3 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS f
+                FROM (SELECT doc_id, g, count(*) AS c
+                      FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+                              i -> array_to_string(t[i:i+2], ' '))) AS g
+                            FROM tk WHERE len(t) >= 3) x
+                      GROUP BY doc_id, g) GROUP BY doc_id)
+         SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           COALESCE(b2.f, 0.0) AS top_bigram_frac,
+           COALESCE(b3.f, 0.0) AS top_trigram_frac,
+           CASE WHEN COALESCE(b2.f, 0.0) <= $GopherTop2Max
+             AND COALESCE(b3.f, 0.0) <= $GopherTop3Max THEN 1 ELSE 0 END AS keep
+         FROM tk LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id)
+         ORDER BY tk.doc_id""",
+    "q101_dsir_weights" -> {
+      val bucket = s"(${hash64Sql("tok", DsirSeed)}) % $DsirBuckets"
+      raw"""WITH tok AS (SELECT doc_id, $bucket AS b
+               FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                     FROM documents)),
+         ct AS (SELECT b, count(*) AS ct FROM tok
+                WHERE doc_id % $EvalMod = $EvalRes GROUP BY b),
+         cr AS (SELECT b, count(*) AS cr FROM tok
+                WHERE doc_id % $EvalMod <> $EvalRes GROUP BY b),
+         tot AS (SELECT
+             CAST(sum(CASE WHEN doc_id % $EvalMod = $EvalRes THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
+             CAST(sum(CASE WHEN doc_id % $EvalMod <> $EvalRes THEN 1 ELSE 0 END) AS DOUBLE) AS nr
+           FROM tok),
+         w AS (SELECT cr.b, round(ln(
+                 (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) * (tot.nr + $DsirBuckets)) /
+                 (CAST(cr.cr + 1 AS DOUBLE) * (tot.nt + $DsirBuckets))), 9) AS w
+               FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(w ORDER BY b, w)), (a, x) -> a + x), 6) AS dsir_w
+         FROM tok JOIN w USING (b)
+         WHERE doc_id % $EvalMod <> $EvalRes
+         GROUP BY doc_id ORDER BY doc_id"""
+    },
+    "q102_nb_classifier" -> {
+      val bucket = s"(${hash64Sql("tok", NbSeed)}) % $NbBuckets"
+      raw"""WITH tok AS (SELECT doc_id, lang, $bucket AS b
+               FROM (SELECT doc_id, lang,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                     FROM documents)),
+         seeddoc AS (SELECT lang, count(*) AS nd FROM documents
+                     WHERE doc_id % $NbTrainMod = $NbTrainRes GROUP BY lang),
+         prior AS (SELECT lang, round(ln(CAST(nd AS DOUBLE) /
+                     CAST((SELECT sum(nd) FROM seeddoc) AS DOUBLE)), 9) AS prior
+                   FROM seeddoc),
+         ntok AS (SELECT lang, count(*) AS ntok FROM tok
+                  WHERE doc_id % $NbTrainMod = $NbTrainRes GROUP BY lang),
+         bc AS (SELECT lang, b, count(*) AS nb FROM tok
+                WHERE doc_id % $NbTrainMod = $NbTrainRes GROUP BY lang, b),
+         grid AS (SELECT n.lang AS m_lang, g.b, p.prior,
+               round(ln(CAST(COALESCE(bc.nb, 0) + 1 AS DOUBLE) /
+                 (n.ntok + $NbBuckets)), 9) AS w
+             FROM ntok n JOIN prior p USING (lang)
+             CROSS JOIN range(0, $NbBuckets) g(b)
+             LEFT JOIN bc ON bc.lang = n.lang AND bc.b = g.b),
+         db AS (SELECT doc_id, lang, b, count(*) AS n FROM tok
+                WHERE doc_id % $NbTrainMod <> $NbTrainRes GROUP BY doc_id, lang, b),
+         sc AS (SELECT doc_id, lang, m_lang,
+               round(any_value(prior) + list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE), list(n * w ORDER BY b)),
+                 (a, x) -> a + x), 6) AS score
+             FROM db JOIN grid USING (b) GROUP BY doc_id, lang, m_lang),
+         rk AS (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn FROM sc)
+         SELECT doc_id, lang, m_lang AS pred_lang, score,
+           CASE WHEN lang = m_lang THEN 1 ELSE 0 END AS correct
+         FROM rk WHERE rn = 1 ORDER BY doc_id"""
+    },
+    "q103_blocklist_filter" -> {
+      val terms = Blocklist.map(t => s"'$t'").mkString(", ")
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+         g AS (SELECT doc_id, unnest(t) AS g FROM tk
+               UNION ALL
+               SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> array_to_string(t[i:i+1], ' '))) AS g
+               FROM tk WHERE len(t) >= 2),
+         blk AS (SELECT unnest([$terms]) AS g),
+         h AS (SELECT doc_id, count(*) AS n_hits, count(DISTINCT g) AS n_kinds
+               FROM g JOIN blk USING (g) GROUP BY doc_id)
+         SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           COALESCE(h.n_hits, 0) AS n_hits, COALESCE(h.n_kinds, 0) AS n_kinds,
+           CASE WHEN COALESCE(h.n_hits, 0) = 0 THEN 1 ELSE 0 END AS keep
+         FROM tk LEFT JOIN h USING (doc_id) ORDER BY tk.doc_id"""
+    },
     "q71_vocab_topk" ->
       raw"""SELECT lang, rnk, tok, n FROM (
            SELECT lang, tok, n, row_number() OVER (

@@ -311,6 +311,114 @@ class PipelineSpec extends AnyFunSuite {
     sub.unpersist()
   }
 
+  test("decontamination scans only training docs and bounds overlap by gram count") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q99_decontaminate")(spark, sf001).cache()
+    assert(d.filter(col("doc_id") % 20 === 7).count() == 0,
+      "eval docs must not appear in the training-side report")
+    assert(d.count() ==
+      Tables.load(spark, sf001, "documents").filter(col("doc_id") % 20 =!= 7).count(),
+      "every training doc must be reported exactly once")
+    assert(d.filter(col("n_hit") > col("n_grams")).count() == 0)
+    assert(d.filter(col("contaminated") =!= (col("n_hit") > 0).cast("int")).count() == 0,
+      "contaminated flag must equal n_hit > 0")
+    d.unpersist()
+  }
+
+  test("top-gram mass matches a direct Scala recompute on sample docs") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q100_topgram_mass")(spark, sf001)
+      .filter(col("doc_id") < 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("top_bigram_frac"), r.getAs[Double]("top_trigram_frac"))).toMap
+    val texts = Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") < 5).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def topFrac(text: String, w: Int): Double = {
+      val tk = text.trim.split("\\s+")
+      val grams = tk.sliding(w).map(_.mkString(" ")).toSeq
+      val top = grams.groupBy(identity).values.map(_.size).max
+      BigDecimal(top.toDouble / grams.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    texts.foreach { case (id, text) =>
+      assert(got(id)._1 == topFrac(text, 2), s"doc $id bigram frac mismatch")
+      assert(got(id)._2 == topFrac(text, 3), s"doc $id trigram frac mismatch")
+    }
+  }
+
+  test("DSIR weights are finite, raw-side only, and token counts are exact") {
+    import org.apache.spark.sql.functions._
+    val w = SparkEntry.queries("q101_dsir_weights")(spark, sf001).cache()
+    assert(w.filter(col("doc_id") % 20 === 7).count() == 0,
+      "only the raw (non-target) corpus is importance-weighted")
+    assert(w.filter(isnan(col("dsir_w")) || col("dsir_w").isNull).count() == 0)
+    val expected = Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") % 20 =!= 7)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    assert(w.join(expected, "doc_id").filter(col("n_tokens") =!= col("n")).count() == 0,
+      "n_tokens must equal the whitespace token count")
+    w.unpersist()
+  }
+
+  test("NB classifier scores only held-out docs; accuracy reaches the lexical ceiling") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q102_nb_classifier")(spark, sf001).cache()
+    assert(d.filter(col("doc_id") % 2 === 0).count() == 0,
+      "training-split docs must not be scored")
+    assert(d.count() ==
+      Tables.load(spark, sf001, "documents").filter(col("doc_id") % 2 =!= 0).count())
+    assert(d.filter(col("correct") =!= (col("lang") === col("pred_lang")).cast("int"))
+      .count() == 0)
+    assert(d.filter(isnan(col("score")) || col("score").isNull).count() == 0)
+    val n = d.count().toDouble
+    val acc = d.filter(col("correct") === 1).count() / n
+    val majority = d.groupBy("lang").count().agg(max("count")).head.getLong(0) / n
+    // the synthetic corpus is lexically near-uniform across langs (every
+    // token's relative frequency is within ~1.4× between languages), so the
+    // Bayes-optimal lexical rate IS the majority rate — assert the model
+    // reaches that ceiling rather than degrading below it; the DuckDB
+    // oracle pins the weight/score arithmetic exactly
+    assert(acc >= majority - 1e-9,
+      s"NB accuracy $acc must reach the majority-class ceiling $majority")
+    d.unpersist()
+  }
+
+  test("blocklist filter counts phrase instances and C4-drops any hit") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q103_blocklist_filter")(spark, sf001).cache()
+    assert(d.count() == Tables.load(spark, sf001, "documents").count())
+    assert(d.filter(col("n_kinds") > col("n_hits")).count() == 0,
+      "distinct matched phrases cannot exceed matched instances")
+    assert(d.filter(col("keep") =!= (col("n_hits") === 0).cast("int")).count() == 0)
+    assert(d.filter(col("n_hits") > 0).count() > 0,
+      "the synthetic-vocabulary blocklist must actually fire")
+    // spot-check one doc against a direct Scala recount (instances, not kinds)
+    val row = d.filter(col("n_hits") > 0).orderBy("doc_id").head
+    val text = Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") === row.getAs[Long]("doc_id"))
+      .head.getAs[String]("text")
+    val tk = text.trim.split("\\s+")
+    val blk = Set("slow", "drop", "slow fast", "table value", "big table")
+    val hits = tk.count(blk) + tk.sliding(2).count(p => blk(p.mkString(" ")))
+    assert(row.getAs[Long]("n_hits") == hits, s"doc ${row.getAs[Long]("doc_id")}")
+    d.unpersist()
+  }
+
+  test("embedding outlier screen flags exactly OutlierK per label, ranks dense") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q104_embedding_outliers")(spark, sf001).cache()
+    assert(d.count() == Tables.load(spark, sf001, "embeddings").count())
+    assert(d.filter(col("cos_centroid") < -1 || col("cos_centroid") > 1).count() == 0)
+    val perLabel = d.groupBy("label").agg(
+      sum("outlier").as("n_out"), count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perLabel.filter(col("n_out") =!= least(lit(5), col("n"))).count() == 0,
+      "each label must flag exactly min(OutlierK, members) outliers")
+    assert(perLabel.filter(col("mx") =!= col("n")).count() == 0,
+      "ranks must be dense 1..n within each label")
+    d.unpersist()
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>

@@ -79,6 +79,50 @@ class PlanSpec extends AnyFunSuite {
       s"q98 must stay keyed on the window hash:\n$plan")
   }
 
+  test("decontamination broadcasts the eval-gram surface, never an all-pairs scan") {
+    val plan = planOf("q99_decontaminate")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q99 must equi-join on the gram, not compare docs pairwise:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (benchmark-sized) eval gram set must broadcast:\n$plan")
+  }
+
+  test("DSIR's bucket weight table broadcasts; the doc pass stays keyed") {
+    val plan = planOf("q101_dsir_weights")
+    // the only nested loop allowed is the 1-row corpus-totals crossJoin
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"q101 must broadcast the <=256-row bucket table as a hash join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket weight join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("NB classifier broadcasts the model grid; scoring stays keyed") {
+    val plan = planOf("q102_nb_classifier")
+    // the only nested loops allowed are 1-row broadcast totals
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"q102's lang×bucket grid must join as a broadcast HASH join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model grid join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("blocklist dictionary joins as a broadcast, not an isin chain or loop") {
+    val plan = planOf("q103_blocklist_filter")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q103 must equi-join grams against the dictionary:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the phrase dictionary must broadcast:\n$plan")
+  }
+
+  test("embedding outlier screen broadcasts centroids; corpus never self-joins") {
+    val plan = planOf("q104_embedding_outliers")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q104 is centroid-join only — no pairwise corpus comparison:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the label-centroid table must broadcast:\n$plan")
+  }
+
   test("simhash pairing is block-keyed equi-joins — never a cartesian") {
     val plan = planOf("q29_simhash_pairs")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
