@@ -169,6 +169,24 @@ object DedupQueries extends QueryModule {
       exactJaccard(cand, sh, sz)
     }),
 
+    // Corpus-governance dup provenance: WHERE do the near-dups come from?
+    // q27's LSH near-dup pairs mapped onto their sources and rolled up into
+    // a symmetric source×source pair-count matrix (the report that decides
+    // which crawls/dumps to drop or down-weight). Adds only two keyed
+    // doc_id joins and a (bounded: sources²) aggregation on top of the
+    // linear-scaling LSH pipeline — no new pairwise stage.
+    "q106_source_dup_matrix" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      lshNearDupPairs(signatures(s, dir))
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // SimHash: 32-bit locality-sensitive fingerprint — per bit, sign of the
     // ±1 vote sum across shingle hashes. One groupBy per doc; near-dups land
     // within small hamming distance of each other.
@@ -447,6 +465,20 @@ object DedupQueries extends QueryModule {
          FROM pairs JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
          WHERE ($eqSql) / 12.0 >= 0.5
          ORDER BY a_id, b_id""",
+    "q106_source_dup_matrix" ->
+      s"""WITH $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql),
+         np AS (SELECT a_id, b_id
+                FROM pairs JOIN sig sa ON sa.doc_id = a_id
+                           JOIN sig sb ON sb.doc_id = b_id
+                WHERE ($eqSql) / 12.0 >= 0.5)
+         SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b, count(*) AS n_pairs
+         FROM np JOIN documents da ON da.doc_id = np.a_id
+                 JOIN documents db ON db.doc_id = np.b_id
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
     "q28_simhash" ->
       s"""$simCte SELECT doc_id, simhash FROM sim ORDER BY doc_id""",
     "q29_simhash_pairs" ->

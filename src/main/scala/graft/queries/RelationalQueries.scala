@@ -444,6 +444,33 @@ object RelationalQueries extends QueryModule {
         .orderBy("c_nationkey")
     }),
 
+    // Column profiling / ANALYZE-stats collection (the stats surface every
+    // warehouse engine maintains for its optimizer — row counts, null
+    // counts, NDV, min/max/avg per column): ONE corpus pass computing all
+    // per-column aggregates side by side, then an in-row unpivot to the
+    // (column_name, stats) presentation shape — no per-column rescans.
+    // NDV here is exact countDistinct (planned as a single Expand);
+    // at 100 TB the same query swaps in approx_count_distinct — the
+    // error-bound contract for that sketch is q49's.
+    "q105_column_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        round(min(col(c)), 4).as(s"min_$c"),
+        round(max(col(c)), 4).as(s"max_$c"),
+        round(avg(col(c)), 4).as(s"avg_$c")))
+      val profiled = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
+        col(s"nn_$c").as("n_nonnull"), col(s"ndv_$c").as("n_distinct"),
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
+        col(s"avg_$c").as("avg_v")))
+      profiled.select(explode(array(rows: _*)).as("r"))
+        .select("r.*")
+        .orderBy("column_name")
+    }),
+
     // Snowflake chain region ⋈ nation ⋈ customer (the full dim hierarchy).
     "q53_region_rollup" -> ((s, dir) => {
       t(s, dir, "customer").select("c_nationkey", "c_acctbal")
@@ -458,6 +485,14 @@ object RelationalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_column_profile" -> {
+      val branch = (c: String) =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows, count($c) AS n_nonnull,
+           count(DISTINCT $c) AS n_distinct, round(min($c), 4) AS min_v,
+           round(max($c), 4) AS max_v, round(avg($c), 4) AS avg_v FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(branch).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
+    },
     "q49_approx_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
            count(*) AS n_orders, TRUE AS within_5pct

@@ -26,6 +26,9 @@ object SimilarityQueries extends QueryModule {
   private val KMeansK = 8   // q73 Lloyd's training cluster count
   private val SemDedupTau = 0.35 // q97 within-cluster near-dup threshold
   private val OutlierK = 5  // q104 least-prototypical vectors flagged per label
+  private val PqSubspaces = 4 // q107 product-quantization subspaces
+  private val PqSubDim = 16   // dims per subspace (4 × 16 = 64)
+  private val PqK = 4         // codebook size per subspace
 
   /** Corpus with the l2 norm precomputed once per vector — every downstream
     * pairwise stage is then a single dot product.
@@ -217,6 +220,44 @@ object SimilarityQueries extends QueryModule {
         .orderBy("label", "rnk")
     }),
 
+    // Product-quantization encoding (the PQ compression an ANN index at
+    // 100 TB actually serves from — Jégou et al.): the 64-dim vector splits
+    // into PqSubspaces 16-dim subvectors, each assigned to its nearest
+    // per-subspace codebook centroid (deterministic init: the first PqK
+    // vectors' subvectors), emitting PqSubspaces small codes + the total
+    // quantization distortion. Every codebook folds to ONE broadcast row
+    // and each assignment is an in-row argmin, so encoding is strictly
+    // map-side — the corpus is scanned once and never shuffled or joined
+    // against itself.
+    "q107_pq_codes" -> ((s, dir) => {
+      val e = corpus(s, dir).select("vec_id", "v")
+      def sub(sp: Int): Column = slice(col("v"), sp * PqSubDim + 1, PqSubDim)
+      val encoded = (0 until PqSubspaces).foldLeft(e) { (df, sp) =>
+        val cent = e.filter(col("vec_id") < PqK)
+          .select(col("vec_id").as("c_id"), sub(sp).as("cv"))
+          .withColumn("cc", dotNative(col("cv"), col("cv")))
+          .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as(s"cs$sp"))
+        df.crossJoin(broadcast(cent))
+          .withColumn(s"sv$sp", sub(sp))
+          .withColumn(s"d2s$sp", transform(col(s"cs$sp"), c => struct(
+            (dotNative(col(s"sv$sp"), col(s"sv$sp"))
+              - lit(2.0) * dotNative(col(s"sv$sp"), c.getField("cv"))
+              + c.getField("cc")).as("d2"),
+            c.getField("c_id").as("c_id"))))
+          .withColumn(s"best$sp", array_min(transform(col(s"d2s$sp"), x =>
+            struct(round(x.getField("d2"), 6).as("rd2"),
+              x.getField("c_id").as("c_id")))))
+          .withColumn(s"code$sp", col(s"best$sp").getField("c_id"))
+          .withColumn(s"d2_$sp", col(s"best$sp").getField("rd2"))
+          .drop(s"cs$sp", s"sv$sp", s"d2s$sp", s"best$sp")
+      }
+      encoded.select(col("vec_id") +:
+        (0 until PqSubspaces).map(sp => col(s"code$sp")) :+
+        round((0 until PqSubspaces).map(sp => col(s"d2_$sp")).reduce(_ + _), 6)
+          .as("distortion"): _*)
+        .orderBy("vec_id")
+    }),
+
     // Symmetric int8 quantization of the embedding column (the storage /
     // bandwidth stage an ANN index at 100 TB actually serves from):
     // per-vector scale = 127 / max|x|, reconstruction RMSE aggregated per
@@ -318,6 +359,29 @@ object SimilarityQueries extends QueryModule {
                     list_cosine_similarity(q.qv, a.v) AS cos
                   FROM assigned a JOIN q ON a.bucket = q.bucket
                   WHERE a.vec_id <> q.q_id)"""),
+
+    "q107_pq_codes" -> {
+      val codeCols = (0 until PqSubspaces)
+        .map(sp => s"max(CASE WHEN sp = $sp THEN c_id END) AS code$sp")
+        .mkString(",\n           ")
+      val distSum = (0 until PqSubspaces)
+        .map(sp => s"max(CASE WHEN sp = $sp THEN rd2 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         sub AS (SELECT vec_id, sp, list_slice(v, sp*$PqSubDim + 1, sp*$PqSubDim + $PqSubDim) AS sv
+                 FROM e CROSS JOIN range(0, $PqSubspaces) t(sp)),
+         cent AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < $PqK),
+         r AS (SELECT s.vec_id, s.sp, c.c_id,
+                 list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS d2
+               FROM sub s JOIN cent c USING (sp)),
+         b AS (SELECT vec_id, sp, c_id, round(d2, 6) AS rd2, row_number() OVER (
+                 PARTITION BY vec_id, sp ORDER BY round(d2, 6), c_id) AS rn FROM r)
+         SELECT vec_id,
+           $codeCols,
+           round($distSum, 6) AS distortion
+         FROM b WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+    },
 
     "q104_embedding_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -419,6 +419,45 @@ class PipelineSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("column profile stats obey containment and ordering laws") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q105_column_profile")(spark, sf001).cache()
+    assert(d.count() == 4)
+    assert(d.filter(col("n_nonnull") > col("n_rows")).count() == 0)
+    assert(d.filter(col("n_distinct") > col("n_nonnull")).count() == 0)
+    assert(d.filter(col("min_v") > col("avg_v") || col("avg_v") > col("max_v"))
+      .count() == 0, "avg must sit between min and max")
+    d.unpersist()
+  }
+
+  test("source dup matrix is symmetric-canonical and conserves the LSH pair count") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("q106_source_dup_matrix")(spark, sf001).cache()
+    assert(m.filter(col("source_a") > col("source_b")).count() == 0,
+      "matrix keys must be canonicalized least/greatest")
+    val total = m.agg(sum("n_pairs")).head.getLong(0)
+    val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, sf001).count()
+    assert(total == pairs,
+      s"matrix total $total must equal the LSH near-dup pair count $pairs")
+    m.unpersist()
+  }
+
+  test("PQ codes: codebook vectors are their own centroids at zero distortion") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q107_pq_codes")(spark, sf001).cache()
+    assert(d.count() == Tables.load(spark, sf001, "embeddings").count())
+    val codeCols = Seq("code0", "code1", "code2", "code3")
+    codeCols.foreach { c =>
+      assert(d.filter(col(c) < 0 || col(c) >= 4).count() == 0, s"$c out of range") }
+    assert(d.filter(col("distortion") < 0).count() == 0)
+    val self = d.filter(col("vec_id") < 4)
+    codeCols.foreach { c =>
+      assert(self.filter(col(c) =!= col("vec_id")).count() == 0,
+        "a codebook seed vector must encode to itself") }
+    assert(self.filter(col("distortion") =!= 0.0).count() == 0)
+    d.unpersist()
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>

@@ -123,6 +123,20 @@ class PlanSpec extends AnyFunSuite {
       s"the label-centroid table must broadcast:\n$plan")
   }
 
+  test("column profile is one corpus pass — a single scan, no per-column rescans") {
+    val plan = planOf("q105_column_profile")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"q105 must profile every column from ONE lineitem scan:\n$plan")
+    assert(!plan.contains("Join"), s"no joins in a profile pass:\n$plan")
+  }
+
+  test("PQ encoding is map-side: codebooks broadcast, corpus never shuffles") {
+    val plan = planOf("q107_pq_codes")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"q107 joins only 1-row broadcast codebooks:\n$plan")
+  }
+
   test("simhash pairing is block-keyed equi-joins — never a cartesian") {
     val plan = planOf("q29_simhash_pairs")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
