@@ -227,10 +227,14 @@ object TextQueries extends QueryModule {
           i => concat(element_at(col("tk"), i), lit(" "),
             element_at(col("tk"), i + lit(1))))).as("bg"))
       val docBg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      val corpusBg = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
-      val unigrams = base.select(explode(col("tk")).as("w"))
-      val cw = unigrams.groupBy("w").agg(count(lit(1)).as("cw"))
-      val v = unigrams.agg(countDistinct("w").as("v"))
+      // corpus counts fold the per-doc counts (identical values, but the
+      // docBg shuffle is REUSED — one bigram explode, not two) and the
+      // vocab size is the row count of the unigram-type table (no second
+      // corpus-wide distinct pass)
+      val corpusBg = docBg.groupBy("bg").agg(sum("c").as("cb"))
+      val cw = base.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val v = cw.agg(count(lit(1)).as("v"))
       val terms = docBg
         .join(corpusBg, "bg")
         .withColumn("w1", split(col("bg"), " ").getItem(0))
