@@ -37,6 +37,9 @@ object DedupQueries extends QueryModule {
   // J≥0.5 pairs at this fingerprint width; PipelineSpec pins it)
   private val SimhashMaxHamming = 7
   private val SampleSeed = 66
+  // q108 keep-list quality floor (drops the bottom ~7% of the composite
+  // q22 score on the synthetic corpus).
+  private val QualityMin = 0.62
   private val SamplePerStratum = 50L
   // accept iff u·n_l < Per·2^60 over the FULL 60-bit hash (decimal/HUGEINT
   // arithmetic): a coarser modulus (e.g. %10000) floors the accept rate at
@@ -263,6 +266,62 @@ object DedupQueries extends QueryModule {
         .withColumn("csize", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
         .select(col("doc_id"), col("cluster_id"), col("csize"))
+        .orderBy("doc_id")
+    }),
+
+    // The TERMINAL pipeline stage: materialize the cleaned-corpus keep list.
+    // Composes the already-linear screens into ONE declarative plan — exact
+    // dedup (md5 canonical-form groups), near-dup clustering (q65's
+    // connected components over the LSH pair graph; the cluster label IS
+    // the canonical min doc_id), the q103 phrase blocklist, and the q22
+    // quality floor — and reports per doc: keep + the FIRST rule that fired
+    // (fixed priority, so the report is deterministic and auditable). Every
+    // rule is keyed on doc_id; the composition adds four doc_id equi-joins
+    // and nothing pairwise, so the export costs what its screens cost.
+    "q108_clean_export" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      // rule 1: exact-duplicate non-keepers
+      val fp = d.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      val exact = fp.join(fp.groupBy("fp").agg(min("doc_id").as("keeper")), "fp")
+        .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_exact"))
+      // rule 2: near-dup non-canonicals (shared q65 machinery)
+      val pairs = lshNearDupPairs(signatures(s, dir))
+        .select("a_id", "b_id").localCheckpoint(true)
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val labels = graft.functions.Clustering.minLabelComponents(edges)
+        .toDF("doc_id", "cid")
+      // rule 3: blocklist hits (q103 dictionary over uni+bi-grams)
+      val base = d.select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+      val bi = transform(sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
+      val blocked = base.select(col("doc_id"), explode(col("tk")).as("g"))
+        .unionAll(base.filter(col("n") >= 2).select(col("doc_id"), explode(bi).as("g")))
+        .join(broadcast(TextQueries.Blocklist.toDF("g")), "g")
+        .select("doc_id").distinct()
+        .withColumn("is_blocked", lit(true))
+      // rule 4: quality floor (q22's composite, identical rounding)
+      val tkc = toks(col("text"))
+      val qual = d.select(col("doc_id"),
+        round(lit(0.5) * (size(array_distinct(tkc)).cast("double") / size(tkc)) +
+          lit(0.5) * (lit(1.0) -
+            size(filter(tkc, t => t.isin("the", "a"))).cast("double") / size(tkc)),
+          4).as("q"))
+      d.select("doc_id")
+        .join(exact, "doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .join(blocked, Seq("doc_id"), "left")
+        .join(qual, "doc_id")
+        .withColumn("reason",
+          when(col("is_exact"), "exact_dup")
+            .when(col("cid").isNotNull && col("cid") =!= col("doc_id"), "near_dup")
+            .when(col("is_blocked"), "blocklist")
+            .when(col("q") < QualityMin, "quality")
+            .otherwise("kept"))
+        .withColumn("keep", (col("reason") === "kept").cast("int"))
+        .select("doc_id", "keep", "reason")
         .orderBy("doc_id")
     }),
 
@@ -521,6 +580,53 @@ object DedupQueries extends QueryModule {
          cs AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
          SELECT lab.doc_id, lab.cluster_id, cs.csize
          FROM lab JOIN cs USING (cluster_id) ORDER BY doc_id""",
+    "q108_clean_export" -> {
+      val terms = TextQueries.Blocklist.map(t => s"'$t'").mkString(", ")
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql),
+         jp AS (SELECT a_id, b_id FROM pairs
+           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+           WHERE ($eqSql) >= ${NumHashes / 2}),
+         edges AS (SELECT a_id s, b_id d FROM jp
+           UNION ALL SELECT b_id, a_id FROM jp),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+         lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         fp AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+         ex AS (SELECT f.doc_id, f.doc_id <> k.keeper AS is_exact
+                FROM fp f JOIN (SELECT fp, min(doc_id) AS keeper
+                                FROM fp GROUP BY 1) k USING (fp)),
+         g AS (SELECT doc_id, unnest(t) AS g FROM tk
+               UNION ALL
+               SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> array_to_string(t[i:i+1], ' '))) AS g
+               FROM tk WHERE len(t) >= 2),
+         bl AS (SELECT DISTINCT doc_id FROM g
+                WHERE g IN ($terms)),
+         q AS (SELECT doc_id,
+             round(0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) +
+               0.5 * (1.0 - CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / len(t)), 4) AS q
+           FROM tk),
+         r AS (SELECT d.doc_id,
+             CASE WHEN ex.is_exact THEN 'exact_dup'
+                  WHEN lab.cluster_id <> d.doc_id THEN 'near_dup'
+                  WHEN bl.doc_id IS NOT NULL THEN 'blocklist'
+                  WHEN q.q < $QualityMin THEN 'quality'
+                  ELSE 'kept' END AS reason
+           FROM documents d
+           JOIN ex USING (doc_id) JOIN lab USING (doc_id)
+           LEFT JOIN bl USING (doc_id) JOIN q USING (doc_id))
+         SELECT doc_id, CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS keep,
+           reason
+         FROM r ORDER BY doc_id"""
+    },
     "q67_decontamination" ->
       s"""WITH $tkCte, $shCte,
          shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),

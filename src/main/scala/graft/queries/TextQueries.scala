@@ -581,7 +581,7 @@ object TextQueries extends QueryModule {
   private val NbTrainRes = 0
   // q103 phrase blocklist (uni- and bi-gram entries over the synthetic
   // vocabulary; real pipelines load thousands of phrases from a file).
-  private val Blocklist: Seq[String] =
+  private[queries] val Blocklist: Seq[String] =
     Seq("slow", "drop", "slow fast", "table value", "big table")
 
   val oracles: Map[String, String] = Map(

@@ -458,6 +458,27 @@ class PipelineSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("clean export reports every doc once with rule-consistent reasons") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q108_clean_export")(spark, sf001).cache()
+    assert(d.count() == Tables.load(spark, sf001, "documents").count())
+    assert(d.filter(col("keep") =!= (col("reason") === "kept").cast("int")).count() == 0)
+    // exact-dup removals must equal the non-keeper count q25 reports
+    val exactDrops = SparkEntry.queries("q25_exact_dedup")(spark, sf001)
+      .agg(sum(col("n_copies") - 1)).head.getLong(0)
+    assert(d.filter(col("reason") === "exact_dup").count() == exactDrops)
+    // near-dup removals are exactly the non-canonical members of q65's
+    // clusters that survived the exact screen
+    val clusters = SparkEntry.queries("q65_dedup_clusters")(spark, sf001)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    val nearDrops = d.filter(col("reason") === "near_dup").select("doc_id")
+    assert(nearDrops.exceptAll(clusters).count() == 0,
+      "every near_dup removal must be a non-canonical cluster member")
+    assert(d.select("reason").distinct().count() >= 3,
+      "the synthetic corpus must exercise several removal rules")
+    d.unpersist()
+  }
+
   test("quality scores are bounded and exact dedup partitions the corpus") {
     val q = SparkEntry.queries("q22_quality_score")(spark, sf0001).collect()
     assert(q.forall { r =>

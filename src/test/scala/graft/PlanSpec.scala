@@ -137,6 +137,12 @@ class PlanSpec extends AnyFunSuite {
       s"q107 joins only 1-row broadcast codebooks:\n$plan")
   }
 
+  test("clean export composes keyed screens — no pairwise stage anywhere") {
+    val plan = planOf("q108_clean_export")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q108 is doc_id equi-joins over linear screens:\n$plan")
+  }
+
   test("simhash pairing is block-keyed equi-joins — never a cartesian") {
     val plan = planOf("q29_simhash_pairs")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
