@@ -40,6 +40,10 @@ object DedupQueries extends QueryModule {
   // q108 keep-list quality floor (drops the bottom ~7% of the composite
   // q22 score on the synthetic corpus).
   private val QualityMin = 0.62
+  // q110 eval-split selector (deterministic ~5% stands in for the held-out
+  // split being audited).
+  private val LeakMod = 20
+  private val LeakRes = 7
   private val SamplePerStratum = 50L
   // accept iff u·n_l < Per·2^60 over the FULL 60-bit hash (decimal/HUGEINT
   // arithmetic): a coarser modulus (e.g. %10000) floors the accept rate at
@@ -266,6 +270,28 @@ object DedupQueries extends QueryModule {
         .withColumn("csize", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
         .select(col("doc_id"), col("cluster_id"), col("csize"))
+        .orderBy("doc_id")
+    }),
+
+    // Split-leakage audit: train docs whose near-dup CLUSTER contains an
+    // eval doc — the held-out split is worthless for exactly these docs
+    // (their paraphrase is in the eval set even when no direct pair crosses
+    // the boundary, hence clusters, not pairs). Reuses the q65 component
+    // machinery; the report joins component labels against the per-cluster
+    // eval census — keyed joins only, sized by the dup subgraph.
+    "q110_split_leakage" -> ((s, dir) => {
+      val pairs = lshNearDupPairs(signatures(s, dir))
+        .select("a_id", "b_id").localCheckpoint(true)
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val labels = graft.functions.Clustering.minLabelComponents(edges)
+        .toDF("doc_id", "cid")
+      val isEval = col("doc_id") % LeakMod === LeakRes
+      val evalCensus = labels.filter(isEval)
+        .groupBy("cid").agg(count(lit(1)).as("n_eval"))
+      labels.filter(!isEval)
+        .join(evalCensus, "cid")
+        .select(col("doc_id"), col("cid").as("cluster_id"), col("n_eval"))
         .orderBy("doc_id")
     }),
 
@@ -580,6 +606,27 @@ object DedupQueries extends QueryModule {
          cs AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
          SELECT lab.doc_id, lab.cluster_id, cs.csize
          FROM lab JOIN cs USING (cluster_id) ORDER BY doc_id""",
+    "q110_split_leakage" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql),
+         jp AS (SELECT a_id, b_id FROM pairs
+           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+           WHERE ($eqSql) >= ${NumHashes / 2}),
+         edges AS (SELECT a_id s, b_id d FROM jp
+           UNION ALL SELECT b_id, a_id FROM jp),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+         lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         ec AS (SELECT cluster_id, count(*) AS n_eval FROM lab
+                WHERE doc_id % $LeakMod = $LeakRes GROUP BY 1)
+         SELECT lab.doc_id, lab.cluster_id, ec.n_eval
+         FROM lab JOIN ec USING (cluster_id)
+         WHERE lab.doc_id % $LeakMod <> $LeakRes
+         ORDER BY lab.doc_id""",
     "q108_clean_export" -> {
       val terms = TextQueries.Blocklist.map(t => s"'$t'").mkString(", ")
       s"""WITH RECURSIVE $tkCte, $shCte,

@@ -197,6 +197,22 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // Hard-negative mining (the contrastive-training data op — DPR/SBERT
+    // style): for every query vector, the top-k most-similar vectors with a
+    // DIFFERENT label — maximally confusing negatives. Same broadcast-query
+    // single-corpus-scan shape as q31; the label inequality rides the join
+    // condition so mismatched pairs never materialize.
+    "q109_hard_negatives" -> ((s, dir) => {
+      val e = corpus(s, dir)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("n").as("qn"))
+      val cand = e.join(broadcast(q), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("nbr_id"),
+          (dotNative(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      topK(cand)
+    }),
+
     // Prototypicality / outlier screening (the SemDeDup-sibling curation
     // rule: SemDeDup drops what sits TOO CLOSE to a neighbor, this flags
     // what sits too FAR from its own class): cosine of every vector to its
@@ -382,6 +398,12 @@ object SimilarityQueries extends QueryModule {
            round($distSum, 6) AS distortion
          FROM b WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
     },
+
+    "q109_hard_negatives" -> topKSql(
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         cand AS (SELECT q.vec_id q_id, e.vec_id nbr_id,
+                 list_cosine_similarity(q.v, e.v) cos
+               FROM e q, e WHERE q.vec_id < $NumQueries AND e.label <> q.label)"""),
 
     "q104_embedding_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -458,6 +458,42 @@ class PipelineSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("hard negatives always cross labels and rank like the exact baseline") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q109_hard_negatives")(spark, sf001).cache()
+    val lbl = Tables.load(spark, sf001, "embeddings").select("vec_id", "label")
+    val crossed = d
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+      .join(lbl.select(col("vec_id").as("nbr_id"), col("label").as("nl")), "nbr_id")
+    assert(crossed.filter(col("ql") === col("nl")).count() == 0,
+      "a hard negative must carry a different label than its query")
+    assert(d.groupBy("q_id").count().filter(col("count") =!= 10).count() == 0,
+      "each query must emit exactly k negatives")
+    assert(d.filter(col("q_id") === col("nbr_id")).count() == 0)
+    d.unpersist()
+  }
+
+  test("split-leakage audit reports exactly the train members of eval-touching clusters") {
+    import org.apache.spark.sql.functions._
+    val leak = SparkEntry.queries("q110_split_leakage")(spark, sf001).cache()
+    assert(leak.count() > 0, "the synthetic corpus must exhibit some leakage")
+    assert(leak.filter(col("doc_id") % 20 === 7).count() == 0,
+      "only train-side docs are reported")
+    // recompute from q65: clusters (size > 1) that contain an eval member
+    val cl = SparkEntry.queries("q65_dedup_clusters")(spark, sf001)
+      .filter(col("csize") > 1).cache()
+    val evalClusters = cl.filter(col("doc_id") % 20 === 7)
+      .groupBy("cluster_id").agg(count(lit(1)).as("ne"))
+    val expected = cl.filter(col("doc_id") % 20 =!= 7)
+      .join(evalClusters, "cluster_id")
+      .select("doc_id", "cluster_id", "ne")
+    assert(leak.count() == expected.count())
+    assert(leak.join(expected, Seq("doc_id", "cluster_id"))
+      .filter(col("n_eval") =!= col("ne")).count() == 0,
+      "per-cluster eval census must match the q65 recompute")
+    cl.unpersist(); leak.unpersist()
+  }
+
   test("clean export reports every doc once with rule-consistent reasons") {
     import org.apache.spark.sql.functions._
     val d = SparkEntry.queries("q108_clean_export")(spark, sf001).cache()

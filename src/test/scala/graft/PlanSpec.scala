@@ -137,6 +137,12 @@ class PlanSpec extends AnyFunSuite {
       s"q107 joins only 1-row broadcast codebooks:\n$plan")
   }
 
+  test("split-leakage audit stays on keyed joins over the dup subgraph") {
+    val plan = planOf("q110_split_leakage")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q110 joins component labels against a keyed census:\n$plan")
+  }
+
   test("clean export composes keyed screens — no pairwise stage anywhere") {
     val plan = planOf("q108_clean_export")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
