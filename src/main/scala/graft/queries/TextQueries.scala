@@ -519,6 +519,23 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // First BPE merge iteration (tokenizer TRAINING, completing the
+    // tokenizer story around q63's pre-tokenizer / q44's counting / q71's
+    // vocab): corpus frequency of adjacent character pairs inside words —
+    // the argmax pair is the first merge rule; production training loops
+    // this count-merge step on the (vocab-sized, not corpus-sized)
+    // word-frequency table. One explode + one count shuffle with map-side
+    // partials; top-k is TakeOrdered over the tiny pair table.
+    "q111_bpe_merge_pairs" -> ((s, dir) => {
+      val w = docs(s, dir).select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+      w.select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(MergeTopK)
+    }),
+
     // Document fingerprinting: exact-content fingerprint (md5 of the
     // canonical form) + order-insensitive bag fingerprint (md5 of the sorted
     // distinct token list).
@@ -579,6 +596,8 @@ object TextQueries extends QueryModule {
   private val NbSeed = 13
   private val NbTrainMod = 2
   private val NbTrainRes = 0
+  // q111 merge-pair report size.
+  private val MergeTopK = 25
   // q103 phrase blocklist (uni- and bi-gram entries over the synthetic
   // vocabulary; real pipelines load thousands of phrases from a file).
   private[queries] val Blocklist: Seq[String] =
@@ -862,6 +881,14 @@ object TextQueries extends QueryModule {
            CASE WHEN lang = m_lang THEN 1 ELSE 0 END AS correct
          FROM rk WHERE rn = 1 ORDER BY doc_id"""
     },
+    "q111_bpe_merge_pairs" ->
+      raw"""SELECT p AS pair, count(*) AS n FROM (
+           SELECT unnest(list_transform(range(1, len(w)),
+             i -> w[i:i+1])) AS p
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                 FROM documents)
+           WHERE len(w) >= 2)
+         GROUP BY p ORDER BY n DESC, pair LIMIT $MergeTopK""",
     "q103_blocklist_filter" -> {
       val terms = Blocklist.map(t => s"'$t'").mkString(", ")
       raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

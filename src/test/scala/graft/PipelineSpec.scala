@@ -494,6 +494,23 @@ class PipelineSpec extends AnyFunSuite {
     cl.unpersist(); leak.unpersist()
   }
 
+  test("BPE merge pairs match a direct Scala recount of the top pair") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q111_bpe_merge_pairs")(spark, sf0001).collect()
+    assert(d.length == 25)
+    assert(d.forall(_.getAs[Long]("n") > 0))
+    assert(d.sliding(2).forall(p => p(0).getAs[Long]("n") >= p(1).getAs[Long]("n")),
+      "pairs must be ranked by descending frequency")
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables.load(spark, sf0001, "documents").select("text").collect().foreach { r =>
+      r.getString(0).trim.split("\\s+").filter(_.length >= 2).foreach { w =>
+        w.sliding(2).foreach(p => counts(p) += 1) } }
+    val top = d.head
+    assert(counts(top.getAs[String]("pair")) == top.getAs[Long]("n") &&
+      counts.values.max == top.getAs[Long]("n"),
+      "the reported top pair must be the corpus argmax with an exact count")
+  }
+
   test("clean export reports every doc once with rule-consistent reasons") {
     import org.apache.spark.sql.functions._
     val d = SparkEntry.queries("q108_clean_export")(spark, sf001).cache()
