@@ -74,6 +74,35 @@ object MediaFunctions {
     }
   }
 
+  /** Resize stage (images/video; audio passes through untouched): the
+    * header is rewritten to (w/factor, h/factor) and the payload decimated
+    * to every `factor`-th byte — the deterministic stand-in for pixel
+    * decimation, so the output is byte-reproducible by the DuckDB oracle
+    * straight from the input blob. A real impl calls the codec's scaler in
+    * the same per-batch slot; signature and plan shape don't change.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          if (m.kind == "audio") m
+          else {
+            val (w, h) = decodeHeader(m.content)
+            val header = ByteBuffer.allocate(13)
+            header.put("GRFT".getBytes(StandardCharsets.US_ASCII))
+            header.put(m.content(4))
+            header.putInt(w / factor)
+            header.putInt(h / factor)
+            val payload = m.content.drop(13).grouped(factor).map(_.head).toArray
+            m.copy(content = header.array() ++ payload,
+              meta = m.meta.copy(width = w / factor, height = h / factor))
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video kind: every `stride`-th synthetic frame of the
     * container (a real impl seeks keyframes; same output shape).
     */

@@ -18,6 +18,7 @@ object MultimodalQueries extends QueryModule {
 
   private[queries] val MediaRows = 90
   private[queries] val FrameStride = 4
+  private[queries] val ResizeFactor = 2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decode stage: header parse per row, batched mapPartitions.
@@ -44,6 +45,24 @@ object MultimodalQueries extends QueryModule {
         .toDF()
         .groupBy("mediaId")
         .agg(count(lit(1)).as("nFrames"), max("width").as("width"))
+        .orderBy("mediaId")
+    }),
+
+    // Resize stage, byte-audited: the resized container is RE-PARSED from
+    // its own bytes (round-trip proof the new header is well-formed) and
+    // fingerprinted, and the oracle reconstructs the expected resized blob
+    // independently from the RAW bytes in DuckDB — every output byte is
+    // pinned, not echoed.
+    "q112_media_resize" -> ((s, _) => {
+      val resized = MediaFunctions.resize(
+        MediaFixture.generate(s, MediaRows), ResizeFactor)
+      resized.toDF().select(col("mediaId"), col("kind"),
+        conv(hex(expr("substring(content, 6, 4)")), 16, 10)
+          .cast("int").as("width"),
+        conv(hex(expr("substring(content, 10, 4)")), 16, 10)
+          .cast("int").as("height"),
+        length(col("content")).as("nBytes"),
+        md5(lower(hex(col("content")))).as("fp"))
         .orderBy("mediaId")
     }),
 
@@ -92,6 +111,34 @@ object MultimodalQueries extends QueryModule {
          FROM read_parquet('${ChainOracle.p("media")}')
          WHERE kind = 'video'
          ORDER BY mediaId""",
+    // the EXPECTED resized blob reconstructed hex-by-hex from the raw
+    // container: header magic+kind kept, w/h integer-divided and re-encoded
+    // as BE int32, payload decimated to every ResizeFactor-th byte; audio
+    // passes through. fp = md5 of the reconstructed hex — any byte the
+    // Spark stage gets wrong flips the hash.
+    "q112_media_resize" -> {
+      val f = ResizeFactor
+      s"""WITH m AS (SELECT mediaId, kind, lower(hex(content)) AS hx,
+             octet_length(content) AS len,
+             CAST(('0x' || substr(hex(content), 11, 8)) AS INTEGER) AS w,
+             CAST(('0x' || substr(hex(content), 19, 8)) AS INTEGER) AS h
+           FROM read_parquet('${ChainOracle.p("media")}')),
+         rz AS (SELECT mediaId, kind,
+             CASE WHEN kind = 'audio' THEN hx ELSE
+               substr(hx, 1, 10)
+               || lpad(lower(hex(w // $f)), 8, '0')
+               || lpad(lower(hex(h // $f)), 8, '0')
+               || array_to_string(list_transform(
+                    range(0, ((len - 13) + $f - 1) // $f),
+                    i -> substr(hx, 27 + i * $f * 2, 2)), '')
+             END AS rhx,
+             CASE WHEN kind = 'audio' THEN w ELSE w // $f END AS width,
+             CASE WHEN kind = 'audio' THEN h ELSE h // $f END AS height
+           FROM m)
+         SELECT mediaId, kind, width, height,
+           CAST(len(rhx) // 2 AS INTEGER) AS nBytes, md5(rhx) AS fp
+         FROM rz ORDER BY mediaId"""
+    },
     "q44_token_count_native" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,

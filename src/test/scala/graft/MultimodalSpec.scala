@@ -36,6 +36,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("frameIndex") % 4 =!= 0).count() == 0)
   }
 
+  test("resize halves dimensions, decimates payloads, and round-trips the decoder") {
+    val media = MediaFixture.generate(spark, 60)
+    val resized = MediaFunctions.resize(media, 2)
+    val byId = media.collect().map(m => m.mediaId -> m).toMap
+    resized.collect().foreach { r =>
+      val orig = byId(r.mediaId)
+      if (r.kind == "audio") {
+        assert(r.content.sameElements(orig.content), "audio must pass through")
+      } else {
+        val (w, h) = (orig.meta.width, orig.meta.height)
+        // independent header re-parse (GRFT magic + kind byte + two BE int32)
+        val bb = java.nio.ByteBuffer.wrap(r.content, 5, 8)
+        val (rw, rh) = (bb.getInt(), bb.getInt())
+        assert(new String(r.content, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "GRFT")
+        assert(rw == w / 2 && rh == h / 2, s"media ${r.mediaId} header not halved")
+        assert(r.meta.width == w / 2 && r.meta.height == h / 2)
+        val expected = orig.content.drop(13).grouped(2).map(_.head).toArray
+        assert(r.content.drop(13).sameElements(expected),
+          s"media ${r.mediaId} payload not decimated byte-for-byte")
+      }
+    }
+  }
+
   test("token_count matches size(split) on real documents and edge cases") {
     TokenCountExpression.register(spark)
     val docs = Tables.load(spark, sf0001, "documents")
