@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.functions.TextFunctions.{normText, toks}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming clean-corpus gate: the incremental counterpart of batch q108.
+  * Every arriving document gets its keep/drop verdict the moment it lands —
+  * exact-dup against every document EVER seen (state-store memory across
+  * micro-batches, the same per-fingerprint record shape as
+  * [[StreamingDedup]]), then the stateless screens (phrase blocklist,
+  * quality floor) — under the same fixed rule priority as batch q108:
+  * exact_dup > blocklist > quality > kept.
+  *
+  * Scale shape: the stateless screens are per-row column arithmetic on the
+  * micro-batch (no state, no shuffle); the only shuffle is the uniform
+  * 128-bit fingerprint key for the dedup state. Near-dup screening is
+  * deliberately NOT inlined here — pair emission is inherently cross-doc
+  * and lives in [[StreamingNearDup]], which composes downstream of the
+  * kept stream exactly like batch q108 consumes q65's labels.
+  */
+object StreamingCleanExport {
+
+  case class Doc(docId: Long, text: String)
+  // encoder-visible (Spark's generated projections cannot read private types)
+  case class Screened(
+    docId: Long, fp: String, blocked: Boolean, lowQuality: Boolean)
+  case class FpState(firstId: Long)
+  case class Verdict(docId: Long, keep: Boolean, reason: String)
+
+  def gate(docs: Dataset[Doc], blocklist: Seq[String], qualityMin: Double)
+  : Dataset[Verdict] = {
+    import docs.sparkSession.implicits._
+    val uni = blocklist.filter(!_.contains(' '))
+    val bi = blocklist.filter(_.contains(' '))
+    val tk = toks(col("text"))
+    // guarded: sequence(1, 0) would DESCEND and element_at(tk, 0) throws,
+    // so single-token docs get an explicit empty gram list
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val hitUni = exists(tk, t => t.isInCollection(uni))
+    val hitBi = exists(bigrams, g => g.isInCollection(bi))
+    val quality =
+      lit(0.5) * (size(array_distinct(tk)).cast("double") / size(tk)) +
+        lit(0.5) * (lit(1.0) -
+          size(filter(tk, t => t.isin("the", "a"))).cast("double") / size(tk))
+    val screened = docs.select(
+      col("docId"),
+      md5(normText(col("text"))).as("fp"),
+      (hitUni || hitBi).as("blocked"),
+      (round(quality, 4) < qualityMin).as("lowQuality")).as[Screened]
+    screened
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[Screened], state: GroupState[FpState]) => {
+          // lowest docId claims the canonical slot, like batch q25/q108
+          val batch = it.toSeq.sortBy(_.docId)
+          var st = state.getOption.getOrElse(FpState(-1L))
+          val out = batch.map { d =>
+            if (st.firstId < 0) st = FpState(d.docId)
+            val reason =
+              if (d.docId != st.firstId) "exact_dup"
+              else if (d.blocked) "blocklist"
+              else if (d.lowQuality) "quality"
+              else "kept"
+            Verdict(d.docId, reason == "kept", reason)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

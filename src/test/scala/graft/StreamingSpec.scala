@@ -535,6 +535,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming clean gate verdicts docs on arrival with q108's rule priority") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingCleanExport._
+    val stream = MemoryStream[Doc]
+    val out = gate(stream.toDS(),
+      Seq("slow", "drop", "slow fast", "table value", "big table"), 0.62)
+    val query = out.writeStream
+      .format("memory").queryName("scleangate").outputMode("append").start()
+    try {
+      // batch 1: 1 kept; 2 hits the bigram blocklist; 3 fails the quality
+      // floor (1 distinct token, all stopwords); 4 is a canonicalization
+      // dup of 1 in the SAME batch
+      stream.addData(
+        Doc(1, "fresh unique spark content here"),
+        Doc(2, "this query was slow fast and strange"),
+        Doc(3, "a a a a a a"),
+        Doc(4, "Fresh  Unique   spark content HERE"))
+      query.processAllAvailable()
+      // batch 2: 5 duplicates 1 across the batch boundary; 6 is blocked by
+      // a unigram AND a dup of nothing; 7 kept
+      stream.addData(
+        Doc(5, "fresh unique spark content here"),
+        Doc(6, "please drop this immediately"),
+        Doc(7, "another genuinely novel document"))
+      query.processAllAvailable()
+      val got = spark.table("scleangate").as[Verdict].collect()
+        .map(v => v.docId -> ((v.keep, v.reason))).toMap
+      assert(got(1L) == ((true, "kept")))
+      assert(got(2L) == ((false, "blocklist")), s"bigram phrase must block: $got")
+      assert(got(3L) == ((false, "quality")))
+      assert(got(4L) == ((false, "exact_dup")), s"in-batch dup: $got")
+      assert(got(5L) == ((false, "exact_dup")), s"cross-batch dup: $got")
+      assert(got(6L) == ((false, "blocklist")))
+      assert(got(7L) == ((true, "kept")))
+    } finally query.stop()
+  }
+
   test("streaming near-dup pairs docs across micro-batches via LSH buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
