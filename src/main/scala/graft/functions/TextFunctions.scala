@@ -42,6 +42,26 @@ object TextFunctions {
   def shingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens, lit(n))
 
+  /** Sliding (non-distinct) word bigrams, [] for single-token docs — the
+    * phrase stream the blocklist screens (q103, q108, the streaming gate)
+    * match against. Guarded: Spark's `sequence(1, 0)` DESCENDS and
+    * `element_at(tk, 0)` throws, so the < 2-token case is explicit.
+    */
+  def bigrams(tokens: Column): Column =
+    when(size(tokens) >= 2,
+      transform(sequence(lit(1), size(tokens) - 1),
+        i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The q22 quality composite (un-rounded): 0.5·TTR + 0.5·(1 − stopword
+    * fraction). Single definition shared by the q22 report, the q108 batch
+    * export, and the streaming clean gate so the three can't drift.
+    */
+  def qualityScore(tokens: Column): Column =
+    lit(0.5) * (size(array_distinct(tokens)).cast("double") / size(tokens)) +
+      lit(0.5) * (lit(1.0) -
+        size(filter(tokens, t => t.isin("the", "a"))).cast("double") / size(tokens))
+
   /** Built-in higher-order-function form of [[shingles]] — value-identical
     * (same grams, same first-occurrence order; 1-based `slice` mirrors
     * DuckDB's 1-based list slicing) but interpreted per element, so ~6×

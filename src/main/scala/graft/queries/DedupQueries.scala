@@ -322,23 +322,17 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_exact"))
       // rule 2: near-dup non-canonicals (the shared memoized label table)
       val labels = dupLabels(s, dir)
-      // rule 3: blocklist hits (q103 dictionary over uni+bi-grams)
+      // rule 3: blocklist hits (the shared q103 gram/dictionary shape)
       val base = d.select(col("doc_id"), toks(col("text")).as("tk"))
-        .withColumn("n", size(col("tk")))
-      val bi = transform(sequence(lit(1), col("n") - 1),
-        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
       val blocked = base.select(col("doc_id"), explode(col("tk")).as("g"))
-        .unionAll(base.filter(col("n") >= 2).select(col("doc_id"), explode(bi).as("g")))
+        .unionAll(base.select(col("doc_id"), explode(bigrams(col("tk"))).as("g")))
         .join(broadcast(TextQueries.Blocklist.toDF("g")), "g")
         .select("doc_id").distinct()
         .withColumn("is_blocked", lit(true))
-      // rule 4: quality floor (q22's composite, identical rounding)
-      val tkc = toks(col("text"))
-      val qual = d.select(col("doc_id"),
-        round(lit(0.5) * (size(array_distinct(tkc)).cast("double") / size(tkc)) +
-          lit(0.5) * (lit(1.0) -
-            size(filter(tkc, t => t.isin("the", "a"))).cast("double") / size(tkc)),
-          4).as("q"))
+      // rule 4: quality floor (the shared q22 composite, identical
+      // rounding), computed off the tokens already projected for rule 3
+      val qual = base.select(col("doc_id"),
+        round(qualityScore(col("tk")), 4).as("q"))
       d.select("doc_id")
         .join(exact, "doc_id")
         .join(labels, Seq("doc_id"), "left")

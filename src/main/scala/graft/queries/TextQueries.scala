@@ -53,16 +53,16 @@ object TextQueries extends QueryModule {
           col("doc_id"),
           size(tk).cast("double").as("n_tokens"),
           size(array_distinct(tk)).cast("double").as("n_uniq"),
-          size(filter(tk, t => t.isin("the", "a"))).cast("double").as("n_stop"))
+          size(filter(tk, t => t.isin("the", "a"))).cast("double").as("n_stop"),
+          // the composite itself comes from the ONE shared definition the
+          // batch export and streaming gate also screen on
+          round(qualityScore(tk), 4).as("quality"))
         .select(
           col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
           round(col("n_uniq") / col("n_tokens"), 4).as("ttr"),
           round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
-          round(
-            lit(0.5) * (col("n_uniq") / col("n_tokens")) +
-              lit(0.5) * (lit(1.0) - col("n_stop") / col("n_tokens")),
-            4).as("quality"))
+          col("quality"))
         .orderBy("doc_id")
     }),
 
@@ -502,11 +502,8 @@ object TextQueries extends QueryModule {
       import s.implicits._
       val base = docs(s, dir).select(col("doc_id"), toks(col("text")).as("tk"))
         .withColumn("n", size(col("tk")))
-      val bi = transform(sequence(lit(1), col("n") - 1),
-        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
       val grams = base.select(col("doc_id"), explode(col("tk")).as("g"))
-        .unionAll(base.filter(col("n") >= 2)
-          .select(col("doc_id"), explode(bi).as("g")))
+        .unionAll(base.select(col("doc_id"), explode(bigrams(col("tk"))).as("g")))
       val blk = broadcast(Blocklist.toDF("g"))
       val hits = grams.join(blk, "g")
         .groupBy("doc_id")

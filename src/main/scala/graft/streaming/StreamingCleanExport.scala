@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.{normText, toks}
+import graft.functions.TextFunctions.{bigrams, normText, qualityScore, toks}
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -31,27 +31,23 @@ object StreamingCleanExport {
 
   def gate(docs: Dataset[Doc], blocklist: Seq[String], qualityMin: Double)
   : Dataset[Verdict] = {
+    // only uni- and bi-gram phrases are matchable (the gram stream is
+    // tokens ∪ sliding bigrams); fail loudly rather than silently never
+    // firing on a wider phrase
+    require(blocklist.forall(_.trim.split("\\s+").length <= 2),
+      s"blocklist phrases must be 1 or 2 words: " +
+        blocklist.filter(_.trim.split("\\s+").length > 2).mkString(", "))
     import docs.sparkSession.implicits._
     val uni = blocklist.filter(!_.contains(' '))
     val bi = blocklist.filter(_.contains(' '))
     val tk = toks(col("text"))
-    // guarded: sequence(1, 0) would DESCEND and element_at(tk, 0) throws,
-    // so single-token docs get an explicit empty gram list
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val hitUni = exists(tk, t => t.isInCollection(uni))
-    val hitBi = exists(bigrams, g => g.isInCollection(bi))
-    val quality =
-      lit(0.5) * (size(array_distinct(tk)).cast("double") / size(tk)) +
-        lit(0.5) * (lit(1.0) -
-          size(filter(tk, t => t.isin("the", "a"))).cast("double") / size(tk))
+    val hitBi = exists(bigrams(tk), g => g.isInCollection(bi))
     val screened = docs.select(
       col("docId"),
       md5(normText(col("text"))).as("fp"),
       (hitUni || hitBi).as("blocked"),
-      (round(quality, 4) < qualityMin).as("lowQuality")).as[Screened]
+      (round(qualityScore(tk), 4) < qualityMin).as("lowQuality")).as[Screened]
     screened
       .groupByKey(_.fp)
       .flatMapGroupsWithState(
