@@ -48,6 +48,53 @@ class ChainIngest(
   private def p(name: String) = s"$warehouse/$name"
   private def exists(name: String) = Files.exists(Paths.get(p(name)))
 
+  // ST2 tip carry — the reference's in-memory ChainTip FIFO
+  // (ChainLinker.scala:46-54): the stored tip row is held across
+  // micro-batches instead of being re-read from the blocks table every
+  // trigger (which re-lists every heightBucket partition — O(history) work
+  // on the ingest hot path). Seeded lazily from ONLY the max heightBucket
+  // partition, updated from each batch's own derived rows thereafter, and
+  // invalidated on any batch failure so a retry re-reads storage instead of
+  // trusting a cache the half-applied batch may have outrun.
+  @volatile private var cachedTip: Option[Row] = None
+  @volatile private var tipSeeded = false
+  private[graft] var tipSeedReads = 0 // test hook: storage reads of the tip
+
+  /** Max heightBucket partition of `name` strictly below `below` — a single
+    * directory listing, no Spark job.
+    */
+  private def maxBucketOf(name: String, below: Int = Int.MaxValue): Option[Int] = {
+    val root = Paths.get(p(name))
+    if (!Files.exists(root)) None
+    else {
+      val stream = Files.list(root)
+      try {
+        val buckets = stream.toArray.map(_.toString)
+          .filter(_.contains("heightBucket="))
+          .flatMap(d => d.substring(d.lastIndexOf('=') + 1).toIntOption)
+          .filter(_ < below)
+        if (buckets.isEmpty) None else Some(buckets.max)
+      } finally stream.close()
+    }
+  }
+
+  /** The tip seeding scan, pruned to one partition: the max-height row can
+    * only live in the max heightBucket, so everything below it is never
+    * listed or read. `belowBucket` bounds the scan for fork seeding (the
+    * tip of the last UNTOUCHED bucket).
+    */
+  private[graft] def tipScan(spark: SparkSession,
+    belowBucket: Int = Int.MaxValue): Option[DataFrame] =
+    maxBucketOf("blocks", belowBucket).map(b =>
+      spark.read.parquet(p("blocks")).filter(col("heightBucket") === b)
+        .orderBy(desc("height")).limit(1))
+
+  private def readTipFromStorage(spark: SparkSession,
+    belowBucket: Int = Int.MaxValue): Option[Row] = {
+    tipSeedReads += 1
+    tipScan(spark, belowBucket).flatMap(_.collect().headOption)
+  }
+
   /** Height-bucket partition column (application.conf compaction cadence). */
   private def withBucket(df: DataFrame, heightCol: String): DataFrame =
     df.withColumn("heightBucket", floor(col(heightCol) / bucketSize).cast("int"))
@@ -74,11 +121,13 @@ class ChainIngest(
     if (batch.isEmpty) return
     batch.toDF().write.mode(SaveMode.Append).parquet(p("raw"))
 
-    val tip: Option[Row] =
-      if (exists("blocks"))
-        spark.read.parquet(p("blocks")).orderBy(desc("height")).limit(1)
-          .collect().headOption
-      else None
+    // steady state touches NO stored table for the tip — it was carried from
+    // the previous batch; only a fresh instance (start / restart / post-heal)
+    // pays the one pruned seeding read.
+    val tip: Option[Row] = {
+      if (!tipSeeded) { cachedTip = readTipFromStorage(spark); tipSeeded = true }
+      cachedTip
+    }
 
     // one aggregate pass over the batch: lowest height, duplicate-height
     // detection, and the lowest block's timestamp (min over (height, ts)
@@ -95,9 +144,16 @@ class ChainIngest(
     // the batch itself — both resolve through the bucket-scoped rebuild.
     val isFork = hasInBatchFork || tip.exists(t => minBatchHeight <= t.getAs[Int]("height"))
 
-    if (isFork) reprocessFromRaw(spark, minBatchHeight)
-    else appendIncremental(batch, tip, minBatchHeight,
-      if (stats.isNullAt(3)) None else Some(stats.getAs[Long]("firstTs")))
+    try {
+      if (isFork) reprocessFromRaw(spark, minBatchHeight)
+      else appendIncremental(batch, tip, minBatchHeight,
+        if (stats.isNullAt(3)) None else Some(stats.getAs[Long]("firstTs")))
+    } catch {
+      // a batch that failed mid-write may have advanced the stored tables
+      // past the carried tip — drop the cache so the retry reseeds from
+      // storage (the pre-carry behavior) instead of double-appending.
+      case e: Throwable => tipSeeded = false; cachedTip = None; throw e
+    }
   }
 
   /** Shift a freshly-derived (tail or batch) table set so its cumulative and
@@ -146,6 +202,11 @@ class ChainIngest(
     val (blocksShifted, txsShifted, outputsShifted) =
       shiftFromTip(t, tip, minBatchHeight, firstTs)
 
+    // next batch's tip, computed from the micro-batch's own rows (a
+    // batch-sized TakeOrdered) — assigned only after every write commits.
+    val newTip = blocksShifted.orderBy(desc("height")).limit(1)
+      .collect().headOption
+
     withBucket(blocksShifted, "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("blocks"))
     withBucket(txsShifted, "height")
@@ -172,6 +233,9 @@ class ChainIngest(
     commitDelta(
       adds = batchOutputs.join(batchInputIds, Seq("boxId"), "left_anti"),
       removes = batchInputIds.join(batchOutputs.select("boxId"), Seq("boxId"), "left_anti"))
+
+    cachedTip = newTip.orElse(tip)
+    tipSeeded = true
   }
 
   /** Fork path (ST3): resolve the main chain over id-deduped raw, re-derive
@@ -203,26 +267,32 @@ class ChainIngest(
     Files.move(markerTmp, rebuildMarker,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // a replayed batch (foreachBatch redelivery after a crash) appends its
-    // raw blocks twice — dedupe by block id before resolving, so replay is
-    // idempotent end-to-end.
     val raw = spark.read.parquet(p("raw"))
+    // losers are resolved from the tip WINDOW only (a driver walk over
+    // ≤window*4 header rows; duplicate ids are collapsed by the walk's
+    // id-keyed map), so resolution needs no dedupe at all.
+    val losers = ForkResolver.losingBlockIds(raw)
+    // a replayed batch (foreachBatch redelivery after a crash) appends its
+    // raw blocks twice — dedupe by block id so replay is idempotent
+    // end-to-end. Only the REBUILT range can hold duplicates that matter
+    // (heights below it are never re-derived), so the dedupe shuffle is
+    // bounded to the tail instead of the whole raw history.
+    val tail = raw
+      .filter(col("header.height") >= rebuildFrom)
       .withColumn("_bid", col("header.id"))
       .dropDuplicates("_bid")
       .drop("_bid")
+      .filter(if (losers.isEmpty) lit(true)
+        else !col("header.id").isin(losers.toSeq: _*))
       .as[RawBlock]
-    val resolved = ForkResolver.mainChain(raw)
-    val tail = resolved.filter(col("header.height") >= rebuildFrom)
     val t = BlockDerivation.derive(tail, feeTree, protocolTrees)
 
     // seed from the last block BELOW the rebuilt range (untouched buckets
-    // are correct by induction); the tail's own lowest block supplies the
-    // mining-time boundary timestamp.
+    // are correct by induction) — read pruned to the max surviving bucket;
+    // the tail's own lowest block supplies the mining-time boundary
+    // timestamp.
     val tip: Option[Row] =
-      if (forkBucket > 0 && exists("blocks"))
-        spark.read.parquet(p("blocks"))
-          .filter(col("heightBucket") < forkBucket)
-          .orderBy(desc("height")).limit(1).collect().headOption
+      if (forkBucket > 0) readTipFromStorage(spark, belowBucket = forkBucket)
       else None
     val tailStats = tail.toDF().select(
       min(col("header.height")).as("minH"),
@@ -262,6 +332,12 @@ class ChainIngest(
       .join(spark.read.parquet(p("inputs")).select("boxId"), Seq("boxId"), "left_anti")
     commitBase(rebuilt)
     Files.deleteIfExists(rebuildMarker)
+
+    // the rebuilt tail's max block is the chain tip the next batch chains
+    // onto (or, for an all-loser tail, the seeded below-fork tip).
+    cachedTip = blocksShifted.orderBy(desc("height")).limit(1)
+      .collect().headOption.orElse(tip)
+    tipSeeded = true
   }
 
   /** Recursive delete (shared by partition drops and version retention). */

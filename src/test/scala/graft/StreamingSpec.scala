@@ -98,6 +98,38 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.contains("heightBucket")))
   }
 
+  test("steady-state ingest carries the tip in memory; seeding reads only the max bucket partition") {
+    import spark.implicits._
+    val all = ChainFixture.generate(40)
+    val wh = tmpDir("graft-tip-carry")
+    val ingest = new ChainIngest(wh, bucketSize = 10)
+    all.take(30).grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      ingest.processBatch(spark.createDataset(chunk), i.toLong)
+    }
+    // one storage read total (the first batch's seed over an empty
+    // warehouse); batches 2 and 3 must run off the carried tip
+    assert(ingest.tipSeedReads == 1,
+      s"steady state must not re-read the blocks table (${ingest.tipSeedReads} reads)")
+
+    // a fresh instance (restart) seeds once, and its scan prunes to the max
+    // heightBucket partition instead of listing the whole table
+    val ingest2 = new ChainIngest(wh, bucketSize = 10)
+    val plan = ingest2.tipScan(spark).get.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("heightBucket"), s"seed scan must prune buckets:\n$plan")
+    ingest2.processBatch(spark.createDataset(all.drop(30)), 3L)
+    assert(ingest2.tipSeedReads == 1, "restart pays exactly one seeding read")
+
+    // the carried tip chains cumulative stats identically to a one-shot run
+    val got = ingest2.blocks(spark).orderBy(desc("height")).limit(1).collect()(0)
+    val want = BlockDerivation.derive(spark.createDataset(all)).blocks
+      .orderBy(desc("height")).limit(1).collect()(0)
+    Seq("totalTxsCount", "totalFees", "totalMinersReward", "totalMiningTime",
+      "maxTxGix", "maxBoxGix").foreach { c =>
+      assert(got.getAs[Long](c) == want.getAs[Long](c), s"tip $c mismatch")
+    }
+  }
+
   test("replaying a delivered batch leaves the warehouse unchanged (idempotency)") {
     import spark.implicits._
     val all = ChainFixture.generate(20)
