@@ -25,6 +25,8 @@ object SimilarityQueries extends QueryModule {
   private val NumPlanes = 6 // hyperplane-LSH code width (64 buckets)
   private val KMeansK = 8   // q73 Lloyd's training cluster count
   private val SemDedupTau = 0.35 // q97 within-cluster near-dup threshold
+  private val NearDupTau = 0.4   // q113 pair threshold (q30's, for the recall law)
+  private val NearDupProbes = 2  // q113 multi-probe width (clusters per vector)
   private val OutlierK = 5  // q104 least-prototypical vectors flagged per label
   private val PqSubspaces = 4 // q107 product-quantization subspaces
   private val PqSubDim = 16   // dims per subspace (4 × 16 = 64)
@@ -68,6 +70,29 @@ object SimilarityQueries extends QueryModule {
           x.getField("d2").as("d2")))))
       .select(col("vec_id"), col("v"),
         col("best.c_id").as("c_id"), col("best.d2").as("d2"))
+  }
+
+  /** Multi-probe assignment: every vector to its `probes` nearest centroids
+    * (by the same rounded-distance/c_id ordering as [[lloydAssign]]) — the
+    * IVF multi-probe analog for blocking, still strictly map-side: the
+    * centroid array is one broadcast row, the top-`probes` pick is an
+    * array_sort + slice per vector, and the explode multiplies rows by
+    * `probes`, never shuffles.
+    */
+  private def probeAssign(e: DataFrame, cent: DataFrame, probes: Int): DataFrame = {
+    val centArr = cent
+      .withColumn("cc", dotNative(col("cv"), col("cv")))
+      .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as("cs"))
+    def d2of(c: Column): Column =
+      col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv")) + c.getField("cc")
+    e.withColumn("vv", dotNative(col("v"), col("v")))
+      .crossJoin(broadcast(centArr))
+      .withColumn("d2s", transform(col("cs"), c =>
+        struct(d2of(c).as("d2"), c.getField("c_id").as("c_id"))))
+      .withColumn("probe", explode(slice(array_sort(transform(col("d2s"), x =>
+        struct(round(x.getField("d2"), 6).as("rd2"),
+          x.getField("c_id").as("c_id")))), 1, probes)))
+      .select(col("vec_id"), col("v"), col("probe.c_id").as("c_id"))
   }
 
   /** Centroid update: per-(cluster, dim) mean, re-assembled into an array.
@@ -195,6 +220,41 @@ object SimilarityQueries extends QueryModule {
         .join(dups, Seq("vec_id"), "left")
         .select("vec_id", "c_id", "dup_of")
         .orderBy("vec_id")
+    }),
+
+    // Embedding near-dup with LEARNED blocking — the production form of
+    // q30 (VERDICT r04 finding #4): q30 blocks on the fixed `label` column,
+    // which is only the IVF-bucket analog while labels stay numerous and
+    // balanced — one hot label at web scale makes the within-block kernel
+    // quadratic. Here the blocking key is q97's trained k-means cluster, so
+    // block sizes track the data distribution (skew splits across
+    // centroids) and K scales with the corpus. Each vector probes its
+    // NearDupProbes nearest clusters (multi-probe IVF) so pairs straddling
+    // a centroid boundary are still candidates — candidate volume grows
+    // only ~probes× while recall roughly doubles vs single-probe (pinned by
+    // PipelineSpec's recall law against the exact all-pairs set). Same pair
+    // semantics and threshold as q30.
+    "q113_clustered_neardup" -> ((s, dir) => {
+      val e = corpus(s, dir).select("vec_id", "v")
+      val cent0 = e.filter(col("vec_id") < KMeansK)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val cent1 = centroidsOf(lloydAssign(e, cent0))
+      val assigned = probeAssign(e, cent1, NearDupProbes)
+        .withColumn("n", l2NormNative(col("v")))
+        .select("vec_id", "v", "n", "c_id")
+        .localCheckpoint(true)
+      assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          dotNative(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+        .filter(round(col("cos"), 4) >= NearDupTau)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        // a pair sharing BOTH probed clusters surfaces twice — identical
+        // rows (cosine is deterministic), so distinct is exact
+        .distinct()
+        .orderBy("a_id", "b_id")
     }),
 
     // Hard-negative mining (the contrastive-training data op — DPR/SBERT
@@ -479,6 +539,38 @@ object SimilarityQueries extends QueryModule {
                   GROUP BY a.vec_id)
          SELECT a.vec_id, a.c_id, d.dup_of
          FROM a2 a LEFT JOIN dups d USING (vec_id) ORDER BY a.vec_id""",
+
+    "q113_clustered_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KMeansK),
+         r1 AS (SELECT vec_id, v, c_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
+                FROM (SELECT e.vec_id, e.v, c.c_id,
+                        list_dot_product(e.v, e.v)
+                          - 2.0 * list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) AS d2
+                      FROM e CROSS JOIN cent0 c)),
+         a1 AS (SELECT vec_id, v, c_id FROM r1 WHERE rn = 1),
+         comp AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM a1),
+         cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                   FROM (SELECT c_id, pos, round(avg(x), 9) AS cx
+                         FROM comp GROUP BY c_id, pos)
+                   GROUP BY c_id),
+         r2 AS (SELECT vec_id, v, c_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
+                FROM (SELECT e.vec_id, e.v, c.c_id,
+                        list_dot_product(e.v, e.v)
+                          - 2.0 * list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) AS d2
+                      FROM e CROSS JOIN cent1 c)),
+         a2 AS (SELECT vec_id, v, c_id FROM r2 WHERE rn <= $NearDupProbes)
+         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM a2 a JOIN a2 b
+           ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $NearDupTau
+         ORDER BY a_id, b_id""",
 
     "q72_embedding_quantize" ->
       """SELECT label, count(*) AS n_vecs, round(avg(rmse), 6) AS avg_rmse,

@@ -51,6 +51,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"hyperplane LSH recall $recall below floor")
   }
 
+  test("learned-cluster near-dup reports only true pairs and covers the exact pair set") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions._
+    graft.functions.DotProductExpression.register(spark)
+    // exact all-pairs baseline — affordable only because the test corpus is
+    // tiny; the operator under test must never do this itself (PlanSpec)
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", l2NormNative(col("v")))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dotNative(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+      .filter(round(col("cos"), 4) >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = SparkEntry.queries("q113_clustered_neardup")(spark, sf0001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no cosine>=0.4 pairs in the fixture corpus")
+    assert(clustered.subsetOf(exact),
+      s"clustered blocking invented pairs: ${(clustered -- exact).take(5)}")
+    val recall = (exact & clustered).size.toDouble / exact.size
+    assert(recall >= 0.5, s"clustered-blocking recall $recall < 0.5 " +
+      s"(exact=${exact.size}, clustered=${clustered.size})")
+  }
+
   test("approx_count_distinct stays inside the bound q49 asserts to the oracle") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q49_approx_distinct")(spark, sf001)

@@ -65,6 +65,17 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected nested loop beyond the centroid-array broadcasts:\n$plan")
   }
 
+  test("clustered near-dup pairs join on the learned cluster key — never a cartesian") {
+    val plan = planOf("q113_clustered_neardup")
+    // the Lloyd's passes are checkpointed away before the pair stage, so the
+    // executed pair plan must be a pure equi-join on c_id: no nested loop,
+    // no cartesian anywhere
+    assert(!plan.contains("CartesianProduct"),
+      s"q113 must block pairs by learned cluster id:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q113's pair stage degenerated to an unkeyed join:\n$plan")
+  }
+
   test("BM25 broadcasts the query/term/stats sides; only tf shuffles") {
     val plan = planOf("q96_bm25")
     // the only nested-loop allowed is the 1-row corpus-stats crossJoin
