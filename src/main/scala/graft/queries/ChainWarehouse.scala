@@ -48,7 +48,7 @@ object ChainWarehouse {
   private def stamp = s"${ChainOracle.CacheFormatVersion}-$LayoutVersion"
   private def marker = Paths.get(s"$Dir/_graft_warehouse_version")
 
-  private def rmTree(path: String): Unit = {
+  private[queries] def rmTree(path: String): Unit = {
     val victim = Paths.get(path)
     if (Files.exists(victim)) {
       val walk = Files.walk(victim)
@@ -108,5 +108,82 @@ object ChainWarehouse {
       dataInputs = t("data_inputs"),
       registers = t("registers"),
       tokens = t("tokens"))
+  }
+}
+
+/** q38's storage layer: the PRE-fork warehouse state (trunk + losing short
+  * branch already ingested batch-by-batch) is built once and disk-cached;
+  * each q38 invocation copies it to a scratch dir and delivers the winning
+  * branch, so the measured work is exactly what a production fork costs —
+  * detection, tip-window resolution, bucket-scoped rebuild, UTXO re-base —
+  * and NOT the fixture's full from-scratch derivation (VERDICT r04
+  * finding #3: q38 was benching derivation, not resolution).
+  */
+object ForkReplay {
+
+  val PreForkDir: String = s"${ChainOracle.Dir}/fork-prefork"
+
+  private def stamp = s"${ChainOracle.CacheFormatVersion}-${ChainWarehouse.LayoutVersion}"
+  private def marker = Paths.get(s"$PreForkDir/_graft_prefork_version")
+  private var lastScratch: Option[java.nio.file.Path] = None
+
+  private def fixture() = ChainFixture.generateWithFork(
+    ChainQueries.ForkAt, ChainQueries.ForkShortLen, ChainQueries.ForkLongLen)
+
+  private def ingestAt(dir: String) = new ChainIngest(dir,
+    bucketSize = ChainWarehouse.BucketSize,
+    compactEvery = ChainWarehouse.CompactEvery)
+
+  /** Build (or reuse) the cached pre-fork warehouse: trunk batch, then the
+    * short (losing) branch appended on top — the state a node holds the
+    * moment the longer branch arrives.
+    */
+  def ensurePreFork(s: SparkSession): Unit = synchronized {
+    val valid = Files.exists(marker) &&
+      scala.util.Try(Files.readString(marker).trim).toOption.contains(stamp) &&
+      Files.exists(Paths.get(s"$PreForkDir/blocks"))
+    if (!valid) {
+      ChainWarehouse.rmTree(PreForkDir)
+      import s.implicits._
+      val (all, winners) = fixture()
+      val trunk = all.filter(_.header.height <= ChainQueries.ForkAt)
+      val short = all.filter(b =>
+        b.header.height > ChainQueries.ForkAt && !winners.contains(b.header.id))
+      val ing = ingestAt(PreForkDir)
+      ing.processBatch(s.createDataset(trunk), 0L)
+      ing.processBatch(s.createDataset(short), 1L)
+      Files.writeString(marker, stamp)
+    }
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val target = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+  }
+
+  /** Copy the cached pre-fork warehouse to a scratch dir and deliver the
+    * winning branch; returns the ingest handle over the post-resolution
+    * warehouse. The previous scratch copy is reclaimed on the next call.
+    */
+  def replayFork(s: SparkSession): ChainIngest = synchronized {
+    ensurePreFork(s)
+    lastScratch.foreach(p => ChainWarehouse.rmTree(p.toString))
+    val scratch = Files.createTempDirectory("graft-fork-replay")
+    lastScratch = Some(scratch)
+    copyTree(Paths.get(PreForkDir), scratch)
+    import s.implicits._
+    val (all, winners) = fixture()
+    val long = all.filter(b => winners.contains(b.header.id))
+    val ing = ingestAt(scratch.toString)
+    ing.processBatch(s.createDataset(long), 2L)
+    ing
   }
 }
