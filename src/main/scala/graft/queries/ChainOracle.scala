@@ -269,6 +269,22 @@ object ChainOracle {
           WINDOW w2 AS (ORDER BY height ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ORDER BY height""",
 
+    // K4 soft delete: orphans = both-branch headers minus the re-resolved
+    // winner walk (same recursive CTE as q38).
+    "q114_chain_orphans" ->
+      s"""WITH RECURSIVE win AS (
+            (SELECT blockId, parentId, height
+             FROM read_parquet('${p("fork_headers")}')
+             ORDER BY height DESC, blockId LIMIT 1)
+            UNION ALL
+            SELECT f.blockId, f.parentId, f.height
+            FROM read_parquet('${p("fork_headers")}') f
+            JOIN win w ON f.blockId = w.parentId)
+          SELECT f.height, f.blockId, f.parentId, f.txsCount
+          FROM read_parquet('${p("fork_headers")}') f
+          WHERE f.blockId NOT IN (SELECT blockId FROM win)
+          ORDER BY f.height, f.blockId""",
+
     // P9/P10: minted tokens with EIP-004 props.
     "q39_chain_tokens" ->
       s"""SELECT tokenId, boxId, amount, tokenName, tokenDecimals

@@ -123,6 +123,18 @@ object ChainQueries extends QueryModule {
         .orderBy("height")
     }),
 
+    // Orphaned blocks (K4 soft delete): the losing branch retained with
+    // mainChain=false in a retain-mode warehouse — the explorer surface the
+    // reference keeps via Cassandra's main_chain flag
+    // (CassandraBlockUpdater.scala:21-57). The oracle re-resolves the
+    // winner chain itself (recursive CTE over fork_headers) and takes the
+    // complement, so retention is verified, not echoed.
+    "q114_chain_orphans" -> ((s, _) => {
+      ForkReplay.ensureRetain(s).orphanedBlocks(s)
+        .select("height", "blockId", "parentId", "txsCount")
+        .orderBy("height", "blockId")
+    }),
+
     // Minted tokens with EIP-004 props (P9/P10).
     "q39_chain_tokens" -> ((s, _) => {
       tables(s).assets

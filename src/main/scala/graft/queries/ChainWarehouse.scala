@@ -169,6 +169,39 @@ object ForkReplay {
     } finally walk.close()
   }
 
+  /** Retain-mode (soft delete) fork warehouse for the orphaned-blocks
+    * query: same fixture and batches, but ingested with
+    * `retainLosers = true` so the losing branch survives flagged
+    * `mainChain = false`. The fork is applied during the cached build —
+    * the post-resolution state is what q114 reads.
+    */
+  val RetainDir: String = s"${ChainOracle.Dir}/fork-retain"
+  private def retainMarker = Paths.get(s"$RetainDir/_graft_retain_version")
+
+  def ensureRetain(s: SparkSession): ChainIngest = synchronized {
+    val ing = new ChainIngest(RetainDir,
+      bucketSize = ChainWarehouse.BucketSize,
+      compactEvery = ChainWarehouse.CompactEvery,
+      retainLosers = true)
+    val valid = Files.exists(retainMarker) &&
+      scala.util.Try(Files.readString(retainMarker).trim).toOption.contains(stamp) &&
+      Files.exists(Paths.get(s"$RetainDir/blocks"))
+    if (!valid) {
+      ChainWarehouse.rmTree(RetainDir)
+      import s.implicits._
+      val (all, winners) = fixture()
+      val trunk = all.filter(_.header.height <= ChainQueries.ForkAt)
+      val short = all.filter(b =>
+        b.header.height > ChainQueries.ForkAt && !winners.contains(b.header.id))
+      val long = all.filter(b => winners.contains(b.header.id))
+      ing.processBatch(s.createDataset(trunk), 0L)
+      ing.processBatch(s.createDataset(short), 1L)
+      ing.processBatch(s.createDataset(long), 2L)
+      Files.writeString(retainMarker, stamp)
+    }
+    ing
+  }
+
   /** Copy the cached pre-fork warehouse to a scratch dir and deliver the
     * winning branch; returns the ingest handle over the post-resolution
     * warehouse. The previous scratch copy is reclaimed on the next call.

@@ -40,10 +40,31 @@ class ChainIngest(
   bucketSize: Int = ChainConst.HeightBucketSize,
   compactEvery: Int = 8,
   feeTree: String = ChainFixture.FeeTree,
-  protocolTrees: Seq[String] = Nil) {
+  protocolTrees: Seq[String] = Nil,
+  /** Soft-delete retention (reference CassandraBlockUpdater.scala:21-57):
+    * when true, every entity row carries a `mainChain` flag and a fork
+    * RETAINS the losing branch's rows flagged false instead of dropping
+    * them — explorers can then answer "orphaned blocks" queries from the
+    * entity tables. Mainline views ([[mainChainBlocks]], the UTXO state,
+    * range scans through [[mainChainOnly]]) exclude flagged rows. The mode
+    * must stay constant for a warehouse's lifetime (it changes the table
+    * schema). Cumulative/global-index columns on orphaned rows are
+    * branch-local values, meaningful only along the main chain.
+    */
+  val retainLosers: Boolean = false) {
 
   require(keepVersions >= 1 && compactEvery >= 1 && bucketSize >= 1,
     "keepVersions, compactEvery, and bucketSize must be positive")
+
+  /** In retain mode every written row carries the soft-delete flag. */
+  private def flagged(df: DataFrame, main: Boolean): DataFrame =
+    if (retainLosers) df.withColumn("mainChain", lit(main)) else df
+
+  /** Restrict a retain-mode table view to main-chain rows (identity in the
+    * default mode, where losers are physically dropped).
+    */
+  def mainChainOnly(df: DataFrame): DataFrame =
+    if (retainLosers) df.filter(col("mainChain")) else df
 
   private def p(name: String) = s"$warehouse/$name"
   private def exists(name: String) = Files.exists(Paths.get(p(name)))
@@ -86,7 +107,7 @@ class ChainIngest(
   private[graft] def tipScan(spark: SparkSession,
     belowBucket: Int = Int.MaxValue): Option[DataFrame] =
     maxBucketOf("blocks", belowBucket).map(b =>
-      spark.read.parquet(p("blocks")).filter(col("heightBucket") === b)
+      mainChainOnly(spark.read.parquet(p("blocks")).filter(col("heightBucket") === b))
         .orderBy(desc("height")).limit(1))
 
   private def readTipFromStorage(spark: SparkSession,
@@ -207,21 +228,21 @@ class ChainIngest(
     val newTip = blocksShifted.orderBy(desc("height")).limit(1)
       .collect().headOption
 
-    withBucket(blocksShifted, "height").write.mode(SaveMode.Append)
+    withBucket(flagged(blocksShifted, true), "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("blocks"))
-    withBucket(txsShifted, "height")
+    withBucket(flagged(txsShifted, true), "height")
       .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p("txs"))
-    withBucket(outputsShifted, "settlementHeight")
+    withBucket(flagged(outputsShifted, true), "settlementHeight")
       .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p("outputs"))
-    withBucket(t.inputs, "height").write.mode(SaveMode.Append)
+    withBucket(flagged(t.inputs, true), "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("inputs"))
-    withBucket(t.assets, "height").write.mode(SaveMode.Append)
+    withBucket(flagged(t.assets, true), "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("assets"))
-    withBucket(t.dataInputs, "height").write.mode(SaveMode.Append)
+    withBucket(flagged(t.dataInputs, true), "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("data_inputs"))
-    withBucket(t.registers, "height").write.mode(SaveMode.Append)
+    withBucket(flagged(t.registers, true), "height").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("registers"))
-    withBucket(t.tokens, "issuingHeight").write.mode(SaveMode.Append)
+    withBucket(flagged(t.tokens, true), "issuingHeight").write.mode(SaveMode.Append)
       .partitionBy("heightBucket").parquet(p("tokens"))
 
     // K2 delta commit: adds = batch outputs not spent in-batch; removes =
@@ -277,11 +298,12 @@ class ChainIngest(
     // end-to-end. Only the REBUILT range can hold duplicates that matter
     // (heights below it are never re-derived), so the dedupe shuffle is
     // bounded to the tail instead of the whole raw history.
-    val tail = raw
+    val rangeDeduped = raw
       .filter(col("header.height") >= rebuildFrom)
       .withColumn("_bid", col("header.id"))
       .dropDuplicates("_bid")
       .drop("_bid")
+    val tail = rangeDeduped
       .filter(if (losers.isEmpty) lit(true)
         else !col("header.id").isin(losers.toSeq: _*))
       .as[RawBlock]
@@ -312,7 +334,7 @@ class ChainIngest(
     // detects and repairs.
     def overwriteTail(df: DataFrame, heightCol: String, name: String): Unit = {
       dropBucketsFrom(name, forkBucket)
-      withBucket(df, heightCol).write.mode(SaveMode.Append)
+      withBucket(flagged(df, main = true), heightCol).write.mode(SaveMode.Append)
         .partitionBy("heightBucket").parquet(p(name))
     }
     overwriteTail(blocksShifted, "height", "blocks")
@@ -324,12 +346,39 @@ class ChainIngest(
     overwriteTail(t.registers, "height", "registers")
     overwriteTail(t.tokens, "issuingHeight", "tokens")
 
+    // Soft-delete retention: the losing branch's rows are re-derived and
+    // appended flagged mainChain=false — the dropBucketsFrom above wiped
+    // any previously-flagged orphans in the rebuilt range, and every
+    // still-relevant orphan is in the tip-window loser set (consensus
+    // bounds fork depth, so orphans older than the window sit in untouched
+    // buckets). Derivation of the losers is unseeded: cumulative/gix
+    // columns on orphans are branch-local (documented on [[retainLosers]]).
+    if (retainLosers && losers.nonEmpty) {
+      val lt = BlockDerivation.derive(
+        rangeDeduped.filter(col("header.id").isin(losers.toSeq: _*)).as[RawBlock],
+        feeTree, protocolTrees)
+      def appendLosers(df: DataFrame, heightCol: String, name: String): Unit =
+        withBucket(flagged(df, main = false), heightCol)
+          .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p(name))
+      appendLosers(lt.blocks, "height", "blocks")
+      appendLosers(lt.txs, "height", "txs")
+      appendLosers(lt.outputs, "settlementHeight", "outputs")
+      appendLosers(lt.inputs, "height", "inputs")
+      appendLosers(lt.assets, "height", "assets")
+      appendLosers(lt.dataInputs, "height", "data_inputs")
+      appendLosers(lt.registers, "height", "registers")
+      appendLosers(lt.tokens, "issuingHeight", "tokens")
+    }
+
     // UTXO after a fork: rebuild from the (now-corrected) warehouse tables
     // as a fresh BASE version — the one full-table anti-join is the rare,
-    // bounded-depth rollback cost (forks are ≤10 deep by consensus).
-    val rebuilt = spark.read.parquet(p("outputs"))
+    // bounded-depth rollback cost (forks are ≤10 deep by consensus). In
+    // retain mode the flagged orphan rows must not surface as UTXOs or
+    // spend main-chain boxes.
+    val rebuilt = mainChainOnly(spark.read.parquet(p("outputs")))
       .select(utxoCols.head, utxoCols.tail: _*)
-      .join(spark.read.parquet(p("inputs")).select("boxId"), Seq("boxId"), "left_anti")
+      .join(mainChainOnly(spark.read.parquet(p("inputs"))).select("boxId"),
+        Seq("boxId"), "left_anti")
     commitBase(rebuilt)
     Files.deleteIfExists(rebuildMarker)
 
@@ -540,6 +589,17 @@ class ChainIngest(
   }
 
   def blocks(spark: SparkSession): DataFrame = spark.read.parquet(p("blocks"))
+
+  def mainChainBlocks(spark: SparkSession): DataFrame =
+    mainChainOnly(blocks(spark))
+
+  /** Orphaned (losing-branch) blocks — the explorer's "orphaned blocks"
+    * surface; requires [[retainLosers]] mode (K4 soft delete).
+    */
+  def orphanedBlocks(spark: SparkSession): DataFrame = {
+    require(retainLosers, "orphanedBlocks requires retainLosers mode")
+    blocks(spark).filter(!col("mainChain"))
+  }
 
   /** Height-range scan WITH partition pruning: a height predicate alone
     * cannot prune `heightBucket` partitions (Spark does not invert the

@@ -255,6 +255,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(ingest.utxo(spark).select("boxId").collect().map(_.getString(0)).toSet == expected)
   }
 
+  test("retain mode keeps losing-branch rows flagged mainChain=false, excluded from mainline views") {
+    import spark.implicits._
+    val (all, winnerIds) = ChainFixture.generateWithFork(forkAt = 20, shortLen = 2, longLen = 4)
+    val trunk = all.filter(_.header.height <= 20)
+    val shortBranch = all.filter(b => b.header.height > 20 && !winnerIds.contains(b.header.id))
+    val longBranch = all.filter(b => winnerIds.contains(b.header.id))
+    val ingest = new ChainIngest(tmpDir("graft-retain-fork"),
+      bucketSize = 10, retainLosers = true)
+    ingest.processBatch(spark.createDataset(trunk), 0L)
+    ingest.processBatch(spark.createDataset(shortBranch), 1L)
+    ingest.processBatch(spark.createDataset(longBranch), 2L) // fork → soft delete
+
+    assert(ingest.blocks(spark).count() == 26, "24 winners + 2 retained orphans")
+    assert(ingest.orphanedBlocks(spark).select("blockId")
+      .collect().map(_.getString(0)).toSet == shortBranch.map(_.header.id).toSet,
+      "orphans must be exactly the losing branch")
+    assert(ingest.mainChainBlocks(spark).count() == 24)
+    assert(ingest.mainChainBlocks(spark).select("blockId")
+      .collect().map(_.getString(0)).toSet ==
+      (trunk ++ longBranch).map(_.header.id).toSet)
+    // the loser rows survive flagged in the entity tables too
+    assert(spark.read.parquet(ingest.warehouse + "/txs")
+      .filter(!col("mainChain")).count() > 0, "orphan txs must be retained")
+    assert(spark.read.parquet(ingest.warehouse + "/outputs")
+      .filter(!col("mainChain")).count() > 0, "orphan outputs must be retained")
+    // the UTXO view excludes orphan outputs and orphan spends
+    val expect = UtxoQueries.utxos(
+      BlockDerivation.derive(spark.createDataset(trunk ++ longBranch)))
+      .select("boxId").collect().map(_.getString(0)).toSet
+    assert(ingest.utxo(spark).select("boxId")
+      .collect().map(_.getString(0)).toSet == expect)
+    // and the carried tip still chains the next batch off the WINNER branch
+    val tip = ingest.mainChainBlocks(spark).orderBy(desc("height")).limit(1).collect()(0)
+    val want = BlockDerivation.derive(spark.createDataset(trunk ++ longBranch)).blocks
+      .orderBy(desc("height")).limit(1).collect()(0)
+    assert(tip.getAs[Long]("maxBoxGix") == want.getAs[Long]("maxBoxGix"))
+  }
+
   test("utxo delta commits + compaction equal the anti-join rebuild at every batch") {
     import spark.implicits._
     val all = ChainFixture.generate(40)
