@@ -9,6 +9,15 @@ object Verify {
     // optional 3rd arg (dev only): comma-separated query names to restrict
     // the dump to — the driver always runs the full surface
     val only = args.drop(2).headOption.map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+          "a misspelled restriction would silently dump nothing")
+      System.err.println(
+        s"[verify] restricted to ${names.size} quer(ies); $outDir may hold " +
+          "STALE dumps for unlisted queries from earlier runs")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

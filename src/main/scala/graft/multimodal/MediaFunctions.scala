@@ -38,11 +38,16 @@ object MediaFunctions {
   }
 
   /** Deterministic pseudo-embedding of the payload — stands in for a model
-    * forward pass; statistically spread via sha256 expansion.
+    * forward pass; statistically spread via sha256 expansion. The digest is
+    * taken over the LOWERCASE-HEX rendering of the bytes (not the raw
+    * blob) so the DuckDB oracle can replay the stage byte-for-byte:
+    * `sha256(lower(hex(content)))` there is bit-identical to this digest
+    * (DuckDB's sha256 only accepts VARCHAR).
     */
   private[multimodal] def embed(content: Array[Byte]): Array[Float] = {
+    val hex = content.map("%02x".format(_)).mkString
     val md = MessageDigest.getInstance("SHA-256")
-    val d1 = md.digest(content)
+    val d1 = md.digest(hex.getBytes(StandardCharsets.US_ASCII))
     val d2 = MessageDigest.getInstance("SHA-256").digest(d1)
     val bytes = d1 ++ d2
     Array.tabulate(EmbeddingDim)(i => (bytes(i) & 0xff).toFloat / 255f - 0.5f)
@@ -82,6 +87,9 @@ object MediaFunctions {
     * the same per-batch slot; signature and plan shape don't change.
     */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    // fail loudly at the driver, not as an ArithmeticException (or silently
+    // reversed semantics) deep inside an executor task
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap { batch =>
@@ -89,14 +97,17 @@ object MediaFunctions {
           if (m.kind == "audio") m
           else {
             val (w, h) = decodeHeader(m.content)
+            // clamp: a factor above a small dimension must not emit a
+            // 0-width/height header over a non-empty payload
+            val (rw, rh) = (math.max(w / factor, 1), math.max(h / factor, 1))
             val header = ByteBuffer.allocate(13)
             header.put("GRFT".getBytes(StandardCharsets.US_ASCII))
             header.put(m.content(4))
-            header.putInt(w / factor)
-            header.putInt(h / factor)
+            header.putInt(rw)
+            header.putInt(rh)
             val payload = m.content.drop(13).grouped(factor).map(_.head).toArray
             m.copy(content = header.array() ++ payload,
-              meta = m.meta.copy(width = w / factor, height = h / factor))
+              meta = m.meta.copy(width = rw, height = rh))
           }
         }
       }

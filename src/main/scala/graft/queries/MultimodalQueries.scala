@@ -27,15 +27,25 @@ object MultimodalQueries extends QueryModule {
         .toDF().orderBy("mediaId")
     }),
 
-    // Feature extraction → fixed-width embeddings, roll-up per kind.
+    // Feature extraction → fixed-width embeddings, roll-up per kind. The
+    // embedding's first 32 components derive solely from sha256(content)
+    // (MediaFunctions.embed: e_i = byte_i/255 − 0.5), so inverting each
+    // component back to its source byte ((e+0.5)·255, integer-exact) gives
+    // a checksum DuckDB recomputes straight from the RAW blob — the
+    // feature stage is oracle-verified, not echoed.
     "q42_media_features" -> ((s, _) => {
       MediaFunctions.extractFeatures(MediaFixture.generate(s, MediaRows))
         .toDF()
+        .withColumn("rowByteSum",
+          aggregate(transform(col("embedding"),
+            e => round((e.cast("double") + lit(0.5)) * 255).cast("long")),
+            lit(0L), (acc, x) => acc + x))
         .groupBy("kind")
         .agg(count(lit(1)).as("n"),
           countDistinct("mediaId").as("nMedia"),
           max(size(col("embedding"))).cast("long").as("dim"),
-          sum("nBytes").as("totalBytes"))
+          sum("nBytes").as("totalBytes"),
+          sum("rowByteSum").as("embByteSum"))
         .orderBy("kind")
     }),
 
@@ -94,12 +104,20 @@ object MultimodalQueries extends QueryModule {
          CAST(octet_length(content) AS INTEGER) AS nBytes
          FROM read_parquet('${ChainOracle.p("media")}')
          ORDER BY mediaId""",
-    // aggregation layers over the dumped stage outputs (ChainOracle.dump)
+    // The feature stage re-derived from the RAW blobs: the embedding's
+    // first ${EmbeddingDim} components are byte_i(sha256(content))/255−0.5,
+    // so the byte-sum checksum is recomputed here from sha256 hex — no
+    // stage output is read.
     "q42_media_features" ->
       s"""SELECT kind, count(*) AS n, count(DISTINCT mediaId) AS nMedia,
-         CAST(max(len(embedding)) AS BIGINT) AS dim,
-         CAST(sum(nBytes) AS BIGINT) AS totalBytes
-         FROM read_parquet('${ChainOracle.p("media_features")}')
+         CAST(${MediaFunctions.EmbeddingDim} AS BIGINT) AS dim,
+         CAST(sum(octet_length(content)) AS BIGINT) AS totalBytes,
+         CAST(sum(list_aggregate(list_transform(
+           range(0, ${MediaFunctions.EmbeddingDim}),
+           i -> CAST(('0x' || substr(sha256(lower(hex(content))),
+                        CAST(i*2+1 AS INT), 2))
+                  AS INTEGER)), 'sum')) AS BIGINT) AS embByteSum
+         FROM read_parquet('${ChainOracle.p("media")}')
          GROUP BY kind ORDER BY kind""",
     // Frame sampling re-derived from the RAW blob: synthetic frame count =
     // max(1, (len-13)/16), sampled every ${FrameStride}th -> ceil division.
@@ -126,14 +144,16 @@ object MultimodalQueries extends QueryModule {
          rz AS (SELECT mediaId, kind,
              CASE WHEN kind = 'audio' THEN hx ELSE
                substr(hx, 1, 10)
-               || lpad(lower(hex(w // $f)), 8, '0')
-               || lpad(lower(hex(h // $f)), 8, '0')
+               || lpad(lower(hex(greatest(w // $f, 1))), 8, '0')
+               || lpad(lower(hex(greatest(h // $f, 1))), 8, '0')
                || array_to_string(list_transform(
                     range(0, ((len - 13) + $f - 1) // $f),
                     i -> substr(hx, 27 + i * $f * 2, 2)), '')
              END AS rhx,
-             CASE WHEN kind = 'audio' THEN w ELSE w // $f END AS width,
-             CASE WHEN kind = 'audio' THEN h ELSE h // $f END AS height
+             CASE WHEN kind = 'audio' THEN w
+                  ELSE greatest(w // $f, 1) END AS width,
+             CASE WHEN kind = 'audio' THEN h
+                  ELSE greatest(h // $f, 1) END AS height
            FROM m)
          SELECT mediaId, kind, width, height,
            CAST(len(rhx) // 2 AS INTEGER) AS nBytes, md5(rhx) AS fp

@@ -53,7 +53,14 @@ object StreamingCleanExport {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[Screened], state: GroupState[FpState]) => {
-          // lowest docId claims the canonical slot, like batch q25/q108
+          // Canonical-doc policy: WITHIN a micro-batch the lowest docId
+          // claims the slot (matching batch q25/q108); ACROSS batches the
+          // first arrival keeps it — an intended deviation from the batch
+          // export's global-min-id rule, because revoking an
+          // already-emitted "kept" verdict would need a retraction, which
+          // Append mode cannot express. Batch q108 remains the
+          // whole-corpus authority; this gate is its monotone incremental
+          // approximation.
           val batch = it.toSeq.sortBy(_.docId)
           var st = state.getOption.getOrElse(FpState(-1L))
           val out = batch.map { d =>
