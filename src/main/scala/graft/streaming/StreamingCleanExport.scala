@@ -25,12 +25,25 @@ object StreamingCleanExport {
   case class Doc(docId: Long, text: String)
   // encoder-visible (Spark's generated projections cannot read private types)
   case class Screened(
-    docId: Long, fp: String, blocked: Boolean, lowQuality: Boolean)
+    docId: Long, fp: String, blocked: Boolean, lowQuality: Boolean, text: String)
   case class FpState(firstId: Long)
   case class Verdict(docId: Long, keep: Boolean, reason: String)
+  case class VerdictDoc(docId: Long, keep: Boolean, reason: String, text: String)
 
   def gate(docs: Dataset[Doc], blocklist: Seq[String], qualityMin: Double)
   : Dataset[Verdict] = {
+    import docs.sparkSession.implicits._
+    gateWithText(docs, blocklist, qualityMin)
+      .select("docId", "keep", "reason").as[Verdict]
+  }
+
+  /** [[gate]] with the document text carried through the verdict — the
+    * composition surface: downstream incremental stages (near-dup pairing,
+    * feature extraction) consume the KEPT stream without a stream-stream
+    * join back to the source.
+    */
+  def gateWithText(docs: Dataset[Doc], blocklist: Seq[String], qualityMin: Double)
+  : Dataset[VerdictDoc] = {
     // only uni- and bi-gram phrases are matchable (the gram stream is
     // tokens ∪ sliding bigrams); fail loudly rather than silently never
     // firing on a wider phrase
@@ -47,7 +60,8 @@ object StreamingCleanExport {
       col("docId"),
       md5(normText(col("text"))).as("fp"),
       (hitUni || hitBi).as("blocked"),
-      (round(qualityScore(tk), 4) < qualityMin).as("lowQuality")).as[Screened]
+      (round(qualityScore(tk), 4) < qualityMin).as("lowQuality"),
+      col("text")).as[Screened]
     screened
       .groupByKey(_.fp)
       .flatMapGroupsWithState(
@@ -70,7 +84,7 @@ object StreamingCleanExport {
               else if (d.blocked) "blocklist"
               else if (d.lowQuality) "quality"
               else "kept"
-            Verdict(d.docId, reason == "kept", reason)
+            VerdictDoc(d.docId, reason == "kept", reason, d.text)
           }
           state.update(st)
           out.iterator

@@ -726,4 +726,32 @@ class StreamingSpec extends AnyFunSuite {
     val alerts = detector.onNewTransactions(mempool, utxo).collect()
     assert(alerts.length == 1 && alerts(0).getAs[String]("txId") == "bigtx")
   }
+
+  test("composed pipeline: only gate-kept docs enter near-dup state, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingCleanExport.Doc
+    val stream = MemoryStream[Doc]
+    val out = StreamingPipeline.cleanNearDups(stream.toDS(), Seq("forbidden"), 0.3)
+    val query = out.writeStream
+      .format("memory").queryName("spipeline").outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "rain falls on the dusty road tonight"
+      // batch 1: 1 kept; 10 is a near-copy of 1 but BLOCKLISTED — it must
+      // never occupy an LSH bucket, so it can never pair with anything
+      stream.addData(Doc(1, base), Doc(10, base + " forbidden"))
+      query.processAllAvailable()
+      // batch 2: 2 is a kept near-copy of 1 (cross-batch pair through the
+      // bucket state); 11 is an exact dup of 1 — dropped by the gate, so no
+      // (1,11) pair despite identical signatures
+      stream.addData(Doc(2, base + " again"), Doc(11, base))
+      query.processAllAvailable()
+      val got = spark.table("spipeline").as[StreamingNearDup.NearDupPair].collect()
+      val pairSet = got.map(p => (p.aId, p.bId)).toSet
+      assert(pairSet.contains((1L, 2L)), s"cross-batch pair through composed gate: $pairSet")
+      assert(pairSet.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L)) },
+        s"a gate-dropped doc leaked into near-dup pairing: $pairSet")
+    } finally query.stop()
+  }
 }
