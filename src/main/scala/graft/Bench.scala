@@ -37,14 +37,29 @@ object Bench {
       queries.ForkReplay.ensureRetain(spark)
       queries.DedupQueries.warm(spark, sfDir)
     }
+    // A failed query must be VISIBLE in the bench record, not disguised as a
+    // fast run: its entry is -1 (never a plausible duration), its message
+    // lands in the "errors" object, and stderr flags it for a local eye.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+          errors(name) = msg
+          System.err.println(s"[bench] $name FAILED: $msg")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
+        .mkString(""","errors":{""", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     // Engine-only backfill throughput: the q51 fixture is pre-dumped raw
     // parquet, so its measured seconds are pure read+derive+aggregate.
     val blocksPerS = results.get("q51_chain_backfill")
@@ -80,7 +95,7 @@ object Bench {
     val extra = blocksPerS.map(b => s""","backfill_blocks_per_s":$b""").getOrElse("") +
       mainnetPerS.map(b => s""","mainnet_blocks_per_s":$b""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":$sfNum}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra$errJson,"sf":$sfNum}"""
     // The driver keeps only the LAST 2000 chars of stdout and json-parses the
     // final line. 82 full query names overflow that window (BENCH_r01/r02:
     // parsed=null), so: full-precision record line first, then a compact
@@ -91,8 +106,11 @@ object Bench {
     val shortExtra =
       blocksPerS.map(b => f""","backfill_blocks_per_s":$b%.1f""").getOrElse("") +
         mainnetPerS.map(b => f""","mainnet_blocks_per_s":$b%.1f""").getOrElse("")
+    val shortErr =
+      if (errors.isEmpty) ""
+      else s""","errcount":${errors.size}"""
     val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec"""" +
-      s""","queries":$shortQs$shortExtra,"sf":$sfNum}"""
+      s""","queries":$shortQs$shortExtra$shortErr,"sf":$sfNum}"""
     spark.stop()
     println(line)
     println(shortLine)
