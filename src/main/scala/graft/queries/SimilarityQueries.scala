@@ -27,6 +27,12 @@ object SimilarityQueries extends QueryModule {
   private val SemDedupTau = 0.35 // q97 within-cluster near-dup threshold
   private val NearDupTau = 0.4   // q113 pair threshold (q30's, for the recall law)
   private val NearDupProbes = 2  // q113 multi-probe width (clusters per vector)
+  // q113 blocking-K target: K = max(KMeansK, n / NearDupClusterSize), so the
+  // expected cluster stays ~constant as the corpus grows and the
+  // within-cluster pairwise kernel stays LINEAR in n (fixed K would make it
+  // quadratic: 10x vectors -> 100x pairs — observed 13.4x wall at sf1 in r05
+  // before this). The oracle replays the same formula from count(*).
+  private val NearDupClusterSize = 250L
   private val OutlierK = 5  // q104 least-prototypical vectors flagged per label
   private val PqSubspaces = 4 // q107 product-quantization subspaces
   private val PqSubDim = 16   // dims per subspace (4 × 16 = 64)
@@ -226,9 +232,11 @@ object SimilarityQueries extends QueryModule {
     // q30 (VERDICT r04 finding #4): q30 blocks on the fixed `label` column,
     // which is only the IVF-bucket analog while labels stay numerous and
     // balanced — one hot label at web scale makes the within-block kernel
-    // quadratic. Here the blocking key is q97's trained k-means cluster, so
+    // quadratic. Here the blocking key is a trained k-means cluster, so
     // block sizes track the data distribution (skew splits across
-    // centroids) and K scales with the corpus. Each vector probes its
+    // centroids) and K scales with the corpus — K = max(KMeansK,
+    // n/NearDupClusterSize), keeping expected cluster size constant and the
+    // pairwise kernel linear in n. Each vector probes its
     // NearDupProbes nearest clusters (multi-probe IVF) so pairs straddling
     // a centroid boundary are still candidates — candidate volume grows
     // only ~probes× while recall roughly doubles vs single-probe (pinned by
@@ -236,7 +244,10 @@ object SimilarityQueries extends QueryModule {
     // semantics and threshold as q30.
     "q113_clustered_neardup" -> ((s, dir) => {
       val e = corpus(s, dir).select("vec_id", "v")
-      val cent0 = e.filter(col("vec_id") < KMeansK)
+      // adaptive K (one footer-cheap count; the corpus scan it triggers is
+      // a single column-pruned pass, negligible next to the kernel it sizes)
+      val k = math.max(KMeansK.toLong, e.count() / NearDupClusterSize)
+      val cent0 = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
       val cent1 = centroidsOf(lloydAssign(e, cent0))
       val assigned = probeAssign(e, cent1, NearDupProbes)
@@ -542,7 +553,8 @@ object SimilarityQueries extends QueryModule {
 
     "q113_clustered_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KMeansK),
+         cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id <
+           (SELECT greatest($KMeansK, count(*) // $NearDupClusterSize) FROM embeddings)),
          r1 AS (SELECT vec_id, v, c_id, row_number() OVER (
                   PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
                 FROM (SELECT e.vec_id, e.v, c.c_id,
