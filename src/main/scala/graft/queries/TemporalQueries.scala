@@ -43,6 +43,11 @@ object TemporalQueries extends QueryModule {
 
   private val WeekUs = 7L * 86400L * 1000000L
 
+  /** q115 session cut: an idle gap strictly longer than 30 min starts a new
+    * session (the common web-analytics convention).
+    */
+  private val SessionGapUs = 30L * 60L * 1000000L
+
   /** Mixture temperature (UniMax/mT5-style domain balancing). */
   private val MixtureAlpha = 0.7
 
@@ -182,6 +187,36 @@ object TemporalQueries extends QueryModule {
         .select(col("doc_id"), col("chunk"), col("start_tok"), col("chunk_len"),
           element_at(col("t"), (col("start_tok") + 1).cast("int")).as("first_tok"))
         .orderBy("doc_id", "chunk")
+    }),
+
+    // GAP SESSIONIZATION: per-user sessions cut where the idle gap exceeds
+    // 30 minutes — the classic event-stream operator Spark SQL has no batch
+    // verb for (streaming has session_window; this is its exact batch
+    // construction). Boundary flags from a per-user lag, session ordinal as
+    // the running sum of boundaries, then one roll-up. Both windows and the
+    // roll-up share the user_id hash partitioning (the grouping key set
+    // contains the window key), so the WHOLE operator is ONE shuffle —
+    // EnsureRequirements inserts no second exchange for the groupBy. Value
+    // sums in exact e4 fixed-point so engine summation order can't smear
+    // low bits. Ties inside a user's stream break by event_id, making lag
+    // and the session ordinal deterministic.
+    "q115_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val e = ev(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      e.withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_ord",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_ord")
+        .agg(min("us").as("start_us"), max("us").as("end_us"),
+          count(lit(1)).as("n_events"), sum("v4").as("value_e4"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("user_id", "session_ord")
     })
   )
 
@@ -257,6 +292,26 @@ object TemporalQueries extends QueryModule {
           SELECT doc_id, chunk, chunk * $ChunkStride AS start_tok,
             least($ChunkSize, n_tok - chunk * $ChunkStride) AS chunk_len,
             t[CAST(chunk * $ChunkStride + 1 AS INTEGER)] AS first_tok
-          FROM ch ORDER BY doc_id, chunk"""
+          FROM ch ORDER BY doc_id, chunk""",
+    "q115_sessionize" ->
+      s"""WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+              CAST(round(value * 10000) AS BIGINT) AS v4
+            FROM events),
+          b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > $SessionGapUs
+                  THEN 1 ELSE 0 END AS new_sess
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          sess AS (SELECT *, sum(new_sess) OVER (
+                     PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_ord
+                   FROM b)
+          SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord,
+            min(us) AS start_us, max(us) AS end_us,
+            count(*) AS n_events, CAST(sum(v4) AS BIGINT) AS value_e4,
+            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+          FROM sess GROUP BY user_id, session_ord
+          ORDER BY user_id, session_ord"""
   )
 }

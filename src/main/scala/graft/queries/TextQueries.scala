@@ -544,6 +544,32 @@ object TextQueries extends QueryModule {
           md5(normText(col("text"))).as("fp_exact"),
           md5(concat_ws(" ", array_sort(array_distinct(tk)))).as("fp_bag"))
         .orderBy("doc_id")
+    }),
+
+    // GRAM NOVELTY: per-doc fraction of its distinct 3-gram shingles whose
+    // corpus-wide first appearance (lowest doc_id) IS this doc — the
+    // novelty/duplication-mass signal duplication-aware mixing weights a
+    // corpus by (high-novelty docs contribute new n-grams; low-novelty docs
+    // mostly restate earlier ones). Reference scope: the text-analysis
+    // fingerprint family (SURVEY §2.8); no uexplorer analog — pipeline op.
+    // Scale shape: distinct grams stay inside the per-row native shingle
+    // kernel; the corpus then moves through exactly two keyed shuffles
+    // (gram → min doc_id, then doc_id roll-up). The gram→first_doc join is
+    // shuffle-on-gram against an aggregate already partitioned by gram, so
+    // no replanning at 100× — no broadcast of an unbounded side anywhere.
+    "q116_gram_novelty" -> ((s, dir) => {
+      graft.functions.WordShinglesExpression.register(s)
+      val pairs = docs(s, dir)
+        .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("g"))
+      val first = pairs.groupBy("g").agg(min("doc_id").as("first_doc"))
+      pairs.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("novel_grams"))
+        .withColumn("novelty",
+          round(col("novel_grams").cast("double") / col("n_grams"), 4))
+        .orderBy("doc_id")
     })
   )
 
@@ -911,6 +937,21 @@ object TextQueries extends QueryModule {
                  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
                        FROM documents)
                  GROUP BY lang, tok))
-         WHERE rnk <= 10 ORDER BY lang, rnk"""
+         WHERE rnk <= 10 ORDER BY lang, rnk""",
+    "q116_gram_novelty" ->
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+         pairs AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+           FROM tk WHERE len(t) >= 3),
+         fst AS (SELECT g, min(doc_id) AS first_doc FROM pairs GROUP BY g)
+         SELECT p.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           round(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS novelty
+         FROM pairs p JOIN fst f USING (g)
+         GROUP BY p.doc_id ORDER BY p.doc_id"""
   )
 }

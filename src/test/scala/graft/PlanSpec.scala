@@ -284,4 +284,29 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 2, s"text pipeline shuffles too much ($exchanges):\n$plan")
   }
+
+  test("sessionization is one data shuffle: the roll-up reuses the window partitioning") {
+    val plan = planOf("q115_sessionize")
+    // lag window, running-sum window, and groupBy(user_id, session_ord) must
+    // all ride ONE hashpartitioning(user_id) — EnsureRequirements adds no
+    // second exchange because the grouping keys contain the window key. The
+    // only other allowed exchange is the presentation orderBy's range one.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"sessionize must be a single user_id shuffle ($exchanges hash exchanges):\n$plan")
+  }
+
+  test("gram novelty is keyed equi-ops: gram join + two hash aggregates, no nested loop") {
+    val plan = planOf("q116_gram_novelty")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"novelty must stay an equi-join:\n$plan")
+    // the join must key on the gram itself (equi-join the planner can
+    // shuffle-partition at corpus scale; at sf0.001 stats make the
+    // aggregated side broadcast, which is equally keyed)
+    assert(plan.contains("Join [g#") || "Join \\[g".r.findFirstIn(plan).isDefined,
+      s"gram join must key on g:\n$plan")
+    // first_doc comes from a real aggregate under the join, not a rescan fed
+    // window: the plan carries a partial_min/min(doc_id) aggregate pair
+    assert(plan.contains("min(doc_id"), s"first-doc aggregate missing:\n$plan")
+  }
 }
