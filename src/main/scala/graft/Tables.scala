@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness's synthetic tables (TESTDATA.md).
   *
@@ -17,21 +17,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The synthetic `events` table stores `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark's reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, so here the long
-    * nanos-since-epoch becomes a proper TimestampType (micro precision —
-    * same as DuckDB's CAST(ts AS TIMESTAMP) on the oracle side).
+  /** Normalize the `events.ts` column across testdata generations. Older
+    * driver dumps stored parquet TIMESTAMP(NANOS) (read as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`); current dumps store naive
+    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Engine queries
+    * and the DuckDB oracle both treat the wall-clock value as UTC, so NTZ is
+    * cast to TimestampType under the sessions' UTC time zone — identical
+    * micros, and `unix_micros`/window arithmetic keep working.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         // integral division: `/` on longs is double division, which loses
         // sub-µs exactness for epoch-nanos ≳ 2^53 and could shift a value
         // by 1µs vs the oracle's exact integer division.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 }
