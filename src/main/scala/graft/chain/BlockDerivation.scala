@@ -80,12 +80,20 @@ object BlockDerivation {
     * excluding protocol boxes keeps the "coins moved in user txs" semantics
     * those columns are meant to carry, exactly and overflow-free.
     */
+  /** `pin` marks the three shared sub-plans every entity table hangs off —
+    * the two flatten cores (tx level, output level) and the windowed blocks
+    * table. Batch queries leave it as `identity` (one action evaluates the
+    * whole DAG once, lazily); the ingest path passes a persist hook so its
+    * 8 fan-out table writes + tip/delta actions compute the UDF-heavy
+    * decode ONCE per micro-batch instead of once per action.
+    */
   def derive(raw: Dataset[RawBlock], feeTree: String = ChainFixture.FeeTree,
-    protocolTrees: Seq[String] = Nil): ChainTables = {
+    protocolTrees: Seq[String] = Nil,
+    pin: DataFrame => DataFrame = identity): ChainTables = {
     val spark = raw.sparkSession
 
     // P1: block → tx flatten with positional index; coinbase = last tx.
-    val txsWithStruct = raw.toDF()
+    val txsWithStruct0 = raw.toDF()
       .select(
         col("header.id").as("blockId"),
         col("header.height").as("height"),
@@ -102,10 +110,11 @@ object BlockDerivation {
         col("tx.inputs").as("rawInputs"),
         col("tx.dataInputs").as("rawDataInputs"),
         col("tx.outputs").as("rawOutputs"))
+    val txsWithStruct = pin(txsWithStruct0)
 
     // P1 level 2: tx → outputs with positional index; P6 hash + template;
     // P11 register pivot r4..r9.
-    val outputs = txsWithStruct
+    val outputs0 = txsWithStruct
       .select(col("blockId"), col("height"), col("txId"), col("txIndex"),
         col("coinbase"), col("firstInputBoxId"),
         posexplode(col("rawOutputs")).as(Seq("outIndex", "o")))
@@ -130,6 +139,7 @@ object BlockDerivation {
       .withColumn("ergoTreeT8Hex", templateHexUdf(col("ergoTree")))
       .withColumn("ergoTreeT8Hash",
         when(col("ergoTreeT8Hex").isNotNull, lower(sha2(unhex(col("ergoTreeT8Hex")), 256))))
+    val outputs = pin(outputs0)
 
     val inputs = txsWithStruct
       .select(col("blockId"), col("height"), col("txId"), col("txIndex"),
@@ -278,7 +288,7 @@ object BlockDerivation {
         coalesce(sum("y.tCoins"), lit(0L)).as("oCoins"),
         coalesce(sum("y.tBoxes"), lit(0L)).as("oBoxes"))
 
-    val blocks = withMt
+    val blocks = pin(withMt
       .join(broadcast(offsets), "hb")
       .withColumn("blockChainTotalSize", col("oSize") + sum("blockSize").over(wInCum))
       .withColumn("totalTxsCount", col("oTxs") + sum("txsCount").over(wInCum))
@@ -292,7 +302,7 @@ object BlockDerivation {
       .withColumn("txGixBase", col("oTxs") + coalesce(sum("txsCount").over(wInPrev), lit(0L)))
       .withColumn("boxGixBase", col("oBoxes") + coalesce(sum("boxCount").over(wInPrev), lit(0L)))
       .drop("sumOutputValue", "prevBucketTs",
-        "oSize", "oTxs", "oMt", "oFees", "oRew", "oCoins", "oBoxes")
+        "oSize", "oTxs", "oMt", "oFees", "oRew", "oCoins", "oBoxes"))
 
     // A5: global indexes = block-level base + in-block position.
     val gixKeys = blocks.select("blockId", "txGixBase", "boxGixBase")

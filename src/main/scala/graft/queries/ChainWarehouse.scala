@@ -207,16 +207,22 @@ object ForkReplay {
     * warehouse. The previous scratch copy is reclaimed on the next call.
     */
   def replayFork(s: SparkSession): ChainIngest = synchronized {
-    ensurePreFork(s)
+    def prof[A](l: String)(f: => A): A = {
+      if (sys.env.contains("GRAFT_PROF")) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof]   $l%-24s ${(System.nanoTime()-t0)/1e9}%7.2f s"); r
+      } else f
+    }
+    prof("ensurePreFork")(ensurePreFork(s))
     lastScratch.foreach(p => ChainWarehouse.rmTree(p.toString))
     val scratch = Files.createTempDirectory("graft-fork-replay")
     lastScratch = Some(scratch)
-    copyTree(Paths.get(PreForkDir), scratch)
+    prof("copyTree")(copyTree(Paths.get(PreForkDir), scratch))
     import s.implicits._
-    val (all, winners) = fixture()
+    val (all, winners) = prof("fixture")(fixture())
     val long = all.filter(b => winners.contains(b.header.id))
     val ing = ingestAt(scratch.toString)
-    ing.processBatch(s.createDataset(long), 2L)
+    prof("processBatch")(ing.processBatch(s.createDataset(long), 2L))
     ing
   }
 }

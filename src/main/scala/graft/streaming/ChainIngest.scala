@@ -69,6 +69,49 @@ class ChainIngest(
   private def p(name: String) = s"$warehouse/$name"
   private def exists(name: String) = Files.exists(Paths.get(p(name)))
 
+  /** Run `f` with a pin hook for [[BlockDerivation.derive]]'s shared
+    * sub-plans. The ingest paths fan one derivation out into 8 table writes
+    * plus tip/delta actions; unpinned, every action BOTH re-runs the
+    * UDF-heavy decode of the micro-batch AND re-pays Catalyst
+    * analysis/codegen of the ~200-operator derivation plan (the dominant
+    * cost at micro-batch sizes — measured 3–10× wall on the fork path).
+    * `localCheckpoint` fixes both: partitions are computed once and the
+    * lineage is CUT, so each downstream action analyzes a 3-node LogicalRDD
+    * plan. Micro-batches are trigger-bounded, so the checkpointed
+    * partitions are small; Spark's ContextCleaner reclaims them once the
+    * batch's frames are unreachable. Trade-off (documented Spark behavior):
+    * a lost executor loses local checkpoints — recovery here is the
+    * STREAM's, not the plan's: foreachBatch redelivers the batch and both
+    * ingest paths are idempotent (raw is id-deduped; appends land on the
+    * fork path on replay).
+    */
+  private def withPinned[A](f: (DataFrame => DataFrame) => A): A =
+    f(df => df.localCheckpoint(false))
+
+  /** Fan independent entity-table writes out concurrently. The 8 sinks
+    * share nothing below the pinned derivation cores (materialized before
+    * the fan-out), so sequential submission would serialize 8 small jobs'
+    * scheduling + commit latency for no ordering benefit — on a cluster the
+    * writes land on disjoint executors/paths anyway. Failure semantics are
+    * unchanged: any failed write propagates (first error) and the caller's
+    * tip-cache invalidation runs as before.
+    */
+  private def parallelCommit(writes: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = ChainIngest.writeEc
+    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+  }
+
+  // Stage timing for ingest-path tuning, gated on GRAFT_PROF (off = no-op).
+  private def prof[A](label: String)(f: => A): A = {
+    if (sys.env.contains("GRAFT_PROF")) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof]   $label%-24s ${(System.nanoTime()-t0)/1e9}%7.2f s"); r
+    } else f
+  }
+
+
   // ST2 tip carry — the reference's in-memory ChainTip FIFO
   // (ChainLinker.scala:46-54): the stored tip row is held across
   // micro-batches instead of being re-read from the blocks table every
@@ -139,8 +182,8 @@ class ChainIngest(
     */
   def processBatch(batch: Dataset[RawBlock], batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
-    batch.toDF().write.mode(SaveMode.Append).parquet(p("raw"))
+    if (prof("isEmpty")(batch.isEmpty)) return
+    prof("rawAppend")(batch.toDF().write.mode(SaveMode.Append).parquet(p("raw")))
 
     // steady state touches NO stored table for the tip — it was carried from
     // the previous batch; only a fresh instance (start / restart / post-heal)
@@ -153,12 +196,12 @@ class ChainIngest(
     // one aggregate pass over the batch: lowest height, duplicate-height
     // detection, and the lowest block's timestamp (min over (height, ts)
     // structs — deterministic under same-height forks, unlike a sort+take).
-    val stats = batch.toDF().select(
+    val stats = prof("batchStats")(batch.toDF().select(
       min(col("header.height")).as("minH"),
       count(lit(1)).as("n"),
       countDistinct(col("header.height")).as("nh"),
       min(struct(col("header.height"), col("header.timestamp")))
-        .getField("timestamp").as("firstTs")).head()
+        .getField("timestamp").as("firstTs")).head())
     val minBatchHeight = stats.getAs[Int]("minH")
     val hasInBatchFork = stats.getAs[Long]("n") != stats.getAs[Long]("nh")
     // ST3: fork vs the stored tip, OR competing same-height blocks inside
@@ -166,7 +209,7 @@ class ChainIngest(
     val isFork = hasInBatchFork || tip.exists(t => minBatchHeight <= t.getAs[Int]("height"))
 
     try {
-      if (isFork) reprocessFromRaw(spark, minBatchHeight)
+      if (isFork) prof("reprocessFromRaw")(reprocessFromRaw(spark, minBatchHeight))
       else appendIncremental(batch, tip, minBatchHeight,
         if (stats.isNullAt(3)) None else Some(stats.getAs[Long]("firstTs")))
     } catch {
@@ -218,32 +261,31 @@ class ChainIngest(
     */
   private def appendIncremental(
     batch: Dataset[RawBlock], tip: Option[Row],
-    minBatchHeight: Int, firstTs: Option[Long]): Unit = {
-    val t = BlockDerivation.derive(batch, feeTree, protocolTrees)
+    minBatchHeight: Int, firstTs: Option[Long]): Unit = withPinned { pin =>
+    val t = BlockDerivation.derive(batch, feeTree, protocolTrees, pin)
     val (blocksShifted, txsShifted, outputsShifted) =
       shiftFromTip(t, tip, minBatchHeight, firstTs)
 
     // next batch's tip, computed from the micro-batch's own rows (a
     // batch-sized TakeOrdered) — assigned only after every write commits.
+    // This collect also eagerly materializes the pinned derivation cores
+    // (blocks sits atop both flatten cores), so the concurrent writes below
+    // read the cache instead of racing to compute it.
     val newTip = blocksShifted.orderBy(desc("height")).limit(1)
       .collect().headOption
 
-    withBucket(flagged(blocksShifted, true), "height").write.mode(SaveMode.Append)
-      .partitionBy("heightBucket").parquet(p("blocks"))
-    withBucket(flagged(txsShifted, true), "height")
-      .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p("txs"))
-    withBucket(flagged(outputsShifted, true), "settlementHeight")
-      .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p("outputs"))
-    withBucket(flagged(t.inputs, true), "height").write.mode(SaveMode.Append)
-      .partitionBy("heightBucket").parquet(p("inputs"))
-    withBucket(flagged(t.assets, true), "height").write.mode(SaveMode.Append)
-      .partitionBy("heightBucket").parquet(p("assets"))
-    withBucket(flagged(t.dataInputs, true), "height").write.mode(SaveMode.Append)
-      .partitionBy("heightBucket").parquet(p("data_inputs"))
-    withBucket(flagged(t.registers, true), "height").write.mode(SaveMode.Append)
-      .partitionBy("heightBucket").parquet(p("registers"))
-    withBucket(flagged(t.tokens, true), "issuingHeight").write.mode(SaveMode.Append)
-      .partitionBy("heightBucket").parquet(p("tokens"))
+    def append(df: DataFrame, heightCol: String, name: String): () => Unit =
+      () => withBucket(flagged(df, main = true), heightCol).write
+        .mode(SaveMode.Append).partitionBy("heightBucket").parquet(p(name))
+    parallelCommit(Seq(
+      append(blocksShifted, "height", "blocks"),
+      append(txsShifted, "height", "txs"),
+      append(outputsShifted, "settlementHeight", "outputs"),
+      append(t.inputs, "height", "inputs"),
+      append(t.assets, "height", "assets"),
+      append(t.dataInputs, "height", "data_inputs"),
+      append(t.registers, "height", "registers"),
+      append(t.tokens, "issuingHeight", "tokens")))
 
     // K2 delta commit: adds = batch outputs not spent in-batch; removes =
     // batch inputs that spend pre-batch boxes. View-level soundness needs
@@ -292,7 +334,7 @@ class ChainIngest(
     // losers are resolved from the tip WINDOW only (a driver walk over
     // ≤window*4 header rows; duplicate ids are collapsed by the walk's
     // id-keyed map), so resolution needs no dedupe at all.
-    val losers = ForkResolver.losingBlockIds(raw)
+    val losers = prof("losingBlockIds")(ForkResolver.losingBlockIds(raw))
     // a replayed batch (foreachBatch redelivery after a crash) appends its
     // raw blocks twice — dedupe by block id so replay is idempotent
     // end-to-end. Only the REBUILT range can hold duplicates that matter
@@ -307,16 +349,17 @@ class ChainIngest(
       .filter(if (losers.isEmpty) lit(true)
         else !col("header.id").isin(losers.toSeq: _*))
       .as[RawBlock]
-    val t = BlockDerivation.derive(tail, feeTree, protocolTrees)
+    withPinned { pin =>
+    val t = BlockDerivation.derive(tail, feeTree, protocolTrees, pin)
 
     // seed from the last block BELOW the rebuilt range (untouched buckets
     // are correct by induction) — read pruned to the max surviving bucket;
     // the tail's own lowest block supplies the mining-time boundary
     // timestamp.
-    val tip: Option[Row] =
+    val tip: Option[Row] = prof("readTip")(
       if (forkBucket > 0) readTipFromStorage(spark, belowBucket = forkBucket)
-      else None
-    val tailStats = tail.toDF().select(
+      else None)
+    val tailStats = prof("tailStats")(tail.toDF()).select(
       min(col("header.height")).as("minH"),
       min(struct(col("header.height"), col("header.timestamp")))
         .getField("timestamp").as("firstTs")).head()
@@ -332,19 +375,27 @@ class ChainIngest(
     // that corrupt the UTXO anti-join. Delete-then-append is not atomic; a
     // crash in between leaves the table tip behind raw, which heal()
     // detects and repairs.
-    def overwriteTail(df: DataFrame, heightCol: String, name: String): Unit = {
-      dropBucketsFrom(name, forkBucket)
-      withBucket(flagged(df, main = true), heightCol).write.mode(SaveMode.Append)
-        .partitionBy("heightBucket").parquet(p(name))
-    }
-    overwriteTail(blocksShifted, "height", "blocks")
-    overwriteTail(txsShifted, "height", "txs")
-    overwriteTail(outputsShifted, "settlementHeight", "outputs")
-    overwriteTail(t.inputs, "height", "inputs")
-    overwriteTail(t.assets, "height", "assets")
-    overwriteTail(t.dataInputs, "height", "data_inputs")
-    overwriteTail(t.registers, "height", "registers")
-    overwriteTail(t.tokens, "issuingHeight", "tokens")
+    // the winning tip row doubles as the eager materialization of the
+    // pinned derivation cores, so the concurrent overwrites below hit the
+    // cache; cachedTip is only ASSIGNED after every write commits.
+    val newTip = prof("tipCollect")(
+      blocksShifted.orderBy(desc("height")).limit(1).collect().headOption)
+
+    def overwriteTail(df: DataFrame, heightCol: String, name: String): () => Unit =
+      () => prof(s"overwrite $name") {
+        dropBucketsFrom(name, forkBucket)
+        withBucket(flagged(df, main = true), heightCol).write.mode(SaveMode.Append)
+          .partitionBy("heightBucket").parquet(p(name))
+      }
+    parallelCommit(Seq(
+      overwriteTail(blocksShifted, "height", "blocks"),
+      overwriteTail(txsShifted, "height", "txs"),
+      overwriteTail(outputsShifted, "settlementHeight", "outputs"),
+      overwriteTail(t.inputs, "height", "inputs"),
+      overwriteTail(t.assets, "height", "assets"),
+      overwriteTail(t.dataInputs, "height", "data_inputs"),
+      overwriteTail(t.registers, "height", "registers"),
+      overwriteTail(t.tokens, "issuingHeight", "tokens")))
 
     // Soft-delete retention: the losing branch's rows are re-derived and
     // appended flagged mainChain=false — the dropBucketsFrom above wiped
@@ -356,18 +407,20 @@ class ChainIngest(
     if (retainLosers && losers.nonEmpty) {
       val lt = BlockDerivation.derive(
         rangeDeduped.filter(col("header.id").isin(losers.toSeq: _*)).as[RawBlock],
-        feeTree, protocolTrees)
-      def appendLosers(df: DataFrame, heightCol: String, name: String): Unit =
-        withBucket(flagged(df, main = false), heightCol)
+        feeTree, protocolTrees, pin)
+      lt.blocks.count() // eager-materialize the loser cores pre-fan-out
+      def appendLosers(df: DataFrame, heightCol: String, name: String): () => Unit =
+        () => withBucket(flagged(df, main = false), heightCol)
           .write.mode(SaveMode.Append).partitionBy("heightBucket").parquet(p(name))
-      appendLosers(lt.blocks, "height", "blocks")
-      appendLosers(lt.txs, "height", "txs")
-      appendLosers(lt.outputs, "settlementHeight", "outputs")
-      appendLosers(lt.inputs, "height", "inputs")
-      appendLosers(lt.assets, "height", "assets")
-      appendLosers(lt.dataInputs, "height", "data_inputs")
-      appendLosers(lt.registers, "height", "registers")
-      appendLosers(lt.tokens, "issuingHeight", "tokens")
+      parallelCommit(Seq(
+        appendLosers(lt.blocks, "height", "blocks"),
+        appendLosers(lt.txs, "height", "txs"),
+        appendLosers(lt.outputs, "settlementHeight", "outputs"),
+        appendLosers(lt.inputs, "height", "inputs"),
+        appendLosers(lt.assets, "height", "assets"),
+        appendLosers(lt.dataInputs, "height", "data_inputs"),
+        appendLosers(lt.registers, "height", "registers"),
+        appendLosers(lt.tokens, "issuingHeight", "tokens")))
     }
 
     // UTXO after a fork: rebuild from the (now-corrected) warehouse tables
@@ -379,14 +432,14 @@ class ChainIngest(
       .select(utxoCols.head, utxoCols.tail: _*)
       .join(mainChainOnly(spark.read.parquet(p("inputs"))).select("boxId"),
         Seq("boxId"), "left_anti")
-    commitBase(rebuilt)
+    prof("commitBase")(commitBase(rebuilt))
     Files.deleteIfExists(rebuildMarker)
 
     // the rebuilt tail's max block is the chain tip the next batch chains
     // onto (or, for an all-loser tail, the seeded below-fork tip).
-    cachedTip = blocksShifted.orderBy(desc("height")).limit(1)
-      .collect().headOption.orElse(tip)
+    cachedTip = newTip.orElse(tip)
     tipSeeded = true
+    }
   }
 
   /** Recursive delete (shared by partition drops and version retention). */
@@ -620,4 +673,19 @@ class ChainIngest(
 
   def blocksInRange(spark: SparkSession, fromHeight: Int, toHeight: Int): DataFrame =
     rangeScan(spark, "blocks", "height", fromHeight, toHeight)
+}
+
+object ChainIngest {
+  /** Shared bounded pool for concurrent entity-table writes — daemon
+    * threads so a hung write never blocks JVM exit; 8 = the entity fan-out
+    * width (Spark's scheduler handles concurrent job submission natively).
+    */
+  private[streaming] lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-ingest-write")
+          t.setDaemon(true)
+          t
+        }))
 }
