@@ -570,6 +570,95 @@ object TextQueries extends QueryModule {
         .withColumn("novelty",
           round(col("novel_grams").cast("double") / col("n_grams"), 4))
         .orderBy("doc_id")
+    }),
+
+    // DUP-SPAN COALESCING: q98 marks duplicated fixed-width windows; this
+    // merges each doc's overlapping/adjacent duplicate windows into MAXIMAL
+    // spans (gaps-and-islands) — the unit exact-substring dedup actually
+    // cuts (Lee et al. remove spans, not windows). Per doc: span count,
+    // longest span, and duplicated-char coverage. Scale shape: windows are
+    // per-row generated (no shuffle), the dup surface is one keyed
+    // aggregation on the window hash, and the island walk is a window
+    // function partitioned BY DOC — parallel across docs, never global.
+    "q117_dup_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val doc = docs(s, dir).filter(col("n_chars") >= SubWin)
+      val win = doc.select(col("doc_id"), posexplode(transform(
+          sequence(lit(0),
+            floor((length(col("text")) - lit(SubWin)) / lit(SubStride)).cast("int")),
+          i => md5(col("text").substr(i * SubStride + 1, lit(SubWin)))))
+          .as(Seq("pos", "h")))
+        .withColumn("start", col("pos") * SubStride)
+      val dup = win.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+        .select("h")
+      val w = Window.partitionBy("doc_id").orderBy("start")
+      val spans = win.join(dup, "h")
+        .withColumn("newSpan",
+          when(col("start") - lag("start", 1).over(w) <= SubWin, 0L).otherwise(1L))
+        .withColumn("spanId", sum("newSpan")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "spanId")
+        .agg((max("start") - min("start") + SubWin).cast("long").as("len"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), max("len").as("max_span"),
+          sum("len").as("dup_chars"))
+      doc.select("doc_id", "n_chars").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          round(coalesce(col("dup_chars"), lit(0L)).cast("double")
+            / col("n_chars"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // OOV RATE vs a LEARNED VOCAB: rank tokens by corpus frequency
+    // (count desc, token asc), keep the top-K as the tokenizer vocabulary,
+    // and score every doc's out-of-vocabulary token rate — the coverage
+    // check run before committing to a tokenizer. Scale shape: the vocab
+    // aggregation is one keyed shuffle whose result is top-K rows (fits a
+    // broadcast by construction); docs then stream map-side through the
+    // broadcast membership probe — the corpus is never reshuffled.
+    "q118_oov_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val vocab = broadcast(tok.groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("tok"))))
+        .filter(col("rnk") <= VocabTop)
+        .select(col("tok"), lit(1).as("inv")))
+      tok.join(vocab, Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // WINNOWING FINGERPRINTS (Schleimer et al., the MOSS fingerprinter):
+    // hash every k-char gram, then keep the minimum hash of each w-window
+    // of consecutive gram hashes — guarantees any shared substring of
+    // length ≥ k+w−1 contributes a shared fingerprint, at ~1/w the storage
+    // of full k-gram sets. Per doc: distinct-fingerprint count and an
+    // order-free XOR digest. Entirely per-row higher-order-function work —
+    // zero shuffles before the final (tiny) per-doc projection.
+    "q119_winnow_fingerprint" -> ((s, dir) => {
+      val grams = transform(
+        sequence(lit(0), length(col("text")) - WinnowK),
+        i => conv(substring(md5(concat(lit(s"$WinnowSeed:"),
+          col("text").substr(i + 1, lit(WinnowK)))), 1, 15), 16, 10).cast("long"))
+      docs(s, dir).filter(col("n_chars") >= WinnowK + WinnowW - 1)
+        .select(col("doc_id"), grams.as("hs"))
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), size(col("hs")) - WinnowW),
+          j => array_min(slice(col("hs"), j + 1, lit(WinnowW))))).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+        .orderBy("doc_id")
     })
   )
 
@@ -621,6 +710,15 @@ object TextQueries extends QueryModule {
   private val NbTrainRes = 0
   // q111 merge-pair report size.
   private val MergeTopK = 25
+  // q118 learned-vocab size (top-K by corpus frequency; the 31-token
+  // synthetic vocabulary makes K=20 leave a real OOV tail).
+  private val VocabTop = 20
+  // q119 winnowing parameters: char-gram width k, hash-window w — any
+  // shared substring of length ≥ k+w−1 (= 11) is guaranteed a shared
+  // fingerprint.
+  private val WinnowK = 8
+  private val WinnowW = 4
+  private val WinnowSeed = 77
   // q103 phrase blocklist (uni- and bi-gram entries over the synthetic
   // vocabulary; real pipelines load thousands of phrases from a file).
   private[queries] val Blocklist: Seq[String] =
@@ -952,6 +1050,57 @@ object TextQueries extends QueryModule {
            round(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 4) AS novelty
          FROM pairs p JOIN fst f USING (g)
-         GROUP BY p.doc_id ORDER BY p.doc_id"""
+         GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "q117_dup_spans" ->
+      s"""WITH doc AS (SELECT doc_id, n_chars,
+             list_transform(range(0,
+                 CAST(floor((length(text) - $SubWin) / $SubStride) AS BIGINT) + 1),
+               i -> struct_pack(s := i * $SubStride,
+                 h := md5(substr(text, CAST(i * $SubStride + 1 AS INT), $SubWin)))) AS ws
+           FROM documents WHERE n_chars >= $SubWin),
+         win AS (SELECT doc_id, u.s AS start, u.h AS h
+                 FROM (SELECT doc_id, unnest(ws) AS u FROM doc)),
+         dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         hit AS (SELECT w.doc_id, w.start FROM win w JOIN dup USING (h)),
+         isl AS (SELECT doc_id, start, CASE WHEN start - lag(start) OVER
+             (PARTITION BY doc_id ORDER BY start) <= $SubWin THEN 0 ELSE 1 END AS ns
+           FROM hit),
+         sp AS (SELECT doc_id, sid,
+             max(start) - min(start) + $SubWin AS len
+           FROM (SELECT doc_id, start, sum(ns) OVER (PARTITION BY doc_id
+               ORDER BY start ROWS UNBOUNDED PRECEDING) AS sid FROM isl)
+           GROUP BY doc_id, sid),
+         pd AS (SELECT doc_id, count(*) AS n_spans, max(len) AS max_span,
+             CAST(sum(len) AS BIGINT) AS dup_chars FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(pd.n_spans, 0) AS n_spans,
+           COALESCE(pd.max_span, 0) AS max_span,
+           COALESCE(pd.dup_chars, 0) AS dup_chars,
+           round(COALESCE(pd.dup_chars, 0)::DOUBLE / d.n_chars, 6) AS dup_frac
+         FROM doc d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
+    "q118_oov_rate" ->
+      raw"""WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tok GROUP BY tok)
+               QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= $VocabTop)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate
+         FROM tok t LEFT JOIN v ON t.tok = v.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q119_winnow_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id,
+             list_transform(range(0, length(text) - $WinnowK + 1),
+               i -> CAST(('0x' || substr(md5('$WinnowSeed:' ||
+                 substr(text, CAST(i + 1 AS INT), $WinnowK)), 1, 15)) AS BIGINT)) AS hs
+           FROM documents WHERE n_chars >= ${WinnowK + WinnowW - 1}),
+         f AS (SELECT doc_id, list_distinct(list_transform(
+             range(0, len(hs) - $WinnowW + 1),
+             j -> list_min(hs[CAST(j + 1 AS INT):CAST(j + $WinnowW AS INT)]))) AS fps
+           FROM d)
+         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+             (a, x) -> xor(a, x)) AS fp_xor
+         FROM f ORDER BY doc_id"""
   )
 }
