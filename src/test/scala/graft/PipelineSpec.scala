@@ -569,4 +569,65 @@ class PipelineSpec extends AnyFunSuite {
     val copies = dedup.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)
     assert(copies == docs, "fingerprint groups must partition the corpus exactly")
   }
+
+  test("dup spans coalesce q98's windows consistently") {
+    import org.apache.spark.sql.functions._
+    val spans = SparkEntry.queries("q117_dup_spans")(spark, sf001).cache()
+    val sub = SparkEntry.queries("q98_substring_dup")(spark, sf001)
+      .select(col("doc_id"), (col("n_dup") > 0).as("hasDup"))
+    // a doc has spans iff it has duplicated windows, and coverage is sane
+    val joined = spans.join(sub, "doc_id").cache()
+    assert(joined.filter((col("n_spans") > 0) =!= col("hasDup")).count() == 0,
+      "span presence must mirror q98's duplicated-window presence")
+    assert(spans.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // every span is at least one window wide and fits inside its doc
+    assert(spans.filter(col("n_spans") > 0 && col("max_span") < 40).count() == 0)
+    assert(spans.filter(col("dup_chars") > col("n_chars")).count() == 0,
+      "coalesced spans cannot cover more chars than the doc has")
+    assert(spans.filter(col("n_spans") > 0).count() > 0, "spec has no teeth")
+    joined.unpersist(); spans.unpersist()
+  }
+
+  test("OOV rate: vocab covers the corpus majority, rates bounded") {
+    import org.apache.spark.sql.functions._
+    val oov = SparkEntry.queries("q118_oov_rate")(spark, sf001).cache()
+    assert(oov.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    assert(oov.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    // a frequency-ranked vocab must cover more mass than it misses
+    val agg = oov.agg(sum("n_tokens").as("t"), sum("n_oov").as("o")).head()
+    assert(agg.getLong(1) * 2 < agg.getLong(0),
+      "top-K vocab should cover the majority of corpus tokens")
+    assert(oov.filter(col("n_oov") > 0).count() > 0, "spec has no teeth")
+    oov.unpersist()
+  }
+
+  test("winnowing fingerprints match a direct Scala recompute on sample docs") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q119_winnow_fingerprint")(spark, sf001)
+      .filter(col("doc_id") < 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_fp"), r.getAs[Long]("fp_xor"))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h64(s: String): Long = {
+      val hex = md.digest(("77:" + s).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val texts = Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") < 5).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts) {
+      val hs = (0 to text.length - 8).map(i => h64(text.substring(i, i + 8)))
+      val fps = (0 to hs.length - 4).map(j => hs.slice(j, j + 4).min).distinct
+      val expected = (fps.length.toLong, fps.foldLeft(0L)(_ ^ _))
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, expected $expected")
+    }
+  }
+
+  test("events.ts is normalized to TimestampType regardless of source type") {
+    import org.apache.spark.sql.types.TimestampType
+    val ev = Tables.load(spark, sf001, "events")
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"ts must load as TimestampType, got ${ev.schema("ts").dataType}")
+  }
 }
