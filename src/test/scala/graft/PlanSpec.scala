@@ -309,4 +309,31 @@ class PlanSpec extends AnyFunSuite {
     // window: the plan carries a partial_min/min(doc_id) aggregate pair
     assert(plan.contains("min(doc_id"), s"first-doc aggregate missing:\n$plan")
   }
+
+  test("dup-span coalescing: hash-keyed joins, island window partitioned by doc") {
+    val plan = planOf("q117_dup_spans")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q117 must stay keyed on the window hash / doc id:\n$plan")
+    // the gaps-and-islands walk must parallelize across docs, never a
+    // global single-partition window
+    assert(!plan.contains("Window [") ||
+      "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isEmpty,
+      s"island window must be partitioned by doc_id:\n$plan")
+  }
+
+  test("OOV probe broadcasts the top-K vocab; the corpus is never reshuffled") {
+    val plan = planOf("q118_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership must be a broadcast probe:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q118 must equi-join on the token:\n$plan")
+  }
+
+  test("winnowing is pure per-row HOF work — no join, no pre-agg shuffle") {
+    val plan = planOf("q119_winnow_fingerprint")
+    assert(!plan.contains("Join"), s"q119 must not join anything:\n$plan")
+    // the only exchange allowed is the final presentation sort
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"q119 should shuffle at most for the final sort:\n$plan")
+  }
 }
