@@ -199,6 +199,45 @@ object DedupQueries extends QueryModule {
       exactJaccard(cand, sh, sz)
     }),
 
+    // CONTAINMENT join (asymmetric Jaccard, C(A,B) = |A∩B|/|A| ≥ 0.8):
+    // catches quote/near-superset relationships symmetric Jaccard misses —
+    // a short doc embedded in a long one scores high containment but low
+    // Jaccard. Candidates via the containment prefix filter: any B
+    // containing ≥ ⌈t·|A|⌉ of A's shingles shares at least one of A's
+    // k = |A| − ⌈t·|A|⌉ + 1 RAREST shingles (it can miss at most k−1 of A
+    // overall), so only those k join — and a prefix singleton (df=1) can
+    // never be the shared one, so dropping it stays lossless. The DuckDB
+    // oracle recomputes ground truth from the FULL pair join, independently
+    // verifying the filter's losslessness. All integer arithmetic (the
+    // threshold is the cross-multiplied 5·shared ≥ 4·n).
+    "q120_containment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = shingleHashes(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
+      val pre = sh.join(dfreq, "hs")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "hs")))
+        .join(sz, "doc_id")
+        .filter(col("r") <= col("n") - expr("(n*4 + 4) div 5") + 1)
+        .filter(col("df") >= 2)
+        .select(col("doc_id").as("a_id"), col("hs"))
+      val cand = pre
+        .join(sh.select(col("doc_id").as("b_id"), col("hs")), "hs")
+        .filter(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("hs")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("hs")), Seq("b_id", "hs"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      inter
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+        .filter(col("shared") * 5 >= col("n_a") * 4)
+        .select(col("a_id"), col("b_id"), col("n_a"), col("shared"),
+          round(col("shared").cast("double") / col("n_a"), 4).as("containment"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Corpus-governance dup provenance: WHERE do the near-dups come from?
     // q27's LSH near-dup pairs mapped onto their sources and rolled up into
     // a symmetric source×source pair-count matrix (the report that decides
@@ -538,6 +577,18 @@ object DedupQueries extends QueryModule {
          SELECT a_id, b_id, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard
          FROM shared JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
          WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5
+         ORDER BY a_id, b_id""",
+    "q120_containment" ->
+      s"""WITH $tkCte, $shCte,
+         shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
+         sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
+         shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+           FROM shh a JOIN shh b ON a.hs = b.hs AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, sa.n AS n_a, c AS shared,
+           round(CAST(c AS DOUBLE) / sa.n, 4) AS containment
+         FROM shared JOIN sz sa ON sa.doc_id = a_id
+         WHERE c * 5 >= sa.n * 4
          ORDER BY a_id, b_id""",
     "q27_minhash_lsh" ->
       s"""WITH $tkCte, $shCte,

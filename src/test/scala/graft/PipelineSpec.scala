@@ -624,6 +624,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join bounds and dominates jaccard on shared pairs") {
+    import org.apache.spark.sql.functions._
+    val c = SparkEntry.queries("q120_containment")(spark, sf001).cache()
+    assert(c.filter(col("shared") > col("n_a")).count() == 0,
+      "intersection cannot exceed |A|")
+    assert(c.count() > 0, "spec has no teeth at sf0.01")
+    // C(A,B) ≥ J(A,B) always — every Jaccard-0.8+ pair must appear here
+    // in both directions; spot the q26 pairs that clear 0.8
+    val j = SparkEntry.queries("q26_shingle_jaccard")(spark, sf001)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = c.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    j.foreach { case (a, b) =>
+      assert(pairs.contains((a, b)) && pairs.contains((b, a)),
+        s"jaccard≥0.8 pair ($a,$b) missing from containment output")
+    }
+    c.unpersist()
+  }
+
   test("events.ts is normalized to TimestampType regardless of source type") {
     import org.apache.spark.sql.types.TimestampType
     val ev = Tables.load(spark, sf001, "events")

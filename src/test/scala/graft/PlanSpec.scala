@@ -329,6 +329,12 @@ class PlanSpec extends AnyFunSuite {
       s"q118 must equi-join on the token:\n$plan")
   }
 
+  test("containment join stays keyed on the shingle hash — never a cartesian") {
+    val plan = planOf("q120_containment")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q120 must generate candidates via the prefix equi-join:\n$plan")
+  }
+
   test("winnowing is pure per-row HOF work — no join, no pre-agg shuffle") {
     val plan = planOf("q119_winnow_fingerprint")
     assert(!plan.contains("Join"), s"q119 must not join anything:\n$plan")
