@@ -621,13 +621,14 @@ object TextQueries extends QueryModule {
     // broadcast by construction); docs then stream map-side through the
     // broadcast membership probe — the corpus is never reshuffled.
     "q118_oov_rate" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      // top-K via orderBy+limit (TakeOrderedAndProject — a distributed
+      // per-partition top-K + tiny merge), NOT a global row_number window,
+      // which would funnel the whole multi-million-token vocabulary table
+      // through one partition at real corpus scale.
       val vocab = broadcast(tok.groupBy("tok").agg(count(lit(1)).as("n"))
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("n").desc, col("tok"))))
-        .filter(col("rnk") <= VocabTop)
+        .orderBy(col("n").desc, col("tok")).limit(VocabTop)
         .select(col("tok"), lit(1).as("inv")))
       tok.join(vocab, Seq("tok"), "left")
         .groupBy("doc_id")

@@ -327,6 +327,10 @@ class PlanSpec extends AnyFunSuite {
       s"vocab membership must be a broadcast probe:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"q118 must equi-join on the token:\n$plan")
+    // the vocab top-K must be distributed TakeOrdered, not a
+    // single-partition row_number window over the whole vocabulary
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-K must plan as TakeOrderedAndProject:\n$plan")
   }
 
   test("containment join stays keyed on the shingle hash — never a cartesian") {
