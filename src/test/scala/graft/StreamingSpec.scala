@@ -478,6 +478,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("drift monitor tracks per-window OOV and quality against a fixed vocab") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case object T { def at(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L) }
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val docsDf = stream.toDF().toDF("ts", "text")
+    val monitored = CorpusDriftMonitor.drift(docsDf,
+      vocab = Seq("table", "scan", "join"), width = "10 minutes",
+      qualityMin = 0.99, watermark = "10 minutes")
+    val query = monitored.writeStream
+      .format("memory").queryName("drift").outputMode("append").start()
+    try {
+      // window 1: 2 docs, 5 tokens, 2 OOV ("zzz", "qqq")
+      stream.addData((T.at(1), "table scan zzz"), (T.at(5), "join qqq"))
+      query.processAllAvailable()
+      stream.addData((T.at(40), "table"))    // advances watermark, closes w1
+      query.processAllAvailable()
+      stream.addData((T.at(2), "late late")) // behind watermark → dropped
+      query.processAllAvailable()
+      stream.addData((T.at(70), "flush"))
+      query.processAllAvailable()
+      val w1 = spark.table("drift")
+        .select("n_docs", "n_tokens", "n_oov", "oov_rate")
+        .orderBy("window.start").collect().head
+      assert(w1.getLong(0) == 2 && w1.getLong(1) == 5 && w1.getLong(2) == 2,
+        s"window-1 counters wrong: $w1")
+      assert(w1.getDouble(3) == 0.4, s"oov_rate wrong: $w1")
+    } finally query.stop()
+  }
+
   test("compaction collapses micro-batch file sprawl without changing data") {
     import spark.implicits._
     val dir = tmpDir("graft-compact") + "/t"
