@@ -646,6 +646,35 @@ object TextQueries extends QueryModule {
     // of full k-gram sets. Per doc: distinct-fingerprint count and an
     // order-free XOR digest. Entirely per-row higher-order-function work —
     // zero shuffles before the final (tiny) per-doc projection.
+    // QUALITY CUBE: corpus-health summary over every (source × lang)
+    // grouping-set combination in ONE pass — Spark's Expand-based CUBE, the
+    // multi-dimensional rollup a curation dashboard reads. Cell metrics are
+    // computed from POOLED INTEGER counts (sum of per-doc token/uniq/stop
+    // counts), not averaged per-doc doubles, so the result is bit-exact
+    // reproducible regardless of aggregation order — the same discipline as
+    // the rest of the oracle surface.
+    "q121_quality_cube" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val perDoc = docs(s, dir).select(
+        col("source"), col("lang"),
+        size(tk).cast("long").as("n_tok"),
+        size(array_distinct(tk)).cast("long").as("n_uniq"),
+        size(filter(tk, t => t.isin("the", "a"))).cast("long").as("n_stop"))
+      perDoc
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+          sum("n_uniq").as("sum_uniq"), sum("n_stop").as("sum_stop"))
+        .select(
+          coalesce(col("source"), lit("ALL")).as("source_g"),
+          coalesce(col("lang"), lit("ALL")).as("lang_g"),
+          col("n_docs"), col("sum_tokens"),
+          round(col("sum_uniq").cast("double") / col("sum_tokens"), 6).as("pooled_ttr"),
+          round(lit(0.5) * (col("sum_uniq").cast("double") / col("sum_tokens"))
+            + lit(0.5) * (lit(1.0) - col("sum_stop").cast("double") / col("sum_tokens")), 6)
+            .as("pooled_quality"))
+        .orderBy("source_g", "lang_g")
+    }),
+
     "q119_winnow_fingerprint" -> ((s, dir) => {
       val grams = transform(
         sequence(lit(0), length(col("text")) - WinnowK),
@@ -1089,6 +1118,23 @@ object TextQueries extends QueryModule {
              / count(*), 6) AS oov_rate
          FROM tok t LEFT JOIN v ON t.tok = v.tok
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q121_quality_cube" ->
+      raw"""WITH pd AS (SELECT source, lang,
+             CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+             CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+           FROM (SELECT source, lang, string_split_regex(trim(text), '\s+') AS tk
+                 FROM documents))
+         SELECT COALESCE(source, 'ALL') AS source_g,
+           COALESCE(lang, 'ALL') AS lang_g,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           round(CAST(sum(n_uniq) AS DOUBLE) / sum(n_tok), 6) AS pooled_ttr,
+           round(0.5 * (CAST(sum(n_uniq) AS DOUBLE) / sum(n_tok))
+             + 0.5 * (1.0 - CAST(sum(n_stop) AS DOUBLE) / sum(n_tok)), 6)
+             AS pooled_quality
+         FROM pd GROUP BY CUBE(source, lang)
+         ORDER BY source_g, lang_g""",
     "q119_winnow_fingerprint" ->
       s"""WITH d AS (SELECT doc_id,
              list_transform(range(0, length(text) - $WinnowK + 1),

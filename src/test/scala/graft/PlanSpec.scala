@@ -333,6 +333,13 @@ class PlanSpec extends AnyFunSuite {
       s"vocab top-K must plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("quality cube is one scan through Expand — no per-grouping-set rescan") {
+    val plan = planOf("q121_quality_cube")
+    assert(plan.contains("Expand"), s"CUBE must plan via Expand:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"cube must read the corpus exactly once, saw $scans scans:\n$plan")
+  }
+
   test("containment join stays keyed on the shingle hash — never a cartesian") {
     val plan = planOf("q120_containment")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
