@@ -138,6 +138,29 @@ object DedupQueries extends QueryModule {
         .orderBy("fp")
     }),
 
+    // QUALITY-AWARE keeper selection: production dedup keeps the BEST copy
+    // of each duplicate family (highest quality score, doc_id tie-break),
+    // not the lowest id. Families here key on the BAG fingerprint (q24's
+    // fp_bag: same distinct-token set, any order/multiplicity) — members
+    // share content but differ in repetition and stopword load, so the
+    // quality rule genuinely picks. One shuffle on the fingerprint; the
+    // keeper pick is a family-partitioned window (families are small, so
+    // the window parallelizes across them).
+    "q122_best_copy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = toks(col("text"))
+      val scored = docs(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tk)))).as("fp"),
+        round(qualityScore(tk), 9).as("q"))
+      val counts = scored.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+      val w = Window.partitionBy("fp").orderBy(col("q").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(counts, "fp")
+        .select(col("fp"), col("doc_id").as("keep_id"), col("n_copies"),
+          round(col("q"), 4).as("best_quality"))
+        .orderBy("fp")
+    }),
+
     // n-gram Jaccard near-dup, EXACT, via prefix filtering (the set-
     // similarity-join literature's lossless candidate pruning): order each
     // doc's shingles by global rarity (df asc, hash asc — a consistent total
@@ -568,6 +591,21 @@ object DedupQueries extends QueryModule {
       raw"""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
+    "q122_best_copy" ->
+      raw"""WITH sc AS (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fp,
+             round(0.5 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+               + 0.5 * (1.0 - CAST(len(list_filter(tk, t -> t IN ('the', 'a')))
+                   AS DOUBLE) / len(tk)), 9) AS q
+           FROM (SELECT doc_id, text,
+                   string_split_regex(trim(text), '\s+') AS tk FROM documents)),
+         cnt AS (SELECT fp, count(*) AS n_copies FROM sc GROUP BY 1),
+         keep AS (SELECT fp, doc_id, q FROM sc
+                  QUALIFY row_number() OVER (PARTITION BY fp
+                    ORDER BY q DESC, doc_id) = 1)
+         SELECT k.fp, k.doc_id AS keep_id, c.n_copies,
+           round(k.q, 4) AS best_quality
+         FROM keep k JOIN cnt c USING (fp) ORDER BY k.fp""",
     "q26_shingle_jaccard" ->
       s"""WITH $tkCte, $shCte,
          shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),

@@ -645,6 +645,33 @@ class PipelineSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("best-copy keeper is a family member with maximal quality") {
+    import org.apache.spark.sql.functions._
+    val bc = SparkEntry.queries("q122_best_copy")(spark, sf001).cache()
+    assert(bc.filter(col("n_copies") >= 2).count() > 0, "no families — no teeth")
+    // the keeper must actually beat (or tie) every family member on quality:
+    // recompute memberships and max quality per family directly
+    val tk = split(trim(col("text")), "\\s+")
+    val scored = Tables.load(spark, sf001, "documents").select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tk)))).as("fp"),
+      (lit(0.5) * (size(array_distinct(tk)).cast("double") / size(tk)) +
+        lit(0.5) * (lit(1.0) -
+          size(filter(tk, t => t.isin("the", "a"))).cast("double") / size(tk))).as("q"))
+    val best = scored.groupBy("fp").agg(max("q").as("maxq"), count(lit(1)).as("n"))
+    val joined = bc.join(scored.withColumnRenamed("doc_id", "keep_chk"), "fp")
+      .filter(col("keep_chk") === col("keep_id"))
+      .join(best, "fp")
+    assert(joined.count() == bc.count(), "every keeper must be a family member")
+    assert(joined.filter(abs(col("q") - col("maxq")) > 1e-9).count() == 0,
+      "keeper quality must equal the family maximum")
+    // and the rule is not vacuously min-id: at least one family disagrees
+    val minIds = scored.groupBy("fp").agg(min("doc_id").as("mn"))
+    assert(bc.join(minIds, "fp").filter(col("keep_id") =!= col("mn")).count() > 0,
+      "quality keep-rule never disagreed with min-id — spec has no teeth")
+    bc.unpersist()
+  }
+
   test("events.ts is normalized to TimestampType regardless of source type") {
     import org.apache.spark.sql.types.TimestampType
     val ev = Tables.load(spark, sf001, "events")
