@@ -93,12 +93,18 @@ object BlockDerivation {
     val spark = raw.sparkSession
 
     // P1: block → tx flatten with positional index; coinbase = last tx.
+    // `outSizes` (per-block array of each tx's output count) rides along so
+    // the per-tx box-prefix below is a pure array fold — the alternative, a
+    // window over the EXPLODED outputs, is a full-width shuffle+sort of
+    // every box row, the single worst shuffle of the derivation at scale.
     val txsWithStruct0 = raw.toDF()
       .select(
         col("header.id").as("blockId"),
         col("header.height").as("height"),
         col("header.timestamp").as("timestamp"),
         size(col("transactions.transactions")).as("ntx"),
+        transform(col("transactions.transactions"), t => size(t.getField("outputs")))
+          .as("outSizes"),
         posexplode(col("transactions.transactions")).as(Seq("txIndex", "tx")))
       .select(
         col("blockId"), col("height"), col("timestamp"),
@@ -106,6 +112,11 @@ object BlockDerivation {
         col("txIndex"),
         (col("txIndex") === col("ntx") - 1).as("coinbase"), // P2
         col("tx.size").as("txSize"),
+        // boxes emitted by this block's EARLIER txs — the in-block base of
+        // this tx's output global indexes (O(ntx²) adds per block; ntx is
+        // bounded by block size, a few hundred)
+        aggregate(slice(col("outSizes"), lit(1), col("txIndex")), lit(0L),
+          (acc, n) => acc + n).as("txBoxPrefix"),
         try_element_at(col("tx.inputs"), lit(1)).getField("boxId").as("firstInputBoxId"), // P10 key; null for coinbase
         col("tx.inputs").as("rawInputs"),
         col("tx.dataInputs").as("rawDataInputs"),
@@ -116,7 +127,7 @@ object BlockDerivation {
     // P11 register pivot r4..r9.
     val outputs0 = txsWithStruct
       .select(col("blockId"), col("height"), col("txId"), col("txIndex"),
-        col("coinbase"), col("firstInputBoxId"),
+        col("coinbase"), col("firstInputBoxId"), col("txBoxPrefix"),
         posexplode(col("rawOutputs")).as(Seq("outIndex", "o")))
       .select(
         col("o.boxId").as("boxId"),
@@ -125,7 +136,7 @@ object BlockDerivation {
         col("height").as("settlementHeight"),
         col("o.value").as("ergValue"),
         col("outIndex").as("index"),
-        col("txIndex"), col("coinbase"), col("firstInputBoxId"),
+        col("txIndex"), col("coinbase"), col("firstInputBoxId"), col("txBoxPrefix"),
         col("o.ergoTree").as("ergoTree"),
         col("o.assets").as("rawAssets"),
         col("o.additionalRegisters").as("rawRegisters"),
@@ -304,23 +315,46 @@ object BlockDerivation {
       .drop("sumOutputValue", "prevBucketTs",
         "oSize", "oTxs", "oMt", "oFees", "oRew", "oCoins", "oBoxes"))
 
-    // A5: global indexes = block-level base + in-block position.
-    val gixKeys = blocks.select("blockId", "txGixBase", "boxGixBase")
+    // A5: global indexes = block-level base + in-block position. The bases
+    // come from a NARROW standalone two-phase plan over the tx flatten —
+    // NOT from the blocks table — so the txs/outputs subtrees don't drag
+    // the full headers⋈economics⋈cumulative-window DAG in behind an
+    // unprunable inner join. Values are identical to the blocks table's
+    // window-derived maxTxGix/maxBoxGix by construction (same bucketed
+    // prefix-sum over the same per-block counts).
+    val perBlockIdx = txsWithStruct
+      .groupBy(col("blockId"), col("height"))
+      .agg(count(lit(1)).as("bTxs"),
+        sum(when(col("rawOutputs").isNull, lit(0))
+          .otherwise(size(col("rawOutputs")))).as("bBoxes"))
+      .withColumn("hb", floor(col("height") / ChainConst.HeightBucketSize).cast("long"))
+    val idxTotals = perBlockIdx.groupBy("hb")
+      .agg(sum("bTxs").as("tTxs"), sum("bBoxes").as("tBoxes"))
+    val idxOffsets = idxTotals.as("x")
+      .join(idxTotals.as("y"), col("y.hb") < col("x.hb"), "left_outer")
+      .groupBy(col("x.hb").as("hb"))
+      .agg(coalesce(sum("y.tTxs"), lit(0L)).as("oTxs"),
+        coalesce(sum("y.tBoxes"), lit(0L)).as("oBoxes"))
+    val wIdxPrev = Window.partitionBy("hb").orderBy("height")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gixKeys = perBlockIdx
+      .join(broadcast(idxOffsets), "hb")
+      .select(col("blockId"),
+        (col("oTxs") + coalesce(sum("bTxs").over(wIdxPrev), lit(0L))).as("txGixBase"),
+        (col("oBoxes") + coalesce(sum("bBoxes").over(wIdxPrev), lit(0L))).as("boxGixBase"))
     val txs = txsWithStruct
       .join(gixKeys, "blockId")
       .withColumn("globalIndex", col("txGixBase") + col("txIndex"))
       .select("txId", "blockId", "height", "timestamp", "txIndex", "coinbase",
         "txSize", "globalIndex")
-    val wInBlock = Window.partitionBy("blockId")
-      .orderBy("txIndex", "index")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // nested raw columns are dropped BEFORE the gix join so the window
-    // shuffle moves only flat columns, not the asset/register payloads.
+    // in-block position = per-tx prefix (computed pre-explode, no shuffle)
+    // + positional index; the gix join is one-row-per-block narrow and
+    // AQE-broadcastable, so outputs are never shuffled for their index.
     val outputsWithGix = outputs
       .drop("rawAssets", "rawRegisters", "firstInputBoxId")
-      .join(gixKeys, "blockId")
-      .withColumn("globalIndex", col("boxGixBase") + count(lit(1)).over(wInBlock) - 1)
-      .drop("txGixBase", "boxGixBase")
+      .join(gixKeys.select("blockId", "boxGixBase"), "blockId")
+      .withColumn("globalIndex", col("boxGixBase") + col("txBoxPrefix") + col("index"))
+      .drop("boxGixBase", "txBoxPrefix")
 
     ChainTables(
       blocks = blocks.drop("txGixBase", "boxGixBase", "hb"),

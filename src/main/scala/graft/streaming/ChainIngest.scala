@@ -92,15 +92,20 @@ class ChainIngest(
     * share nothing below the pinned derivation cores (materialized before
     * the fan-out), so sequential submission would serialize 8 small jobs'
     * scheduling + commit latency for no ordering benefit — on a cluster the
-    * writes land on disjoint executors/paths anyway. Failure semantics are
-    * unchanged: any failed write propagates (first error) and the caller's
-    * tip-cache invalidation runs as before.
+    * writes land on disjoint executors/paths anyway. On failure the FULL
+    * set is awaited before the first error propagates: the caller's
+    * recovery (tip-cache drop → redelivery → fork rebuild) must never run
+    * concurrently with a still-in-flight straggler append, or the straggler
+    * could commit rows into buckets the rebuild already dropped.
     */
   private def parallelCommit(writes: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Try}
     implicit val ec = ChainIngest.writeEc
-    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    val outcomes: Seq[Try[Unit]] =
+      Await.result(Future.sequence(writes.map(w => Future(w()).transform(Try(_)))), Duration.Inf)
+    outcomes.collectFirst { case Failure(e) => throw e }
   }
 
   // Stage timing for ingest-path tuning, gated on GRAFT_PROF (off = no-op).
