@@ -34,6 +34,14 @@ object Tables {
         // by 1µs vs the oracle's exact integer division.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(TimestampNTZType) =>
+        // The cast reinterprets the naive wall-clock in the SESSION zone, so
+        // it only matches the oracle's UTC reading under a UTC session. Fail
+        // loudly here rather than letting a non-UTC caller silently shift
+        // every ts value.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.load requires spark.sql.session.timeZone=UTC to cast " +
+            s"TIMESTAMP_NTZ ts losslessly; session has '$tz'")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

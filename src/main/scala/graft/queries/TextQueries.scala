@@ -639,13 +639,6 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // WINNOWING FINGERPRINTS (Schleimer et al., the MOSS fingerprinter):
-    // hash every k-char gram, then keep the minimum hash of each w-window
-    // of consecutive gram hashes — guarantees any shared substring of
-    // length ≥ k+w−1 contributes a shared fingerprint, at ~1/w the storage
-    // of full k-gram sets. Per doc: distinct-fingerprint count and an
-    // order-free XOR digest. Entirely per-row higher-order-function work —
-    // zero shuffles before the final (tiny) per-doc projection.
     // QUALITY CUBE: corpus-health summary over every (source × lang)
     // grouping-set combination in ONE pass — Spark's Expand-based CUBE, the
     // multi-dimensional rollup a curation dashboard reads. Cell metrics are
@@ -675,6 +668,13 @@ object TextQueries extends QueryModule {
         .orderBy("source_g", "lang_g")
     }),
 
+    // WINNOWING FINGERPRINTS (Schleimer et al., the MOSS fingerprinter):
+    // hash every k-char gram, then keep the minimum hash of each w-window
+    // of consecutive gram hashes — guarantees any shared substring of
+    // length ≥ k+w−1 contributes a shared fingerprint, at ~1/w the storage
+    // of full k-gram sets. Per doc: distinct-fingerprint count and an
+    // order-free XOR digest. Entirely per-row higher-order-function work —
+    // zero shuffles before the final (tiny) per-doc projection.
     "q119_winnow_fingerprint" -> ((s, dir) => {
       val grams = transform(
         sequence(lit(0), length(col("text")) - WinnowK),

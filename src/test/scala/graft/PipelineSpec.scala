@@ -678,4 +678,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ev.schema("ts").dataType == TimestampType,
       s"ts must load as TimestampType, got ${ev.schema("ts").dataType}")
   }
+
+  test("loading NTZ events under a non-UTC session fails loudly") {
+    // The NTZ→Timestamp cast is only lossless vs the DuckDB oracle under a
+    // UTC session; a silent shift would corrupt every temporal query.
+    import org.apache.spark.sql.types.TimestampNTZType
+    val isNtz = spark.read.parquet(s"$sf001/events.parquet")
+      .schema("ts").dataType == TimestampNTZType
+    assume(isNtz, "current testdata generation stores NTZ")
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Tables.load(spark, sf001, "events")
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set(key, saved)
+  }
 }
