@@ -41,6 +41,13 @@ object Bench {
       queries.ForkReplay.replayFork(spark).blocks(spark).count()
       queries.ForkReplay.ensureRetain(spark)
       queries.DedupQueries.warm(spark, sfDir)
+      // One untimed q51-shaped pass: the backfill derivation's first run in
+      // a JVM pays Catalyst analysis + whole-stage codegen for the ~200-
+      // operator derive plan (~2× steady state) — a long-lived backfill
+      // amortizes that across thousands of batches, so q51 records the
+      // steady-state rate (same warm-up methodology as q38, noted in
+      // COVERAGE.md).
+      SparkEntry.queries("q51_chain_backfill")(spark, sfDir).count()
     }
     // A failed query must be VISIBLE in the bench record, not disguised as a
     // fast run: its entry is -1 (never a plausible duration), its message

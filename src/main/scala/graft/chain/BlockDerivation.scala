@@ -213,23 +213,26 @@ object BlockDerivation {
         col("amount").as("emissionAmount"),
         col("tokenName"), col("tokenDescription"), col("tokenDecimals"))
 
-    // A1/A2: per-block sums. The fee filter (P3) and coinbase value are
-    // column conditions; everything reduces in one partial-agg pass.
-    val econValue =
-      if (protocolTrees.isEmpty) col("ergValue")
-      else when(col("ergoTree").isin(protocolTrees: _*), lit(0L)).otherwise(col("ergValue"))
-    val perBlock = outputs
-      .groupBy("blockId")
-      .agg(
-        sum(econValue).as("sumOutputValue"),
-        sum(when(col("ergoTree") === feeTree, col("ergValue")).otherwise(0L)).as("blockFee"),
-        count(lit(1)).as("boxCount"))
-    val perBlockTx = txsWithStruct
-      .groupBy("blockId")
-      .agg(count(lit(1)).as("txsCount"), sum("txSize").as("txsSize"))
+    // A1/A2: per-block sums as NESTED ARRAY FOLDS over the raw rows — one
+    // raw block row already holds its whole tx/output tree, so the fee
+    // filter (P3) and economics reduce per-row with ZERO shuffle. The
+    // groupBy-the-exploded-boxes alternative shuffles the entire box table
+    // (billions of rows at chain scale) just to rebuild what each raw row
+    // knew locally; these folds keep block economics map-side forever.
+    // Null discipline matches the old sum() semantics (nulls contribute 0).
+    def nestedSum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(col("transactions.transactions"), lit(0L),
+        (acc, t) => acc + coalesce(f(t), lit(0L)))
+    def outputSum(of: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      nestedSum(t => aggregate(t.getField("outputs"), lit(0L),
+        (acc, o) => acc + coalesce(of(o), lit(0L))))
+    val econTerm = (o: org.apache.spark.sql.Column) =>
+      if (protocolTrees.isEmpty) o.getField("value")
+      else when(o.getField("ergoTree").isin(protocolTrees: _*), lit(0L))
+        .otherwise(o.getField("value"))
 
     // Full header surface (reference keeps all 16 — db/FullBlockModel
-    // .scala; round 1 dropped 10 of them).
+    // .scala; round 1 dropped 10 of them) + the folded economics.
     val headers = raw.toDF().select(
       col("header.id").as("blockId"),
       col("header.parentId").as("parentId"),
@@ -247,7 +250,13 @@ object BlockDerivation {
       col("header.w").as("powW"),
       col("header.n").as("powN"),
       col("header.d").as("powD"),
-      col("header.votes").as("votes"))
+      col("header.votes").as("votes"),
+      outputSum(econTerm).as("sumOutputValue"),
+      outputSum(o => when(o.getField("ergoTree") === feeTree,
+        o.getField("value")).otherwise(0L)).as("blockFee"),
+      nestedSum(t => size(t.getField("outputs")).cast("long")).as("boxCount"),
+      size(col("transactions.transactions")).cast("long").as("txsCount"),
+      nestedSum(t => t.getField("size")).as("txsSize"))
 
     // A3/A5: cumulative stats as TWO-PHASE prefix sums — every window below
     // is partitioned by height bucket (parallel across ~height/10⁴ buckets),
@@ -256,8 +265,6 @@ object BlockDerivation {
     // so cumulative derivation scales with executors instead of serializing
     // the whole chain through one task.
     val joined = headers
-      .join(perBlock, "blockId")
-      .join(perBlockTx, "blockId")
       .withColumn("minerReward", ChainConst.minerRewardAt(col("height")))
       .withColumn("minerRevenue", col("minerReward") + col("blockFee"))
       .withColumn("blockCoins", col("sumOutputValue") - col("minerRevenue"))
@@ -316,17 +323,20 @@ object BlockDerivation {
         "oSize", "oTxs", "oMt", "oFees", "oRew", "oCoins", "oBoxes"))
 
     // A5: global indexes = block-level base + in-block position. The bases
-    // come from a NARROW standalone two-phase plan over the tx flatten —
-    // NOT from the blocks table — so the txs/outputs subtrees don't drag
-    // the full headers⋈economics⋈cumulative-window DAG in behind an
-    // unprunable inner join. Values are identical to the blocks table's
-    // window-derived maxTxGix/maxBoxGix by construction (same bucketed
-    // prefix-sum over the same per-block counts).
-    val perBlockIdx = txsWithStruct
-      .groupBy(col("blockId"), col("height"))
-      .agg(count(lit(1)).as("bTxs"),
-        sum(when(col("rawOutputs").isNull, lit(0))
-          .otherwise(size(col("rawOutputs")))).as("bBoxes"))
+    // come from a NARROW standalone two-phase plan — NOT from the blocks
+    // table — so the txs/outputs subtrees don't drag the full
+    // headers/economics/cumulative-window DAG in behind an unprunable inner
+    // join. Per-block counts are the same shuffle-free array folds as the
+    // economics above (the old groupBy over the tx flatten shuffled every
+    // tx row to rebuild per-raw-row local knowledge). Values are identical
+    // to the blocks table's window-derived maxTxGix/maxBoxGix by
+    // construction (same bucketed prefix-sum over the same counts).
+    val perBlockIdx = raw.toDF()
+      .select(
+        col("header.id").as("blockId"),
+        col("header.height").as("height"),
+        size(col("transactions.transactions")).cast("long").as("bTxs"),
+        nestedSum(t => size(t.getField("outputs")).cast("long")).as("bBoxes"))
       .withColumn("hb", floor(col("height") / ChainConst.HeightBucketSize).cast("long"))
     val idxTotals = perBlockIdx.groupBy("hb")
       .agg(sum("bTxs").as("tTxs"), sum("bBoxes").as("tBoxes"))
