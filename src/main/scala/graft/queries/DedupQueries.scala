@@ -192,8 +192,13 @@ object DedupQueries extends QueryModule {
       // the bound — so pruning matches below it is lossless and cuts the
       // verify-join input several-fold.
       val alpha = ceil((col("a.n") + col("b.n")) * lit(0.5) / lit(1.5))
+      // length filter (lossless): J ≤ min(na,nb)/max(na,nb), so J ≥ 0.5
+      // forces max ≤ 2·min — pairs outside the size band never qualify and
+      // are pruned IN the prefix join, before the distinct and the verify
+      // join ever see them (the superlinear dup-mass term lives there).
       val cand = pf.as("a")
         .join(pf.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+        .filter(col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
         .filter(lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) >= alpha)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
@@ -244,10 +249,17 @@ object DedupQueries extends QueryModule {
         .join(sz, "doc_id")
         .filter(col("r") <= col("n") - expr("(n*4 + 4) div 5") + 1)
         .filter(col("df") >= 2)
-        .select(col("doc_id").as("a_id"), col("hs"))
+        .select(col("doc_id").as("a_id"), col("hs"), col("n").as("n_a"))
+      // length filter (lossless): shared ≤ n_b and C ≥ 0.8 force
+      // 5·n_b ≥ 4·n_a — the container must be at least 80% of A's size.
+      // n_b rides the b-side shingle rows (one keyed join with the size
+      // table, whose exchange is shared with sz's own groupBy) so the band
+      // prunes IN the prefix join, before the distinct and verify stages.
+      val bSide = sh.join(sz, "doc_id")
+        .select(col("doc_id").as("b_id"), col("hs"), col("n").as("n_b"))
       val cand = pre
-        .join(sh.select(col("doc_id").as("b_id"), col("hs")), "hs")
-        .filter(col("a_id") =!= col("b_id"))
+        .join(bSide, "hs")
+        .filter(col("a_id") =!= col("b_id") && col("n_b") * 5 >= col("n_a") * 4)
         .select("a_id", "b_id").distinct()
       val inter = cand
         .join(sh.select(col("doc_id").as("a_id"), col("hs")), "a_id")

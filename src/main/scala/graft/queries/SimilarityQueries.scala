@@ -131,7 +131,11 @@ object SimilarityQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact ANN baseline: broadcast the queries, scan the corpus once.
     "q31_cosine_topk" -> ((s, dir) => {
-      val e = corpus(s, dir)
+      // explicit 3-column projection on BOTH sides of the one intentional
+      // BNLJ (the brute-force oracle form for q32/q50): the streamed corpus
+      // scan and the broadcast build must never carry label or any other
+      // unused column through the nested loop
+      val e = corpus(s, dir).select("vec_id", "v", "n")
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"))
       val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
