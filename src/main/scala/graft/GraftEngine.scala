@@ -40,10 +40,19 @@ class GraftEngine(spark: SparkSession, warehouse: String,
     */
   def heal(): Boolean = ingest.heal(spark)
 
-  /** The entity tables as a ChainTables view over the warehouse. */
+  /** The entity tables as a ChainTables view over the warehouse. Script
+    * dims read from their MATERIALIZED tables when the warehouse carries
+    * them (ChainWarehouse-style builds compute the UDF-heavy address
+    * rendering once at ingest); otherwise they derive from `outputs` on
+    * demand.
+    */
   def tables: ChainTables = {
     val outputs = spark.read.parquet(s"$warehouse/outputs")
-    val (ergoTrees, t8) = BlockDerivation.scriptDims(outputs)
+    val (ergoTrees, t8) =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$warehouse/ergo_trees")))
+        (spark.read.parquet(s"$warehouse/ergo_trees"),
+          spark.read.parquet(s"$warehouse/ergo_tree_t8s"))
+      else BlockDerivation.scriptDims(outputs)
     ChainTables(
       blocks = spark.read.parquet(s"$warehouse/blocks"),
       txs = spark.read.parquet(s"$warehouse/txs"),
@@ -55,6 +64,33 @@ class GraftEngine(spark: SparkSession, warehouse: String,
       dataInputs = spark.read.parquet(s"$warehouse/data_inputs"),
       registers = spark.read.parquet(s"$warehouse/registers"),
       tokens = spark.read.parquet(s"$warehouse/tokens"))
+  }
+
+  /** Register the warehouse as a session SQL surface — the Spark-native
+    * analog of the reference's 45 REST endpoints (TapirRoutes.scala:24-68):
+    * once registered, ANY user (JDBC/Thrift, notebook, `spark.sql`) queries
+    * the live chain state with plain SQL, no Scala facade required. Views
+    * are lazy DataFrames: each SQL query still plans straight over the
+    * warehouse parquet (partition pruning, pushdown, the MVCC UTXO view all
+    * intact), so the SQL surface adds zero materialization.
+    *
+    * Views: the nine entity tables + script dims, the live `utxo` MVCC
+    * view, `spent_boxes`, and the `tx_edges` graph. The §3.1 box matrix
+    * collapses into SQL over these (e.g. by-address-unspent =
+    * `SELECT b.* FROM <p>utxo b JOIN <p>ergo_trees d ON b.ergoTreeHash =
+    * d.hash WHERE d.address = …`).
+    */
+  def registerViews(prefix: String = "graft_"): Unit = {
+    val t = tables
+    Seq(
+      "blocks" -> t.blocks, "txs" -> t.txs, "outputs" -> t.outputs,
+      "inputs" -> t.inputs, "assets" -> t.assets,
+      "data_inputs" -> t.dataInputs, "registers" -> t.registers,
+      "tokens" -> t.tokens, "ergo_trees" -> t.ergoTrees,
+      "ergo_tree_t8s" -> t.ergoTreeT8s,
+      "utxo" -> utxos, "spent_boxes" -> spentBoxes,
+      "tx_edges" -> txEdges
+    ).foreach { case (n, df) => df.createOrReplaceTempView(prefix + n) }
   }
 
   // ---- the BoxService matrix (§3.1) ----

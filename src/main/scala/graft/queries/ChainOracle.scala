@@ -205,6 +205,18 @@ object ChainOracle {
           ${utxoSql("o")}
           GROUP BY o.ergoTreeHash ORDER BY o.ergoTreeHash""",
 
+    // SQL-surface routing check: same independent UTXO recomputation as
+    // q34, joined with the dumped address dim — the Spark side runs through
+    // spark.sql over registered views, so a hash match proves the SQL
+    // surface serves exactly what the facade serves.
+    "q123_sql_surface" ->
+      s"""SELECT d.address, u.ergoTreeHash, count(*) AS utxoCount,
+            CAST(sum(u.ergValue) AS BIGINT) AS totalValue
+          FROM (SELECT o.* ${utxoSql("o")}) u
+          JOIN read_parquet('${p("ergo_trees")}') d ON u.ergoTreeHash = d.hash
+          GROUP BY d.address, u.ergoTreeHash
+          ORDER BY u.ergoTreeHash""",
+
     // E1: |any| = |spent| + |unspent| per script.
     "q35_chain_box_lifecycle" ->
       s"""SELECT ergoTreeHash, count(*) AS nAny,

@@ -135,6 +135,23 @@ object ChainQueries extends QueryModule {
         .orderBy("height", "blockId")
     }),
 
+    // SQL surface (the reference's 45-endpoint REST analog,
+    // TapirRoutes.scala:24-68): the live-UTXO roll-up JOINED with the
+    // address dim, ROUTED THROUGH spark.sql over the registered warehouse
+    // views (GraftEngine.registerViews) — verifying that a plain-SQL user
+    // of the warehouse gets oracle-identical results with no Scala facade.
+    "q123_sql_surface" -> ((s, _) => {
+      tables(s) // build the warehouse before the engine mounts it
+      val engine = new graft.GraftEngine(s, ChainWarehouse.Dir)
+      engine.registerViews()
+      s.sql("""
+        SELECT d.address, b.ergoTreeHash,
+               count(1) AS utxoCount, sum(b.ergValue) AS totalValue
+        FROM graft_utxo b JOIN graft_ergo_trees d ON b.ergoTreeHash = d.hash
+        GROUP BY d.address, b.ergoTreeHash
+        ORDER BY b.ergoTreeHash""")
+    }),
+
     // Minted tokens with EIP-004 props (P9/P10).
     "q39_chain_tokens" -> ((s, _) => {
       tables(s).assets

@@ -39,6 +39,30 @@ class EngineSpec extends AnyFunSuite {
     val any = engine.boxesByAddress(UtxoQueries.Any, addr).count()
     assert(unspent + spent == any && any > 0)
 
+    // the same box matrix through the SQL surface: registered views + plain
+    // SQL strings must agree with the Scala facade exactly
+    engine.registerViews()
+    def sqlCount(q: String): Long = spark.sql(q).count()
+    def byAddrSql(view: String): Long = sqlCount(
+      s"""SELECT b.* FROM $view b JOIN graft_ergo_trees d
+          ON b.ergoTreeHash = d.hash WHERE d.address = '$addr'""")
+    assert(byAddrSql("graft_utxo") == unspent)
+    assert(byAddrSql("graft_spent_boxes") == spent)
+    assert(byAddrSql("graft_outputs") == any)
+    val hash = engine.tables.ergoTrees.filter(col("address") === addr)
+      .select("hash").head.getString(0)
+    assert(sqlCount(s"SELECT * FROM graft_utxo WHERE ergoTreeHash = '$hash'") ==
+      engine.boxesByErgoTreeHash(UtxoQueries.Unspent, hash).count())
+    val tok = engine.tables.assets.select("tokenId").head.getString(0)
+    assert(sqlCount(
+      s"""SELECT b.* FROM graft_utxo b WHERE EXISTS
+          (SELECT 1 FROM graft_assets a
+           WHERE a.boxId = b.boxId AND a.tokenId = '$tok')""") ==
+      engine.boxesByTokenId(UtxoQueries.Unspent, tok).count())
+    val someBox = engine.tables.outputs.select("boxId").head.getString(0)
+    assert(sqlCount(s"SELECT * FROM graft_outputs WHERE boxId = '$someBox'") ==
+      engine.boxesByIds(UtxoQueries.Any, Seq(someBox)).count())
+
     // beyond-parity analytics over the PARQUET warehouse (not the cached
     // fixture): clusters cover every script, ledger ties to the live UTXO,
     // flows and the hot-script sketch return non-trivial results
