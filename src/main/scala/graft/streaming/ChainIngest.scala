@@ -51,7 +51,17 @@ class ChainIngest(
     * schema). Cumulative/global-index columns on orphaned rows are
     * branch-local values, meaningful only along the main chain.
     */
-  val retainLosers: Boolean = false) {
+  val retainLosers: Boolean = false,
+  /** K6/S6 online hot-key learning (reference SuperNodeCollector.scala:37-65
+    * + SuperNodeCounter.scala:8-19, threshold 500): each common-path batch
+    * folds its per-script box activity into a PERSISTED running counter
+    * table, and scripts whose cumulative ops exceed the threshold form the
+    * learned hot list — surviving restarts exactly like the reference's
+    * appended `*.gz` key files, and consumed as the salt list of
+    * [[utxoByScript]] (targeted salting, SkewFunctions). Threshold ≤ 0
+    * disables learning (no counter jobs on the ingest path).
+    */
+  val hotKeyThreshold: Long = 500) {
 
   require(keepVersions >= 1 && compactEvery >= 1 && bucketSize >= 1,
     "keepVersions, compactEvery, and bucketSize must be positive")
@@ -304,7 +314,69 @@ class ChainIngest(
 
     cachedTip = newTip.orElse(tip)
     tipSeeded = true
+
+    // K6 online learning: fold this batch's per-script box activity into
+    // the persisted counters (after the batch commits — a failed batch
+    // must not advance the learner).
+    updateHotCounts(batchOutputs, batchInputIds)
   }
+
+  // ---- K6/S6: learned hot-key list (supernode detection) ----
+  // Counters are versioned like the UTXO deltas (atomic tmp+rename publish,
+  // only the latest version is live) and count the activity observable from
+  // the batch alone: box creations per script plus in-batch spends — no
+  // historical join on the ingest hot path. A removal-heavy script always
+  // registered its boxes' creations first, so cumulative counters still
+  // surface it. The counter is a heuristic learner (a redelivered batch may
+  // double-count); the threshold semantics tolerate that exactly like the
+  // reference's op counters.
+
+  private def hotVersions(): Seq[Long] = versionsIn("hot_keys")
+
+  private def updateHotCounts(batchOutputs: DataFrame, batchInputIds: DataFrame): Unit = {
+    if (hotKeyThreshold <= 0) return
+    val spark = batchOutputs.sparkSession
+    val batchOps = batchOutputs.select("ergoTreeHash")
+      .unionAll(batchOutputs.join(batchInputIds, Seq("boxId"), "left_semi")
+        .select("ergoTreeHash"))
+      .groupBy("ergoTreeHash").agg(count(lit(1)).as("ops"))
+    val prev = hotVersions().lastOption.map(v =>
+      spark.read.parquet(p(s"hot_keys/v=$v")))
+    val merged = prev.map(_.unionByName(batchOps)
+      .groupBy("ergoTreeHash").agg(sum("ops").as("ops"))).getOrElse(batchOps)
+    val v = hotVersions().lastOption.getOrElse(-1L) + 1
+    val tmp = p(s"hot_keys/v=$v.tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    Files.move(Paths.get(tmp), Paths.get(p(s"hot_keys/v=$v")))
+    hotVersions().dropRight(1).foreach(old => rm(p(s"hot_keys/v=$old")))
+  }
+
+  /** The persisted per-script op counters (the K6 report's input). */
+  def scriptOpCounts(spark: SparkSession): DataFrame =
+    hotVersions().lastOption
+      .map(v => spark.read.parquet(p(s"hot_keys/v=$v")))
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("ergoTreeHash"), lit(0L).as("ops")).limit(0))
+
+  /** The learned hot list: scripts whose cumulative ops exceed the
+    * threshold — loaded from storage, so a RESTARTED ingest starts salted
+    * (the reference persists its learned list the same way). Bounded
+    * collect: hot keys are by definition the few heaviest scripts.
+    */
+  def learnedHotKeys(spark: SparkSession): Set[String] =
+    if (hotKeyThreshold <= 0) Set.empty
+    else scriptOpCounts(spark).filter(col("ops") > hotKeyThreshold)
+      .select("ergoTreeHash").collect().map(_.getString(0)).toSet
+
+  /** A4 under supernode skew: the live UTXO set aggregated per script with
+    * TARGETED salting from the learned hot list — cold scripts aggregate in
+    * one pass, learned-hot scripts fan across `salts` partials first
+    * (SkewFunctions.saltedSumWithHotList), the Spark translation of the
+    * reference's dedicated supernode maps.
+    */
+  def utxoByScript(spark: SparkSession, salts: Int = 16): DataFrame =
+    graft.functions.SkewFunctions.saltedSumWithHotList(
+      utxo(spark), "ergoTreeHash", "ergValue", learnedHotKeys(spark), salts)
 
   /** Fork path (ST3): resolve the main chain over id-deduped raw, re-derive
     * ONLY heights ≥ the fork bucket's floor, seed cumulative/gix offsets
@@ -448,15 +520,7 @@ class ChainIngest(
   }
 
   /** Recursive delete (shared by partition drops and version retention). */
-  private def rm(path: String): Unit = {
-    val victim = Paths.get(path)
-    if (Files.exists(victim)) {
-      val walk = Files.walk(victim)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
-  }
+  private def rm(path: String): Unit = ChainIngest.rmTree(path)
 
   /** Delete every heightBucket partition dir ≥ `fromBucket` of `name`. */
   private def dropBucketsFrom(name: String, fromBucket: Int): Unit = {
@@ -681,6 +745,19 @@ class ChainIngest(
 }
 
 object ChainIngest {
+  /** Recursive tree delete, shared with the other bucket-partitioned
+    * stores ([[StreamingDupClusters]]).
+    */
+  private[graft] def rmTree(path: String): Unit = {
+    val victim = Paths.get(path)
+    if (Files.exists(victim)) {
+      val walk = Files.walk(victim)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   /** Shared bounded pool for concurrent entity-table writes — daemon
     * threads so a hung write never blocks JVM exit; 8 = the entity fan-out
     * width (Spark's scheduler handles concurrent job submission natively).

@@ -130,6 +130,55 @@ class ReplayAndSkewSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("ingest learns hot keys online, the list survives a restart and drives salting") {
+    import spark.implicits._
+    import graft.streaming.ChainIngest
+    val wh = Files.createTempDirectory("graft-hotlearn").toString + "/warehouse"
+    // low threshold so the 60-block fixture's fee contract crosses it
+    val ing = new ChainIngest(wh, hotKeyThreshold = 10)
+    val all = ChainFixture.generate(60)
+    all.grouped(20).zipWithIndex.foreach { case (b, i) =>
+      ing.processBatch(spark.createDataset(b), i.toLong)
+    }
+    val learned = ing.learnedHotKeys(spark)
+    assert(learned.nonEmpty, "the fee contract must cross the op threshold")
+    // counters fold EVERY batch: totals equal the whole fixture's activity
+    val t = BlockDerivation.derive(spark.createDataset(all))
+    val feeHash = t.outputs
+      .filter(col("ergoTree") === ChainFixture.FeeTree)
+      .select("ergoTreeHash").head.getString(0)
+    assert(learned.contains(feeHash), "the planted heavy hitter is the fee script")
+
+    // RESTART: a fresh instance over the same warehouse loads the same list
+    // from storage (the reference persists its learned list the same way)
+    val restarted = new ChainIngest(wh, hotKeyThreshold = 10)
+    assert(restarted.learnedHotKeys(spark) == learned)
+
+    // the learned list CHANGES the salting of a skewed replay: the learned
+    // key fans across >1 salt partial, unlearned keys keep exactly one
+    val skewed = spark.range(20000)
+      .select(when(col("id") % 10 =!= 0, lit(feeHash))
+        .otherwise(concat(lit("k"), col("id"))).as("ergoTreeHash"))
+      .repartition(8)
+    def saltSpread(hot: Set[String]): Long = skewed
+      .withColumn("_salt", if (hot.isEmpty) lit(0L)
+        else when(col("ergoTreeHash").isin(hot.toSeq: _*),
+          pmod(xxhash64(col("ergoTreeHash"), spark_partition_id()), lit(16)))
+          .otherwise(0L))
+      .groupBy("ergoTreeHash").agg(countDistinct("_salt").as("nSalts"))
+      .filter(col("ergoTreeHash") === feeHash).head.getLong(1)
+    assert(saltSpread(Set.empty) == 1, "unlearned: one reducer eats the hot key")
+    assert(saltSpread(learned) > 1, "learned-hot key must spread across salt partials")
+    val live = restarted.utxo(spark)
+    // and the salted roll-up stays correct: equals the plain aggregation
+    val plain = live.groupBy("ergoTreeHash")
+      .agg(sum("ergValue").as("v"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = restarted.utxoByScript(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain == salted)
+  }
+
   test("misra-gries sketch keeps every item above N/(k+1) with bounded undercount") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
