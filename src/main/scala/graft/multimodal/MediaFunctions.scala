@@ -14,44 +14,80 @@ import java.security.MessageDigest
   * executor-local decoding, fixed-width embedding output ready for the
   * similarity operators (q31/q32).
   *
-  * DECODE IS A STUB: real image/audio codecs are not available in this
-  * environment, so [[decodeHeader]] parses this repo's deterministic fake
-  * container format (see [[MediaFixture]]) and [[embed]] derives a
-  * deterministic pseudo-embedding from content bytes. Both are single,
-  * clearly-marked plug points — swapping in javacv/ffmpeg changes no
-  * signature and no plan shape.
+  * CODEC STATUS (round-7 probe): the JDK's own `javax.imageio.ImageIO` IS
+  * a real image codec (PNG/JPEG/GIF/BMP, headless-safe), so the image path
+  * below is REAL — [[decodeHeader]] magic-sniffs the payload and routes
+  * genuine image containers through ImageIO (decode, pixel-space resize,
+  * pixel-histogram embedding), exercised on actual PNGs by MultimodalSpec.
+  * Audio/video codecs are NOT in this environment (no javacv/ffmpeg on the
+  * offline classpath), so those kinds parse this repo's deterministic GRFT
+  * container instead — that residual stub is environment-bound, and the
+  * plug point (these same per-batch slots) takes an ffmpeg binding with no
+  * signature or plan-shape change.
   */
 object MediaFunctions {
 
   val EmbeddingDim = 32
   val DecodeBatchSize = 64
 
-  /** Fake container header: magic "GRFT" + kind byte + width + height.
-    * The plug point for a real codec.
-    */
-  private[multimodal] def decodeHeader(content: Array[Byte]): (Int, Int) = {
-    require(content.length >= 13 &&
-      new String(content, 0, 4, StandardCharsets.US_ASCII) == "GRFT",
-      "not a GRFT container")
-    val bb = ByteBuffer.wrap(content, 5, 8)
-    (bb.getInt(), bb.getInt())
+  private def isGrft(content: Array[Byte]): Boolean =
+    content.length >= 13 &&
+      new String(content, 0, 4, StandardCharsets.US_ASCII) == "GRFT"
+
+  private def readImage(content: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "payload is neither a GRFT container nor a decodable image")
+    img
   }
 
-  /** Deterministic pseudo-embedding of the payload — stands in for a model
-    * forward pass; statistically spread via sha256 expansion. The digest is
-    * taken over the LOWERCASE-HEX rendering of the bytes (not the raw
-    * blob) so the DuckDB oracle can replay the stage byte-for-byte:
-    * `sha256(lower(hex(content)))` there is bit-identical to this digest
-    * (DuckDB's sha256 only accepts VARCHAR).
+  /** Container header decode: GRFT magic → synthetic parse; anything else →
+    * the JDK ImageIO codec (real PNG/JPEG/GIF/BMP decode).
     */
-  private[multimodal] def embed(content: Array[Byte]): Array[Float] = {
-    val hex = content.map("%02x".format(_)).mkString
-    val md = MessageDigest.getInstance("SHA-256")
-    val d1 = md.digest(hex.getBytes(StandardCharsets.US_ASCII))
-    val d2 = MessageDigest.getInstance("SHA-256").digest(d1)
-    val bytes = d1 ++ d2
-    Array.tabulate(EmbeddingDim)(i => (bytes(i) & 0xff).toFloat / 255f - 0.5f)
-  }
+  private[multimodal] def decodeHeader(content: Array[Byte]): (Int, Int) =
+    if (isGrft(content)) {
+      val bb = ByteBuffer.wrap(content, 5, 8)
+      (bb.getInt(), bb.getInt())
+    } else {
+      val img = readImage(content)
+      (img.getWidth, img.getHeight)
+    }
+
+  /** Deterministic pseudo-embedding of a GRFT payload — stands in for a
+    * model forward pass; statistically spread via sha256 expansion. The
+    * digest is taken over the LOWERCASE-HEX rendering of the bytes (not the
+    * raw blob) so the DuckDB oracle can replay the stage byte-for-byte:
+    * `sha256(lower(hex(content)))` there is bit-identical to this digest
+    * (DuckDB's sha256 only accepts VARCHAR). Real image payloads get a
+    * PIXEL-SPACE feature instead: a luminance histogram over the decoded
+    * raster (deterministic — PNG/JPEG decode is bit-exact per spec), the
+    * classic pre-neural global image descriptor.
+    */
+  private[multimodal] def embed(content: Array[Byte]): Array[Float] =
+    if (isGrft(content)) {
+      val hex = content.map("%02x".format(_)).mkString
+      val md = MessageDigest.getInstance("SHA-256")
+      val d1 = md.digest(hex.getBytes(StandardCharsets.US_ASCII))
+      val d2 = MessageDigest.getInstance("SHA-256").digest(d1)
+      val bytes = d1 ++ d2
+      Array.tabulate(EmbeddingDim)(i => (bytes(i) & 0xff).toFloat / 255f - 0.5f)
+    } else {
+      val img = readImage(content)
+      val bins = new Array[Float](EmbeddingDim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          bins(lum * EmbeddingDim / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (img.getWidth * img.getHeight).toFloat
+      bins.map(_ / n)
+    }
 
   /** Decode stage: one header parse per row, batched per partition. */
   def decodeFrames(media: Dataset[MediaRow]): Dataset[DecodedFrame] = {
@@ -79,12 +115,13 @@ object MediaFunctions {
     }
   }
 
-  /** Resize stage (images/video; audio passes through untouched): the
-    * header is rewritten to (w/factor, h/factor) and the payload decimated
-    * to every `factor`-th byte — the deterministic stand-in for pixel
-    * decimation, so the output is byte-reproducible by the DuckDB oracle
-    * straight from the input blob. A real impl calls the codec's scaler in
-    * the same per-batch slot; signature and plan shape don't change.
+  /** Resize stage (images/video; audio passes through untouched). GRFT
+    * containers: the header is rewritten to (w/factor, h/factor) and the
+    * payload decimated to every `factor`-th byte — the deterministic
+    * stand-in for pixel decimation, byte-reproducible by the DuckDB oracle
+    * straight from the input blob. REAL image containers: an actual
+    * pixel-space rescale through the ImageIO/Graphics2D codec, re-encoded
+    * as PNG — the per-batch slot a javacv scaler would occupy.
     */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     // fail loudly at the driver, not as an ArithmeticException (or silently
@@ -95,7 +132,19 @@ object MediaFunctions {
       rows.grouped(DecodeBatchSize).flatMap { batch =>
         batch.iterator.map { m =>
           if (m.kind == "audio") m
-          else {
+          else if (!isGrft(m.content)) {
+            val img = readImage(m.content)
+            val (rw, rh) = (math.max(img.getWidth / factor, 1),
+              math.max(img.getHeight / factor, 1))
+            val out = new java.awt.image.BufferedImage(rw, rh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try g.drawImage(img, 0, 0, rw, rh, null) finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            m.copy(content = bos.toByteArray,
+              meta = m.meta.copy(width = rw, height = rh))
+          } else {
             val (w, h) = decodeHeader(m.content)
             // clamp: a factor above a small dimension must not emit a
             // 0-width/height header over a non-empty payload

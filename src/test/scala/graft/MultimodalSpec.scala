@@ -59,6 +59,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real image codec: actual PNGs decode, resize, and embed through ImageIO") {
+    import spark.implicits._
+    // real PNG payloads generated through the JDK codec itself
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17 + seed * 7919) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = spark.createDataset(Seq(
+      MediaRow(1000L, "image", png(40, 30, 1), MediaMeta("image/png", 40, 30, -1, -1L)),
+      MediaRow(1001L, "image", png(64, 48, 2), MediaMeta("image/png", 64, 48, -1, -1L))))
+
+    // decode: true raster dimensions, not metadata echoes
+    val decoded = MediaFunctions.decodeFrames(rows).collect()
+      .map(d => d.mediaId -> ((d.width, d.height))).toMap
+    assert(decoded == Map(1000L -> ((40, 30)), 1001L -> ((64, 48))))
+
+    // resize: a REAL pixel rescale — re-decode the emitted PNG bytes
+    // independently and check the raster, not just the metadata
+    MediaFunctions.resize(rows, 2).collect().foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      assert(img != null, "resized payload must be a decodable PNG")
+      assert((img.getWidth, img.getHeight) == (r.meta.width, r.meta.height))
+      assert(img.getWidth == decoded(r.mediaId)._1 / 2)
+    }
+
+    // embed: pixel-histogram features — deterministic, normalized, and
+    // sensitive to content (different images ⇒ different embeddings)
+    val feats = MediaFunctions.extractFeatures(rows).collect()
+      .map(f => f.mediaId -> f.embedding).toMap
+    feats.values.foreach { e =>
+      assert(e.length == MediaFunctions.EmbeddingDim)
+      assert(math.abs(e.sum - 1.0f) < 1e-3, "histogram must be L1-normalized")
+    }
+    assert(feats(1000L).toSeq != feats(1001L).toSeq)
+  }
+
   test("token_count matches size(split) on real documents and edge cases") {
     TokenCountExpression.register(spark)
     val docs = Tables.load(spark, sf0001, "documents")
