@@ -703,6 +703,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("incremental dup-cluster labels across micro-batches equal the batch components") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingNearDup._
+    val stream = MemoryStream[Doc]
+    val store = tmpDir("graft-dupclusters")
+    val clusters = new StreamingDupClusters(s"$store/clusters", buckets = 8)
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+    val query = pairs(stream.toDS()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$store/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupPair], _: Long) =>
+        streamed.synchronized { streamed ++= b.collect() }
+        clusters.update(b.toDF())
+      }.start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "rain falls on the dusty road tonight and nothing else moves"
+      val other = "an entirely different passage discussing catalyst " +
+        "codegen partitions shuffles joins windows aggregates and scans"
+      // batch 1: two separate dup families seed two components
+      stream.addData(Doc(10, base), Doc(11, base + " again"),
+        Doc(20, other), Doc(21, other + " too"))
+      query.processAllAvailable()
+      val afterB1 = clusters.labels(spark).as[(Long, Long)].collect().toMap
+      assert(afterB1.nonEmpty && afterB1.values.toSet.size >= 2,
+        s"two families must form two components: $afterB1")
+      // batch 2: a doc similar to BOTH 11 and nothing else extends family 1
+      stream.addData(Doc(12, base + " again twice"))
+      query.processAllAvailable()
+      // batch 3: a LOWER doc id joins family 1 — the merged cid must drop
+      // to the new minimum across the whole component (cross-batch merge)
+      stream.addData(Doc(5, base + " again"))
+      query.processAllAvailable()
+
+      val got = clusters.labels(spark).as[(Long, Long)].collect().toMap
+      // ground truth: batch components over exactly the streamed pair set
+      val pairSet = streamed.synchronized {
+        streamed.map(p => (p.aId, p.bId)).toSet }
+      val edges = pairSet.toSeq.toDF("a", "b")
+      val doubled = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      val expected = graft.functions.Clustering.minLabelComponents(doubled)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected,
+        s"incremental labels diverged from batch components:\n got=$got\n exp=$expected")
+      assert(got(10L) == 5L && got(11L) == 5L,
+        s"family-1 labels must have merged down to doc 5: $got")
+    } finally query.stop()
+  }
+
   test("pool-state pairing tags each batch with the pool before it and tracks evictions") {
     import spark.implicits._
     def tx(id: String) = MempoolTx(id, new java.sql.Timestamp(1700000000000L), Nil, Nil)
