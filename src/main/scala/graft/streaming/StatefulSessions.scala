@@ -1,13 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
-/** Custom streaming state via `flatMapGroupsWithState` (SURVEY.md §2.9 /
-  * brief: the KeyValueGroupedDataset state surface): event-time
-  * sessionization with a gap timeout — the streaming counterpart of the
-  * batch q54 sessionize (same gap semantics), and the shape any
-  * "custom state machine per key" operator takes in this engine.
+/** Custom streaming state via `transformWithState` (SURVEY.md §2.9 / §1.1:
+  * the Spark 4 state surface): event-time sessionization with a gap
+  * timeout — the streaming counterpart of the batch q54 sessionize (same
+  * gap semantics), and the shape any "custom state machine per key"
+  * operator takes in this engine.
   *
   * Correctness under reordering: a session is emitted ONLY once the
   * watermark has passed `sessionEnd + gap` — never on an in-batch gap —
@@ -16,7 +16,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * key is a list of open interval clusters; an incoming event joins every
   * cluster within `gap` of it (merging clusters it bridges) or starts a new
   * one. State lives in the state store (per-key, checkpointed, bounded by
-  * the watermark), NOT driver memory.
+  * the watermark), NOT driver memory. Keys with open sessions but no new
+  * events close through an EVENT-TIME TIMER registered at the earliest
+  * possible close point (`transformWithState`'s native timer surface — the
+  * `setTimeoutTimestamp` analog, but allowing several state variables
+  * beside it).
   */
 object StatefulSessions {
 
@@ -39,31 +43,57 @@ object StatefulSessions {
     merged :: far
   }
 
+  private[streaming] class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[String, SessionEvent, Session] {
+    @transient private var open: ValueState[Clusters] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Clusters](
+        "open", Encoders.product[Clusters], TTLConfig.NONE)
+
+    /** Close every cluster the watermark has sealed; keep the rest and arm
+      * a timer at the earliest moment a survivor could become closable.
+      */
+    private def closeSealed(userId: String, ingested: List[SessionState],
+      wm: Long): Iterator[Session] = {
+      // closable = the watermark guarantees no further event can join.
+      // STRICT inequality: an event at ts == wm may still be admitted
+      // (late-filter boundary semantics), and absorb's join window is
+      // inclusive — closing at equality could split its session.
+      val (done, live) = ingested.partition(_.lastMs + gapMs < wm)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (live.isEmpty) open.clear()
+      else {
+        open.update(Clusters(live))
+        getHandle.registerTimer(live.map(_.lastMs).min + gapMs)
+      }
+      done.sortBy(_.startMs).iterator.map(s =>
+        Session(userId, s.startMs, s.lastMs, s.n, s.sum, s.lastMs - s.startMs))
+    }
+
+    override def handleInputRows(userId: String, it: Iterator[SessionEvent],
+      tv: TimerValues): Iterator[Session] = {
+      val prior = if (open.exists()) open.get().open else Nil
+      val ingested = it.foldLeft(prior) { (cs, e) =>
+        absorb(cs, e.ts.getTime, e.value, gapMs)
+      }
+      closeSealed(userId, ingested, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(userId: String, tv: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      val prior = if (open.exists()) open.get().open else Nil
+      closeSealed(userId, prior, tv.getCurrentWatermarkInMs())
+    }
+  }
+
   def sessions(events: Dataset[SessionEvent], gapMs: Long,
     watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (userId: String, it: Iterator[SessionEvent], state: GroupState[Clusters]) => {
-          val wm = state.getCurrentWatermarkMs()
-          val ingested = it.foldLeft(state.getOption.map(_.open).getOrElse(Nil)) {
-            (cs, e) => absorb(cs, e.ts.getTime, e.value, gapMs)
-          }
-          // closable = the watermark guarantees no further event can join.
-          // STRICT inequality: an event at ts == wm may still be admitted
-          // (late-filter boundary semantics), and absorb's join window is
-          // inclusive — closing at equality could split its session.
-          val (done, live) = ingested.partition(_.lastMs + gapMs < wm)
-          if (live.isEmpty) state.remove()
-          else {
-            state.update(Clusters(live))
-            state.setTimeoutTimestamp(live.map(_.lastMs).min + gapMs)
-          }
-          done.sortBy(_.startMs).iterator.map(s =>
-            Session(userId, s.startMs, s.lastMs, s.n, s.sum, s.lastMs - s.startMs))
-        })
+      .transformWithState(
+        new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.functions.TextFunctions.{bigrams, normText, qualityScore, toks}
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming clean-corpus gate: the incremental counterpart of batch q108.
   * Every arriving document gets its keep/drop verdict the moment it lands —
@@ -64,30 +64,41 @@ object StreamingCleanExport {
       col("text")).as[Screened]
     screened
       .groupByKey(_.fp)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, it: Iterator[Screened], state: GroupState[FpState]) => {
-          // Canonical-doc policy: WITHIN a micro-batch the lowest docId
-          // claims the slot (matching batch q25/q108); ACROSS batches the
-          // first arrival keeps it — an intended deviation from the batch
-          // export's global-min-id rule, because revoking an
-          // already-emitted "kept" verdict would need a retraction, which
-          // Append mode cannot express. Batch q108 remains the
-          // whole-corpus authority; this gate is its monotone incremental
-          // approximation.
-          val batch = it.toSeq.sortBy(_.docId)
-          var st = state.getOption.getOrElse(FpState(-1L))
-          val out = batch.map { d =>
-            if (st.firstId < 0) st = FpState(d.docId)
-            val reason =
-              if (d.docId != st.firstId) "exact_dup"
-              else if (d.blocked) "blocklist"
-              else if (d.lowQuality) "quality"
-              else "kept"
-            VerdictDoc(d.docId, reason == "kept", reason, d.text)
-          }
-          state.update(st)
-          out.iterator
-        })
+      .transformWithState(
+        new GateProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Canonical-doc policy: WITHIN a micro-batch the lowest docId claims the
+    * slot (matching batch q25/q108); ACROSS batches the first arrival keeps
+    * it — an intended deviation from the batch export's global-min-id rule,
+    * because revoking an already-emitted "kept" verdict would need a
+    * retraction, which Append mode cannot express. Batch q108 remains the
+    * whole-corpus authority; this gate is its monotone incremental
+    * approximation.
+    */
+  private[streaming] class GateProcessor
+    extends StatefulProcessor[String, Screened, VerdictDoc] {
+    @transient private var st: ValueState[FpState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FpState](
+        "fpState", Encoders.product[FpState], TTLConfig.NONE)
+
+    override def handleInputRows(fp: String, it: Iterator[Screened],
+      tv: TimerValues): Iterator[VerdictDoc] = {
+      val batch = it.toSeq.sortBy(_.docId)
+      var s = if (st.exists()) st.get() else FpState(-1L)
+      val out = batch.map { d =>
+        if (s.firstId < 0) s = FpState(d.docId)
+        val reason =
+          if (d.docId != s.firstId) "exact_dup"
+          else if (d.blocked) "blocklist"
+          else if (d.lowQuality) "quality"
+          else "kept"
+        VerdictDoc(d.docId, reason == "kept", reason, d.text)
+      }
+      st.update(s)
+      out.iterator
+    }
   }
 }

@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.functions.TextFunctions._
 import graft.functions.WordShinglesExpression
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Streaming MinHash-LSH near-duplicate detection: the incremental
   * counterpart of batch q27. Each arriving document is shingled, MinHash
@@ -73,27 +73,49 @@ object StreamingNearDup {
       .select(col("docId"), col("sig"), explode(bandKeys).as("bandKey"))
       .as[BandDoc]
       .groupByKey(_.bandKey)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, it: Iterator[BandDoc], state: GroupState[Seq[(Long, Seq[Long])]]) => {
-          // deterministic within a micro-batch: lower docId joins the
-          // bucket first, mirroring batch q27's a_id < b_id orientation
-          val batch = it.toSeq.sortBy(_.docId)
-          var cohort = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[NearDupPair]
-          batch.foreach { d =>
-            cohort.foreach { case (otherId, otherSig) =>
-              if (otherId != d.docId) {
-                val eq = otherSig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
-                val est = eq.toDouble / numHashes
-                if (est >= threshold)
-                  out += NearDupPair(math.min(otherId, d.docId), math.max(otherId, d.docId), est)
-              }
-            }
-            if (!cohort.exists(_._1 == d.docId)) cohort :+= (d.docId -> d.sig)
+      .transformWithState(
+        new BucketProcessor(numHashes, threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Per-LSH-bucket state machine: the cohort of (docId, signature) records
+    * ever routed to this band key, held as a LIST state variable — the
+    * `transformWithState` API appends a new member without rewriting the
+    * whole cohort (the Seq-valued `GroupState` this replaces rewrote the
+    * full blob every batch).
+    */
+  case class Member(docId: Long, sig: Seq[Long])
+
+  private[streaming] class BucketProcessor(numHashes: Int, threshold: Double)
+    extends StatefulProcessor[String, BandDoc, NearDupPair] {
+    @transient private var cohort: ListState[Member] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cohort = getHandle.getListState[Member](
+        "cohort", Encoders.product[Member], TTLConfig.NONE)
+
+    override def handleInputRows(bandKey: String, it: Iterator[BandDoc],
+      tv: TimerValues): Iterator[NearDupPair] = {
+      // deterministic within a micro-batch: lower docId joins the bucket
+      // first, mirroring batch q27's a_id < b_id orientation
+      val batch = it.toSeq.sortBy(_.docId)
+      var members = if (cohort.exists()) cohort.get().toVector else Vector.empty
+      val out = Seq.newBuilder[NearDupPair]
+      batch.foreach { d =>
+        members.foreach { m =>
+          if (m.docId != d.docId) {
+            val eq = m.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+            val est = eq.toDouble / numHashes
+            if (est >= threshold)
+              out += NearDupPair(math.min(m.docId, d.docId), math.max(m.docId, d.docId), est)
           }
-          state.update(cohort)
-          out.result().iterator
-        })
+        }
+        if (!members.exists(_.docId == d.docId)) {
+          members :+= Member(d.docId, d.sig)
+          cohort.appendValue(Member(d.docId, d.sig))
+        }
+      }
+      out.result().iterator
+    }
   }
 }
