@@ -38,6 +38,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
   }
 
+  test("block economics never explode or shuffle the box tables") {
+    // the per-block sums are nested array folds over the raw rows — the
+    // blocks table's plan must contain NO Generate (explode) at all, and
+    // its only exchanges are the tiny bucket-offset/window ones, never a
+    // box-table aggregation
+    import spark.implicits._
+    val t = chain.BlockDerivation.derive(
+      spark.createDataset(chain.ChainFixture.generate(30)))
+    val plan = t.blocks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"blocks plan must not depend on an exploded table:\n$plan")
+    // q31-style sanity: the per-block index bases are fold-derived too
+    val gixPlan = t.txs.queryExecution.executedPlan.toString
+    assert(!gixPlan.contains("partial_count"),
+      s"gix bases must come from array folds, not a tx-row count agg:\n$gixPlan")
+  }
+
   test("IVF probe joins on the bucket key, not a cartesian corpus scan") {
     val plan = planOf("q32_ivf_topk")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
