@@ -35,4 +35,31 @@ object StreamingPipeline {
       .select("docId", "text").as[StreamingNearDup.Doc]
     StreamingNearDup.pairs(kept, numHashes, numBands, threshold)
   }
+
+  /** The TERMINAL composition: gate → near-dup pairs → incremental
+    * dup-cluster labels — the streaming counterpart of batch q108's
+    * near_dup rule (q65's components gate the export). The returned query
+    * maintains `clusters`' label store batch by batch; at any point
+    * [[nearDupSuppressed]] answers "which kept docs are non-canonical
+    * members of a dup cluster" — the set the incremental clean export
+    * drops ON TOP of the gate's own exact-dup/blocklist/quality verdicts.
+    * (Append mode cannot retract an already-emitted "kept" verdict, so
+    * near-dup suppression is a monotone side artifact consumed at export
+    * materialization time — same contract as the gate's canonical-doc
+    * policy.)
+    */
+  def cleanDupClusters(
+    docs: Dataset[StreamingCleanExport.Doc],
+    blocklist: Seq[String],
+    qualityMin: Double,
+    clusters: StreamingDupClusters,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    clusters.attach(cleanNearDups(docs, blocklist, qualityMin), checkpoint)
+
+  /** Non-canonical dup-cluster members (doc_id ≠ cid) — the near-dup
+    * suppression list over the incrementally-maintained labels.
+    */
+  def nearDupSuppressed(spark: org.apache.spark.sql.SparkSession,
+    clusters: StreamingDupClusters): org.apache.spark.sql.DataFrame =
+    clusters.labels(spark).filter(col("doc_id") =!= col("cid"))
 }

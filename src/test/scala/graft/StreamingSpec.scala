@@ -835,4 +835,33 @@ class StreamingSpec extends AnyFunSuite {
         s"a gate-dropped doc leaked into near-dup pairing: $pairSet")
     } finally query.stop()
   }
+
+  test("terminal composition: gate -> pairs -> incremental labels -> suppression list") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingCleanExport.Doc
+    val stream = MemoryStream[Doc]
+    val store = tmpDir("graft-cleanclusters")
+    val clusters = new StreamingDupClusters(s"$store/clusters", buckets = 8)
+    val query = StreamingPipeline.cleanDupClusters(
+      stream.toDS(), Seq("forbidden"), 0.3, clusters, s"$store/ckpt")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "rain falls on the dusty road tonight and nothing else moves"
+      // 3 kept near-copies across two batches + one blocklisted near-copy
+      // that must never reach the cluster store
+      stream.addData(Doc(1, base), Doc(10, base + " forbidden"))
+      query.processAllAvailable()
+      stream.addData(Doc(2, base + " again"), Doc(3, base + " again twice"))
+      query.processAllAvailable()
+      val labels = clusters.labels(spark).as[(Long, Long)].collect().toMap
+      assert(labels.keySet == Set(1L, 2L, 3L),
+        s"cluster store must hold exactly the kept dup family: $labels")
+      assert(labels.values.forall(_ == 1L), s"canonical must be min kept id: $labels")
+      val suppressed = StreamingPipeline.nearDupSuppressed(spark, clusters)
+        .select("doc_id").as[Long].collect().toSet
+      assert(suppressed == Set(2L, 3L),
+        s"suppression = non-canonical members only: $suppressed")
+    } finally query.stop()
+  }
 }
