@@ -16,54 +16,119 @@ import java.nio.file.{Files, Paths}
   * `cb = hash(component cid) % buckets`. A micro-batch of new pairs can
   * only change components it touches, and the store invariant — every edge
   * and label of a component lives in its cid's bucket — means those
-  * components are found by partition-pruned reads of the AFFECTED buckets
-  * only. Per-batch cost is therefore proportional to the touched dup
-  * subgraph, never the accumulated corpus; the superstep kernel is the same
+  * components are found by reading ONLY the affected buckets. Per-batch
+  * cost is therefore proportional to the touched dup subgraph, never the
+  * accumulated corpus; the superstep kernel is the same
   * [[graft.functions.Clustering.minLabelComponents]] the batch query uses,
   * here running on a few components instead of the whole graph. A merged
   * component's new cid is the min doc id across its members, all of whom
-  * were in affected buckets, so rewrites never land outside the deleted
-  * range (delete-then-append, the ChainIngest sparse-table discipline —
-  * dynamic partition overwrite would leave stale buckets whose components
-  * merged away).
+  * were in affected buckets, so rewrites never create data outside the
+  * affected set.
   *
-  * Crash window: foreachBatch redelivers a batch after a failure between
-  * the bucket deletes and the append; the redelivered update re-reads the
-  * surviving buckets plus the batch's own pairs, and label propagation is
-  * idempotent over a partially-rewritten store ONLY when the batch is
-  * replayed — a production deployment pins the affected-bucket list in a
-  * progress marker first (exactly [[ChainIngest]]'s `_rebuild_from`
-  * pattern), omitted here to keep the kernel readable.
+  * Crash safety (the [[ChainIngest]] MVCC discipline, not delete-then-
+  * append): bucket data is IMMUTABLE and versioned
+  * (`edges/cb=K/v=N`, `labels/cb=K/v=N`); each update writes fresh
+  * versions for the affected buckets only, then publishes a MANIFEST
+  * (bucket → version for both tables) via atomic tmp+rename. Readers and
+  * the next update resolve through the latest manifest, so a crash
+  * anywhere before the publish leaves the previous state fully intact and
+  * the redelivered batch replays against it; a crash after the publish
+  * replays idempotently (the batch's pairs are already in the subgraph, so
+  * re-labeling reproduces the same components). Versions no longer
+  * referenced by the latest manifest are GC'd after publish.
   */
 class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
   require(buckets >= 1, "buckets must be positive")
 
-  private def edgesDir = s"$storeDir/edges"
-  private def labelsDir = s"$storeDir/labels"
-
   private val edgeSchema = StructType(Seq(
-    StructField("a", LongType), StructField("b", LongType),
-    StructField("cb", LongType)))
+    StructField("a", LongType), StructField("b", LongType)))
   private val labelSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("cid", LongType),
-    StructField("cb", LongType)))
+    StructField("doc_id", LongType), StructField("cid", LongType)))
 
   private def cbOf(c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(buckets.toLong))
 
-  private def readStore(spark: SparkSession, dir: String,
-    schema: StructType): DataFrame =
-    if (Files.exists(Paths.get(dir)))
-      spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  // ---- manifest: bucket -> version, for the edges and labels tables ----
+  // one line per entry: "<table>,<bucket>,<version>"; published atomically.
+
+  private def manifestDir = Paths.get(s"$storeDir/manifest")
+
+  private def manifestVersions(): Seq[Long] =
+    if (!Files.exists(manifestDir)) Nil
+    else {
+      val stream = Files.list(manifestDir)
+      try stream.toArray.toSeq.map(_.toString)
+        .map(s => s.substring(s.lastIndexOf('/') + 1))
+        .filter(_.matches("m=\\d+"))
+        .map(_.drop(2).toLong).sorted
+      finally stream.close()
+    }
+
+  private def readManifest(): Map[(String, Long), Long] =
+    manifestVersions().lastOption.map { m =>
+      Files.readString(manifestDir.resolve(s"m=$m")).linesIterator
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(t, b, v) = line.split(",")
+          (t, b.toLong) -> v.toLong
+        }.toMap
+    }.getOrElse(Map.empty)
+
+  private def publishManifest(entries: Map[(String, Long), Long]): Unit = {
+    Files.createDirectories(manifestDir)
+    val next = manifestVersions().lastOption.getOrElse(-1L) + 1
+    val body = entries.toSeq.sortBy { case ((t, b), _) => (t, b) }
+      .map { case ((t, b), v) => s"$t,$b,$v" }.mkString("\n")
+    val tmp = manifestDir.resolve(s"m=$next.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifestDir.resolve(s"m=$next"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // GC: manifests below the new head, and data versions the head no
+    // longer references (best-effort; a crash here only leaves garbage,
+    // never corruption)
+    manifestVersions().dropRight(1)
+      .foreach(m => Files.deleteIfExists(manifestDir.resolve(s"m=$m")))
+    Seq("edges", "labels").foreach { t =>
+      val root = Paths.get(s"$storeDir/$t")
+      if (Files.exists(root)) {
+        val bs = Files.list(root)
+        try bs.toArray.map(_.toString).foreach { bdir =>
+          val b = bdir.substring(bdir.lastIndexOf('=') + 1).toLongOption
+          b.foreach { bucket =>
+            val live = entries.get((t, bucket))
+            val vs = Files.list(Paths.get(bdir))
+            try vs.toArray.map(_.toString)
+              .filter { vdir =>
+                val tail = vdir.substring(vdir.lastIndexOf('/') + 1)
+                tail.matches("v=\\d+") && !live.contains(tail.drop(2).toLong)
+              }
+              .foreach(ChainIngest.rmTree)
+            finally vs.close()
+          }
+        } finally bs.close()
+      }
+    }
+  }
+
+  private def readBuckets(spark: SparkSession, table: String,
+    manifest: Map[(String, Long), Long], schema: StructType,
+    only: Option[Set[Long]] = None): DataFrame = {
+    val dirs = manifest.collect {
+      case ((t, b), v) if t == table && only.forall(_.contains(b)) =>
+        s"$storeDir/$table/cb=$b/v=$v"
+    }.toSeq
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
 
   /** The accumulated labels: (doc_id, cid) for every doc that has ever
     * appeared in a pair. Pairless docs are singleton clusters by definition
     * (same contract as the batch `dupLabels`).
     */
   def labels(spark: SparkSession): DataFrame =
-    readStore(spark, labelsDir, labelSchema).select("doc_id", "cid")
+    readBuckets(spark, "labels", readManifest(), labelSchema)
 
   /** Fold one micro-batch of near-dup pairs (columns `aId`, `bId`) into the
     * store. The foreachBatch body.
@@ -77,25 +142,23 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
         greatest(col("aId"), col("bId")).as("b"))
       .distinct().localCheckpoint(true)
     if (np.isEmpty) return
+    val manifest = readManifest()
 
     // affected components: the existing cid of every touched node (self for
     // first-seen nodes); their buckets bound everything this batch can change
     val touched = np.select(col("a").as("doc_id"))
       .unionByName(np.select(col("b").as("doc_id"))).distinct()
     val touchedCids = touched
-      .join(labels(spark), Seq("doc_id"), "left")
+      .join(readBuckets(spark, "labels", manifest, labelSchema),
+        Seq("doc_id"), "left")
       .select(coalesce(col("cid"), col("doc_id")).as("cid"))
     val affected = touchedCids.select(cbOf(col("cid")).as("cb")).distinct()
       .collect().map(_.getLong(0)).toSet
 
-    // partition-pruned read of the affected buckets (superset: unrelated
-    // components sharing a bucket re-label to their unchanged cid)
-    val inAffected = (c: org.apache.spark.sql.Column) =>
-      c.isInCollection(affected.toSeq)
-    val oldEdges = readStore(spark, edgesDir, edgeSchema)
-      .filter(inAffected(col("cb"))).select("a", "b")
-    // EAGER pin before the bucket deletes below: the rewrite plans must
-    // never lazily re-read store files this update is about to remove
+    // read ONLY the affected buckets (superset: unrelated components
+    // sharing a bucket re-label to their unchanged cid)
+    val oldEdges = readBuckets(spark, "edges", manifest, edgeSchema,
+      only = Some(affected))
     val subEdges = oldEdges.unionByName(np).distinct().localCheckpoint(true)
     val doubled = subEdges
       .select(col("a").as("src"), col("b").as("dst"))
@@ -106,16 +169,38 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
       relabeled.select(col("doc_id").as("a"), col("cid").as("ecid")), "a")
 
     // merged cids are minima over affected members, so every rewrite lands
-    // inside the deleted range; delete-then-append keeps emptied buckets
-    // from retaining stale component data
-    affected.foreach { k =>
-      ChainIngest.rmTree(s"$edgesDir/cb=$k")
-      ChainIngest.rmTree(s"$labelsDir/cb=$k")
+    // inside the affected bucket set; write fresh immutable versions there,
+    // then publish. Buckets that emptied (components merged away) simply
+    // drop out of the manifest.
+    val nextV = manifest.values.maxOption.getOrElse(-1L) + 1
+    def writeBucketed(df: DataFrame, table: String): Set[Long] = {
+      val withCb = df.withColumn("cb", cbOf(col(if (table == "edges") "ecid" else "cid")))
+      val present = withCb.select("cb").distinct()
+        .collect().map(_.getLong(0)).toSet
+      // a crashed prior attempt of this same version may have left a
+      // half-written staging dir — clear it so the rewrite starts clean
+      ChainIngest.rmTree(s"$storeDir/.staging-$table-v=$nextV")
+      withCb.write.mode(SaveMode.Append).partitionBy("cb")
+        .parquet(s"$storeDir/.staging-$table-v=$nextV")
+      // move each staged bucket dir to its immutable versioned home
+      present.foreach { b =>
+        val dst = Paths.get(s"$storeDir/$table/cb=$b/v=$nextV")
+        Files.createDirectories(dst.getParent)
+        ChainIngest.rmTree(dst.toString) // crashed prior attempt of same v
+        Files.move(Paths.get(s"$storeDir/.staging-$table-v=$nextV/cb=$b"), dst)
+      }
+      ChainIngest.rmTree(s"$storeDir/.staging-$table-v=$nextV")
+      present
     }
-    edgesWithCid.select(col("a"), col("b"), cbOf(col("ecid")).as("cb"))
-      .write.mode(SaveMode.Append).partitionBy("cb").parquet(edgesDir)
-    relabeled.select(col("doc_id"), col("cid"), cbOf(col("cid")).as("cb"))
-      .write.mode(SaveMode.Append).partitionBy("cb").parquet(labelsDir)
+    val edgeBuckets = writeBucketed(
+      edgesWithCid.select(col("a"), col("b"), col("ecid")), "edges")
+    val labelBuckets = writeBucketed(relabeled, "labels")
+
+    val next = (manifest -- affected.flatMap(b =>
+      Seq(("edges", b), ("labels", b)))) ++
+      edgeBuckets.map(b => ("edges", b) -> nextV) ++
+      labelBuckets.map(b => ("labels", b) -> nextV)
+    publishManifest(next)
   }
 
   /** Wire the label store behind a near-dup pair stream. */

@@ -751,6 +751,14 @@ class StreamingSpec extends AnyFunSuite {
         s"incremental labels diverged from batch components:\n got=$got\n exp=$expected")
       assert(got(10L) == 5L && got(11L) == 5L,
         s"family-1 labels must have merged down to doc 5: $got")
+
+      // foreachBatch redelivery (crash after the manifest publish):
+      // re-applying already-folded pairs must reproduce identical labels
+      clusters.update(streamed.synchronized {
+        streamed.map(p => (p.aId, p.bId, p.estSim)) }.toSeq
+        .toDF("aId", "bId", "estSim"))
+      val replayed = clusters.labels(spark).as[(Long, Long)].collect().toMap
+      assert(replayed == got, s"redelivered batch changed labels: $replayed")
     } finally query.stop()
   }
 
