@@ -689,8 +689,49 @@ object TextQueries extends QueryModule {
           size(col("fps")).cast("long").as("n_fp"),
           aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
         .orderBy("doc_id")
+    }),
+
+    // PII DETECTION + REDACTION (the C4/Dolma/FineWeb scrub stage): find
+    // emails, phone numbers, and IPv4 addresses; mask each with a typed
+    // placeholder; report per-doc counts and the redacted text's
+    // fingerprint. The synthetic corpus carries no natural PII, so the
+    // stage first PLANTS deterministic doc_id-derived PII (the oracle
+    // replays the same construction) — what's under test is the regex
+    // find/count/global-mask machinery, identically on both engines
+    // (patterns restricted to the Java-regex ∩ RE2 subset, like the BPE
+    // pre-tokenizer). Pure per-row column work: no UDF, no shuffle before
+    // the presentation sort.
+    "q124_pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 555-"),
+          lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") * 31 % 256).cast("string"),
+          lit(".7")).as("text"))
+      planted.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all(col("text"), lit(PiiIpRe), lit(0)))
+          .cast("long").as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit(PiiEmailRe), lit("<EMAIL>")),
+          lit(PiiPhoneRe), lit("<PHONE>")),
+          lit(PiiIpRe), lit("<IP>"))).as("masked_fp"))
+        .orderBy("doc_id")
     })
   )
+
+  // PII patterns — Java-regex ∩ RE2 subset so DuckDB scans identically.
+  // The IP pattern is masked AFTER emails, so a dotted quad inside a
+  // hostname never double-masks.
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "\\b555-[0-9]{4}\\b"
+  private val PiiIpRe = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** GPT-2-style pre-tokenizer regex, restricted to constructs Java regex
     * and RE2 treat identically (no lookaround, ASCII classes).
@@ -1148,6 +1189,27 @@ object TextQueries extends QueryModule {
          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
            list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
              (a, x) -> xor(a, x)) AS fp_xor
-         FROM f ORDER BY doc_id"""
+         FROM f ORDER BY doc_id""",
+    "q124_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b555-[0-9]{4}\\b"
+      val ip = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      s"""WITH planted AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@mail.example.com or 555-' ||
+               lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') ||
+               ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+               CAST(doc_id * 31 % 256 AS VARCHAR) || '.7' AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '$email', '<EMAIL>', 'g'),
+             '$phone', '<PHONE>', 'g'),
+             '$ip', '<IP>', 'g')) AS masked_fp
+         FROM planted ORDER BY doc_id"""
+    }
   )
 }
