@@ -89,6 +89,7 @@ class GraftEngine(spark: SparkSession, warehouse: String,
       "tokens" -> t.tokens, "ergo_trees" -> t.ergoTrees,
       "ergo_tree_t8s" -> t.ergoTreeT8s,
       "utxo" -> utxos, "spent_boxes" -> spentBoxes,
+      "utxo_by_script" -> utxosByScript,
       "tx_edges" -> txEdges
     ).foreach { case (n, df) => df.createOrReplaceTempView(prefix + n) }
   }
@@ -96,6 +97,10 @@ class GraftEngine(spark: SparkSession, warehouse: String,
   // ---- the BoxService matrix (§3.1) ----
 
   def utxos: DataFrame = ingest.utxo(spark)
+  /** A4 under supernode skew: per-script UTXO roll-up salted by the
+    * ingest-learned hot list (K6/S6 online learning).
+    */
+  def utxosByScript: DataFrame = ingest.utxoByScript(spark)
   def spentBoxes: DataFrame = UtxoQueries.spentBoxes(tables)
   def boxesByAddress(mode: UtxoQueries.BoxMode, address: String,
     filters: Map[String, Any] = Map.empty): DataFrame =
