@@ -23,9 +23,17 @@ import org.apache.spark.sql.functions._
   * heal/fork rebuild path, so a crash repair re-derives with the same
   * semantics the warehouse was built with.
   */
+/** `trustMaterializedDims`: read the warehouse's materialized
+  * ergo_trees/ergo_tree_t8s tables instead of deriving them from outputs.
+  * Safe ONLY for warehouses that are immutable after their dims were
+  * materialized (ChainWarehouse-style builds) — an ingest-active warehouse
+  * would serve stale dims for scripts first seen after the build, so the
+  * default always derives.
+  */
 class GraftEngine(spark: SparkSession, warehouse: String,
   feeTree: String = ChainFixture.FeeTree,
-  protocolTrees: Seq[String] = Nil) {
+  protocolTrees: Seq[String] = Nil,
+  trustMaterializedDims: Boolean = false) {
 
   val ingest = new ChainIngest(warehouse, feeTree = feeTree,
     protocolTrees = protocolTrees)
@@ -41,15 +49,16 @@ class GraftEngine(spark: SparkSession, warehouse: String,
   def heal(): Boolean = ingest.heal(spark)
 
   /** The entity tables as a ChainTables view over the warehouse. Script
-    * dims read from their MATERIALIZED tables when the warehouse carries
-    * them (ChainWarehouse-style builds compute the UDF-heavy address
-    * rendering once at ingest); otherwise they derive from `outputs` on
-    * demand.
+    * dims read from their materialized tables only under
+    * [[trustMaterializedDims]] (immutable warehouses); otherwise they
+    * derive from `outputs` on demand so further ingest can never serve
+    * stale dims.
     */
   def tables: ChainTables = {
     val outputs = spark.read.parquet(s"$warehouse/outputs")
     val (ergoTrees, t8) =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$warehouse/ergo_trees")))
+      if (trustMaterializedDims &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$warehouse/ergo_trees")))
         (spark.read.parquet(s"$warehouse/ergo_trees"),
           spark.read.parquet(s"$warehouse/ergo_tree_t8s"))
       else BlockDerivation.scriptDims(outputs)
@@ -69,27 +78,42 @@ class GraftEngine(spark: SparkSession, warehouse: String,
   /** Register the warehouse as a session SQL surface — the Spark-native
     * analog of the reference's 45 REST endpoints (TapirRoutes.scala:24-68):
     * once registered, ANY user (JDBC/Thrift, notebook, `spark.sql`) queries
-    * the live chain state with plain SQL, no Scala facade required. Views
-    * are lazy DataFrames: each SQL query still plans straight over the
-    * warehouse parquet (partition pruning, pushdown, the MVCC UTXO view all
-    * intact), so the SQL surface adds zero materialization.
-    *
-    * Views: the nine entity tables + script dims, the live `utxo` MVCC
-    * view, `spent_boxes`, and the `tx_edges` graph. The §3.1 box matrix
-    * collapses into SQL over these (e.g. by-address-unspent =
+    * the chain state with plain SQL, no Scala facade required. The §3.1 box
+    * matrix collapses into SQL over these (e.g. by-address-unspent =
     * `SELECT b.* FROM <p>utxo b JOIN <p>ergo_trees d ON b.ergoTreeHash =
     * d.hash WHERE d.address = …`).
+    *
+    * Freshness model (two tiers, both zero-materialization):
+    *  - the nine entity tables, `spent_boxes`, and `utxo_live` register as
+    *    SQL-text views over `parquet.` paths — re-resolved (fresh file
+    *    listing) on EVERY query, so they always reflect the latest ingest;
+    *  - `utxo` (the fast MVCC base+delta form), `utxo_by_script`,
+    *    `tx_edges`, and UDF-derived script dims are computed plans pinned
+    *    at registration — the reference's versioned-reader model exactly:
+    *    UTXO retention keeps `keepVersions` (10) revisions, so a pinned
+    *    view stays readable for 10 further commits; call registerViews
+    *    again (cheap) to advance the pin. `utxo_live` is the always-fresh
+    *    anti-join equivalent for users who prefer freshness over the
+    *    materialized-delta speed.
     */
   def registerViews(prefix: String = "graft_"): Unit = {
     val t = tables
+    Seq("blocks", "txs", "outputs", "inputs", "assets", "data_inputs",
+      "registers", "tokens").foreach { n =>
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $prefix$n AS " +
+        s"SELECT * FROM parquet.`$warehouse/$n`")
+    }
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${prefix}spent_boxes AS
+         SELECT o.* FROM ${prefix}outputs o
+         WHERE EXISTS (SELECT 1 FROM ${prefix}inputs i WHERE i.boxId = o.boxId)""")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${prefix}utxo_live AS
+         SELECT o.* FROM ${prefix}outputs o
+         WHERE NOT EXISTS (SELECT 1 FROM ${prefix}inputs i WHERE i.boxId = o.boxId)""")
     Seq(
-      "blocks" -> t.blocks, "txs" -> t.txs, "outputs" -> t.outputs,
-      "inputs" -> t.inputs, "assets" -> t.assets,
-      "data_inputs" -> t.dataInputs, "registers" -> t.registers,
-      "tokens" -> t.tokens, "ergo_trees" -> t.ergoTrees,
-      "ergo_tree_t8s" -> t.ergoTreeT8s,
-      "utxo" -> utxos, "spent_boxes" -> spentBoxes,
-      "utxo_by_script" -> utxosByScript,
+      "ergo_trees" -> t.ergoTrees, "ergo_tree_t8s" -> t.ergoTreeT8s,
+      "utxo" -> utxos, "utxo_by_script" -> utxosByScript,
       "tx_edges" -> txEdges
     ).foreach { case (n, df) => df.createOrReplaceTempView(prefix + n) }
   }

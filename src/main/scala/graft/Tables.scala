@@ -39,8 +39,15 @@ object Tables {
         // loudly here rather than letting a non-UTC caller silently shift
         // every ts value.
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"Tables.load requires spark.sql.session.timeZone=UTC to cast " +
+        // accept any UTC-equivalent zone (Etc/UTC, GMT, +00:00, Z): the cast
+        // is lossless whenever the session offset is permanently zero
+        val isUtc = scala.util.Try(
+          java.time.ZoneId.of(tz).getRules.isFixedOffset &&
+            java.time.ZoneId.of(tz).getRules
+              .getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+        ).getOrElse(false)
+        require(isUtc,
+          s"Tables.load requires a UTC session time zone to cast " +
             s"TIMESTAMP_NTZ ts losslessly; session has '$tz'")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df

@@ -273,7 +273,6 @@ object BlockDerivation {
 
     val wIn = Window.partitionBy("hb").orderBy("height")
     val wInCum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wInPrev = wIn.rowsBetween(Window.unboundedPreceding, -1)
 
     // lag(timestamp) across a bucket boundary = the previous bucket's
     // highest-height timestamp (max_by, NOT max — real-chain timestamps are
@@ -317,8 +316,6 @@ object BlockDerivation {
       .withColumn("totalCoinsInTxs", col("oCoins") + sum("blockCoins").over(wInCum))
       .withColumn("maxTxGix", col("oTxs") + sum("txsCount").over(wInCum) - 1)
       .withColumn("maxBoxGix", col("oBoxes") + sum("boxCount").over(wInCum) - 1)
-      .withColumn("txGixBase", col("oTxs") + coalesce(sum("txsCount").over(wInPrev), lit(0L)))
-      .withColumn("boxGixBase", col("oBoxes") + coalesce(sum("boxCount").over(wInPrev), lit(0L)))
       .drop("sumOutputValue", "prevBucketTs",
         "oSize", "oTxs", "oMt", "oFees", "oRew", "oCoins", "oBoxes"))
 
@@ -367,7 +364,7 @@ object BlockDerivation {
       .drop("boxGixBase", "txBoxPrefix")
 
     ChainTables(
-      blocks = blocks.drop("txGixBase", "boxGixBase", "hb"),
+      blocks = blocks.drop("hb"),
       txs = txs,
       outputs = outputsWithGix,
       inputs = inputs,

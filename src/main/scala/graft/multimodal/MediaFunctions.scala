@@ -142,8 +142,10 @@ object MediaFunctions {
             try g.drawImage(img, 0, 0, rw, rh, null) finally g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
+            // the payload is re-encoded as PNG regardless of the source
+            // container, so the declared format must follow the bytes
             m.copy(content = bos.toByteArray,
-              meta = m.meta.copy(width = rw, height = rh))
+              meta = m.meta.copy(mimeType = "image/png", width = rw, height = rh))
           } else {
             val (w, h) = decodeHeader(m.content)
             // clamp: a factor above a small dimension must not emit a

@@ -48,15 +48,7 @@ object ChainWarehouse {
   private def stamp = s"${ChainOracle.CacheFormatVersion}-$LayoutVersion"
   private def marker = Paths.get(s"$Dir/_graft_warehouse_version")
 
-  private[queries] def rmTree(path: String): Unit = {
-    val victim = Paths.get(path)
-    if (Files.exists(victim)) {
-      val walk = Files.walk(victim)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
-  }
+  private[queries] def rmTree(path: String): Unit = ChainIngest.rmTree(path)
 
   private def ingest(): ChainIngest =
     new ChainIngest(Dir, bucketSize = BucketSize, compactEvery = CompactEvery)

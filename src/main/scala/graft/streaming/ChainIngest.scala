@@ -322,16 +322,37 @@ class ChainIngest(
   }
 
   // ---- K6/S6: learned hot-key list (supernode detection) ----
-  // Counters are versioned like the UTXO deltas (atomic tmp+rename publish,
-  // only the latest version is live) and count the activity observable from
-  // the batch alone: box creations per script plus in-batch spends — no
-  // historical join on the ingest hot path. A removal-heavy script always
-  // registered its boxes' creations first, so cumulative counters still
-  // surface it. The counter is a heuristic learner (a redelivered batch may
-  // double-count); the threshold semantics tolerate that exactly like the
-  // reference's op counters.
+  // Counters use the UTXO store's base+delta commit discipline: each batch
+  // appends only its OWN batch-sized ops delta (atomic tmp+rename), and
+  // every `compactEvery` deltas fold into a new consolidated base — the
+  // base rename is the commit point, so a crash anywhere leaves a
+  // consistent view (base ∪ deltas-above-base) and per-batch cost never
+  // grows with the accumulated distinct-script count. Counted activity is
+  // what the batch alone observes: box creations per script plus in-batch
+  // spends — no historical join on the ingest hot path (a removal-heavy
+  // script always registered its creations first). The counter is a
+  // heuristic learner (a redelivered batch may double-count); the
+  // threshold semantics tolerate that exactly like the reference's op
+  // counters.
 
-  private def hotVersions(): Seq[Long] = versionsIn("hot_keys")
+  private def hotBaseVs(): Seq[Long] = versionsIn("hot_keys/base")
+  private def hotDeltaVs(): Seq[Long] = versionsIn("hot_keys/delta")
+
+  private def writeHot(df: DataFrame, kind: String, v: Long): Unit = {
+    val tmp = p(s"hot_keys/$kind/v=$v.tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    Files.move(Paths.get(tmp), Paths.get(p(s"hot_keys/$kind/v=$v")))
+  }
+
+  private def hotCountsView(spark: SparkSession): Option[DataFrame] = {
+    val baseV = hotBaseVs().lastOption.getOrElse(-1L)
+    val parts =
+      hotBaseVs().lastOption.map(v => spark.read.parquet(p(s"hot_keys/base/v=$v"))).toSeq ++
+        hotDeltaVs().filter(_ > baseV).map(v => spark.read.parquet(p(s"hot_keys/delta/v=$v")))
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_ unionByName _)
+      .groupBy("ergoTreeHash").agg(sum("ops").as("ops")))
+  }
 
   private def updateHotCounts(batchOutputs: DataFrame, batchInputIds: DataFrame): Unit = {
     if (hotKeyThreshold <= 0) return
@@ -340,21 +361,25 @@ class ChainIngest(
       .unionAll(batchOutputs.join(batchInputIds, Seq("boxId"), "left_semi")
         .select("ergoTreeHash"))
       .groupBy("ergoTreeHash").agg(count(lit(1)).as("ops"))
-    val prev = hotVersions().lastOption.map(v =>
-      spark.read.parquet(p(s"hot_keys/v=$v")))
-    val merged = prev.map(_.unionByName(batchOps)
-      .groupBy("ergoTreeHash").agg(sum("ops").as("ops"))).getOrElse(batchOps)
-    val v = hotVersions().lastOption.getOrElse(-1L) + 1
-    val tmp = p(s"hot_keys/v=$v.tmp")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    Files.move(Paths.get(tmp), Paths.get(p(s"hot_keys/v=$v")))
-    hotVersions().dropRight(1).foreach(old => rm(p(s"hot_keys/v=$old")))
+    val v = (hotBaseVs() ++ hotDeltaVs()).maxOption.getOrElse(-1L) + 1
+    writeHot(batchOps, "delta", v)
+    val baseV = hotBaseVs().lastOption.getOrElse(-1L)
+    val staleDeltas = hotDeltaVs().filter(_ <= baseV) // crashed pre-GC leftovers
+    val liveDeltas = hotDeltaVs().filter(_ > baseV)
+    if (liveDeltas.size >= compactEvery) {
+      val merged = hotCountsView(spark).get.localCheckpoint(true) // pin pre-delete
+      writeHot(merged, "base", v + 1) // the commit point
+      (liveDeltas ++ staleDeltas).foreach(d => rm(p(s"hot_keys/delta/v=$d")))
+      hotBaseVs().dropRight(1).foreach(b => rm(p(s"hot_keys/base/v=$b")))
+    } else staleDeltas.foreach(d => rm(p(s"hot_keys/delta/v=$d")))
   }
 
-  /** The persisted per-script op counters (the K6 report's input). */
+  /** The persisted per-script op counters (the K6 report's input) — an
+    * EAGER snapshot (the tiny hot-key table), so a held reference can never
+    * break when a later batch's consolidation GCs the versions it read.
+    */
   def scriptOpCounts(spark: SparkSession): DataFrame =
-    hotVersions().lastOption
-      .map(v => spark.read.parquet(p(s"hot_keys/v=$v")))
+    hotCountsView(spark).map(_.localCheckpoint(true))
       .getOrElse(spark.emptyDataFrame
         .select(lit("").as("ergoTreeHash"), lit(0L).as("ops")).limit(0))
 

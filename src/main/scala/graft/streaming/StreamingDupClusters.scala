@@ -12,18 +12,20 @@ import java.nio.file.{Files, Paths}
   * suppression as docs arrive.
   *
   * Design (component-bucketed label propagation, not driver union-find):
-  * the store keeps the accumulated pair graph and its labels PARTITIONED BY
-  * `cb = hash(component cid) % buckets`. A micro-batch of new pairs can
-  * only change components it touches, and the store invariant — every edge
-  * and label of a component lives in its cid's bucket — means those
-  * components are found by reading ONLY the affected buckets. Per-batch
-  * cost is therefore proportional to the touched dup subgraph, never the
-  * accumulated corpus; the superstep kernel is the same
-  * [[graft.functions.Clustering.minLabelComponents]] the batch query uses,
-  * here running on a few components instead of the whole graph. A merged
-  * component's new cid is the min doc id across its members, all of whom
-  * were in affected buckets, so rewrites never create data outside the
-  * affected set.
+  * EDGES are partitioned by `hash(component cid) % buckets` — the store
+  * invariant that every edge of a component lives in its cid's bucket
+  * means a batch's touched components are read from ONLY the affected
+  * buckets, and a merged component's new cid (the min member id) provably
+  * hashes into the affected set, so edge rewrites never create data
+  * outside it. LABELS are partitioned by `hash(doc_id) % buckets` —
+  * doc-keyed, because resolving "what component is this touched doc in"
+  * must be a partition-PRUNED point lookup (a cid-keyed layout is
+  * unknowable from a doc id and would force a full-store scan per batch).
+  * Per-batch cost is bounded by the touched dup subgraph plus the touched
+  * label buckets (each 1/buckets of the label table — size `buckets` to
+  * the corpus); the superstep kernel is the same
+  * [[graft.functions.Clustering.minLabelComponents]] the batch query
+  * uses, here running on a few components instead of the whole graph.
   *
   * Crash safety (the [[ChainIngest]] MVCC discipline, not delete-then-
   * append): bucket data is IMMUTABLE and versioned
@@ -74,6 +76,14 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
         }.toMap
     }.getOrElse(Map.empty)
 
+  private def readManifestAt(m: Long): Map[(String, Long), Long] =
+    Files.readString(manifestDir.resolve(s"m=$m")).linesIterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(t, b, v) = line.split(",")
+        (t, b.toLong) -> v.toLong
+      }.toMap
+
   private def publishManifest(entries: Map[(String, Long), Long]): Unit = {
     Files.createDirectories(manifestDir)
     val next = manifestVersions().lastOption.getOrElse(-1L) + 1
@@ -83,10 +93,14 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     Files.writeString(tmp, body)
     Files.move(tmp, manifestDir.resolve(s"m=$next"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // GC: manifests below the new head, and data versions the head no
-    // longer references (best-effort; a crash here only leaves garbage,
-    // never corruption)
-    manifestVersions().dropRight(1)
+    // GC with one-manifest grace: a lazy DataFrame handed out by labels()
+    // before this update still references the PREVIOUS head's versions, so
+    // only manifests/versions older than the last TWO heads are reclaimed
+    // (best-effort; a crash here only leaves garbage, never corruption)
+    val heads = manifestVersions().takeRight(2)
+    val live: Set[(String, Long, Long)] = heads.flatMap(m =>
+      readManifestAt(m).map { case ((t, b), v) => (t, b, v) }).toSet
+    manifestVersions().dropRight(2)
       .foreach(m => Files.deleteIfExists(manifestDir.resolve(s"m=$m")))
     Seq("edges", "labels").foreach { t =>
       val root = Paths.get(s"$storeDir/$t")
@@ -95,12 +109,11 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
         try bs.toArray.map(_.toString).foreach { bdir =>
           val b = bdir.substring(bdir.lastIndexOf('=') + 1).toLongOption
           b.foreach { bucket =>
-            val live = entries.get((t, bucket))
             val vs = Files.list(Paths.get(bdir))
             try vs.toArray.map(_.toString)
               .filter { vdir =>
                 val tail = vdir.substring(vdir.lastIndexOf('/') + 1)
-                tail.matches("v=\\d+") && !live.contains(tail.drop(2).toLong)
+                tail.matches("v=\\d+") && !live.contains((t, bucket, tail.drop(2).toLong))
               }
               .foreach(ChainIngest.rmTree)
             finally vs.close()
@@ -144,18 +157,21 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     if (np.isEmpty) return
     val manifest = readManifest()
 
-    // affected components: the existing cid of every touched node (self for
-    // first-seen nodes); their buckets bound everything this batch can change
+    // resolve the touched docs' existing cids (self for first-seen nodes)
+    // through a partition-PRUNED read of only their doc-hash label buckets
     val touched = np.select(col("a").as("doc_id"))
       .unionByName(np.select(col("b").as("doc_id"))).distinct()
+      .localCheckpoint(true)
+    val touchedDocBuckets = touched.select(cbOf(col("doc_id")).as("cb"))
+      .distinct().collect().map(_.getLong(0)).toSet
     val touchedCids = touched
-      .join(readBuckets(spark, "labels", manifest, labelSchema),
-        Seq("doc_id"), "left")
+      .join(readBuckets(spark, "labels", manifest, labelSchema,
+        only = Some(touchedDocBuckets)), Seq("doc_id"), "left")
       .select(coalesce(col("cid"), col("doc_id")).as("cid"))
     val affected = touchedCids.select(cbOf(col("cid")).as("cb")).distinct()
       .collect().map(_.getLong(0)).toSet
 
-    // read ONLY the affected buckets (superset: unrelated components
+    // read ONLY the affected edge buckets (superset: unrelated components
     // sharing a bucket re-label to their unchanged cid)
     val oldEdges = readBuckets(spark, "edges", manifest, edgeSchema,
       only = Some(affected))
@@ -168,13 +184,24 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     val edgesWithCid = subEdges.join(
       relabeled.select(col("doc_id").as("a"), col("cid").as("ecid")), "a")
 
-    // merged cids are minima over affected members, so every rewrite lands
-    // inside the affected bucket set; write fresh immutable versions there,
+    // label rewrite: doc-bucketed, so only the buckets holding re-labeled
+    // members change — each new bucket version carries the bucket's
+    // UNtouched rows plus the fresh member labels
+    val memberBuckets = relabeled.select(cbOf(col("doc_id")).as("cb"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val newLabels = readBuckets(spark, "labels", manifest, labelSchema,
+      only = Some(memberBuckets))
+      .join(relabeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(relabeled)
+      .localCheckpoint(true) // pin before the staged writes below
+
+    // edge rewrites land inside the affected cid-bucket set (merged cids
+    // are minima over affected members); write fresh immutable versions,
     // then publish. Buckets that emptied (components merged away) simply
     // drop out of the manifest.
     val nextV = manifest.values.maxOption.getOrElse(-1L) + 1
-    def writeBucketed(df: DataFrame, table: String): Set[Long] = {
-      val withCb = df.withColumn("cb", cbOf(col(if (table == "edges") "ecid" else "cid")))
+    def writeBucketed(df: DataFrame, table: String, keyCol: String): Set[Long] = {
+      val withCb = df.withColumn("cb", cbOf(col(keyCol)))
       val present = withCb.select("cb").distinct()
         .collect().map(_.getLong(0)).toSet
       // a crashed prior attempt of this same version may have left a
@@ -193,11 +220,12 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
       present
     }
     val edgeBuckets = writeBucketed(
-      edgesWithCid.select(col("a"), col("b"), col("ecid")), "edges")
-    val labelBuckets = writeBucketed(relabeled, "labels")
+      edgesWithCid.select(col("a"), col("b"), col("ecid")), "edges", "ecid")
+    val labelBuckets = writeBucketed(newLabels, "labels", "doc_id")
 
-    val next = (manifest -- affected.flatMap(b =>
-      Seq(("edges", b), ("labels", b)))) ++
+    val next = (manifest
+      -- affected.map(b => ("edges", b))
+      -- memberBuckets.map(b => ("labels", b))) ++
       edgeBuckets.map(b => ("edges", b) -> nextV) ++
       labelBuckets.map(b => ("labels", b) -> nextV)
     publishManifest(next)

@@ -694,6 +694,12 @@ class PipelineSpec extends AnyFunSuite {
         Tables.load(spark, sf001, "events")
       }
       assert(e.getMessage.contains("UTC"))
+      // UTC-equivalent zones are equally lossless and must be accepted
+      Seq("Etc/UTC", "GMT", "+00:00").foreach { utcish =>
+        spark.conf.set(key, utcish)
+        assert(Tables.load(spark, sf001, "events").schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType, s"$utcish must load")
+      }
     } finally spark.conf.set(key, saved)
   }
 }

@@ -134,8 +134,10 @@ class ReplayAndSkewSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.streaming.ChainIngest
     val wh = Files.createTempDirectory("graft-hotlearn").toString + "/warehouse"
-    // low threshold so the 60-block fixture's fee contract crosses it
-    val ing = new ChainIngest(wh, hotKeyThreshold = 10)
+    // low threshold so the 60-block fixture's fee contract crosses it;
+    // compactEvery=2 so 3 batches force a counter CONSOLIDATION (deltas
+    // folded into a base) mid-run — totals must survive it
+    val ing = new ChainIngest(wh, hotKeyThreshold = 10, compactEvery = 2)
     val all = ChainFixture.generate(60)
     all.grouped(20).zipWithIndex.foreach { case (b, i) =>
       ing.processBatch(spark.createDataset(b), i.toLong)
@@ -148,6 +150,12 @@ class ReplayAndSkewSpec extends AnyFunSuite {
       .filter(col("ergoTree") === ChainFixture.FeeTree)
       .select("ergoTreeHash").head.getString(0)
     assert(learned.contains(feeHash), "the planted heavy hitter is the fee script")
+
+    // consolidation must not lose counts: every box creation is counted
+    // at least once across the folded base + live deltas
+    val totalOps = ing.scriptOpCounts(spark)
+      .agg(sum("ops")).head.getLong(0)
+    assert(totalOps >= t.outputs.count(), "consolidated counters lost ops")
 
     // RESTART: a fresh instance over the same warehouse loads the same list
     // from storage (the reference persists its learned list the same way)
