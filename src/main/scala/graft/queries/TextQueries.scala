@@ -104,6 +104,29 @@ object TextQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // TOKENIZER FERTILITY (tokenizer-eval stage): chars-per-token and
+    // tokens-per-word of the q63 pre-tokenizer, per language — the
+    // compression metrics used to compare tokenizers and spot under-served
+    // languages (high fertility = that language pays more tokens per word)
+    // before committing a vocabulary to training. Exact pooled integer
+    // sums; per-row regex counts only — no shuffle beyond the per-lang
+    // rollup.
+    "q125_tokenizer_fertility" -> ((s, dir) => {
+      val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(1)))
+      docs(s, dir)
+        .select(col("lang"), nBpe.as("np"),
+          size(toks(col("text"))).as("nw"), length(col("text")).as("nc"))
+        .groupBy("lang")
+        .agg(sum("np").as("sum_pieces"), sum("nw").as("sum_words"),
+          sum("nc").as("sum_chars"))
+        .select(col("lang"), col("sum_pieces"),
+          round(col("sum_chars").cast("double") / col("sum_pieces"), 4)
+            .as("chars_per_token"),
+          round(col("sum_pieces").cast("double") / col("sum_words"), 4)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+
     // Rolling-hash document fingerprint: order-SENSITIVE polynomial hash
     // over the token stream (h ← (31·h + hash(t)) mod p), the streaming
     // complement of q24's order-insensitive bag fingerprint. One
@@ -802,6 +825,16 @@ object TextQueries extends QueryModule {
          round(avg(len(regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)'))), 2) AS avg_bpe,
          CAST(max(len(regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)'))) AS BIGINT) AS max_bpe
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q125_tokenizer_fertility" ->
+      raw"""SELECT lang, CAST(sum(np) AS BIGINT) AS sum_pieces,
+         round(CAST(sum(nc) AS DOUBLE) / sum(np), 4) AS chars_per_token,
+         round(CAST(sum(np) AS DOUBLE) / sum(nw), 4) AS fertility
+         FROM (SELECT lang,
+             len(regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)')) AS np,
+             len(string_split_regex(trim(text), '\s+')) AS nw,
+             length(text) AS nc
+           FROM documents)
+         GROUP BY lang ORDER BY lang""",
     "q64_rolling_fingerprint" ->
       s"""SELECT doc_id,
          list_reduce(

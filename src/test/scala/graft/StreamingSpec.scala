@@ -759,6 +759,22 @@ class StreamingSpec extends AnyFunSuite {
         .toDF("aId", "bId", "estSim"))
       val replayed = clusters.labels(spark).as[(Long, Long)].collect().toMap
       assert(replayed == got, s"redelivered batch changed labels: $replayed")
+
+      // crash BEFORE the manifest publish: orphan version dirs and staging
+      // leftovers exist but the manifest never advanced — readers must
+      // ignore them and the next update must proceed to a correct state
+      val orphanLbl = java.nio.file.Paths.get(
+        s"$store/clusters/labels/cb=3/v=9999")
+      java.nio.file.Files.createDirectories(orphanLbl)
+      java.nio.file.Files.writeString(orphanLbl.resolve("junk"), "not parquet")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        s"$store/clusters/.staging-edges-v=9999"))
+      assert(clusters.labels(spark).as[(Long, Long)].collect().toMap == got,
+        "unpublished orphan versions must be invisible to readers")
+      clusters.update(Seq((5L, 12L, 0.9)).toDF("aId", "bId", "estSim"))
+      val afterCrashy = clusters.labels(spark).as[(Long, Long)].collect().toMap
+      assert(afterCrashy == got, // (5,12) pair was already known
+        s"update over crash leftovers diverged: $afterCrashy")
     } finally query.stop()
   }
 
