@@ -735,26 +735,14 @@ object TextQueries extends QueryModule {
           lit(".7")).as("text"))
       planted.select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0)))
-          .cast("long").as("n_email"),
-        size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0)))
-          .cast("long").as("n_phone"),
-        size(regexp_extract_all(col("text"), lit(PiiIpRe), lit(0)))
-          .cast("long").as("n_ip"),
-        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
-          lit(PiiEmailRe), lit("<EMAIL>")),
-          lit(PiiPhoneRe), lit("<PHONE>")),
-          lit(PiiIpRe), lit("<IP>"))).as("masked_fp"))
+        graft.functions.PiiFunctions.countEmails(col("text")).as("n_email"),
+        graft.functions.PiiFunctions.countPhones(col("text")).as("n_phone"),
+        graft.functions.PiiFunctions.countIps(col("text")).as("n_ip"),
+        md5(graft.functions.PiiFunctions.maskPii(col("text"))).as("masked_fp"))
         .orderBy("doc_id")
     })
   )
 
-  // PII patterns — Java-regex ∩ RE2 subset so DuckDB scans identically.
-  // The IP pattern is masked AFTER emails, so a dotted quad inside a
-  // hostname never double-masks.
-  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PiiPhoneRe = "\\b555-[0-9]{4}\\b"
-  private val PiiIpRe = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** GPT-2-style pre-tokenizer regex, restricted to constructs Java regex
     * and RE2 treat identically (no lookaround, ASCII classes).
@@ -1224,9 +1212,9 @@ object TextQueries extends QueryModule {
              (a, x) -> xor(a, x)) AS fp_xor
          FROM f ORDER BY doc_id""",
     "q124_pii_scrub" -> {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\b555-[0-9]{4}\\b"
-      val ip = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val email = graft.functions.PiiFunctions.EmailRe
+      val phone = graft.functions.PiiFunctions.PhoneRe
+      val ip = graft.functions.PiiFunctions.IpRe
       s"""WITH planted AS (SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR) ||
                '@mail.example.com or 555-' ||

@@ -40,9 +40,16 @@ object StreamingCleanExport {
   /** [[gate]] with the document text carried through the verdict — the
     * composition surface: downstream incremental stages (near-dup pairing,
     * feature extraction) consume the KEPT stream without a stream-stream
-    * join back to the source.
+    * join back to the source. `maskPii = true` additionally scrubs
+    * emails/phones/IPs from the carried text (the q124 kernel — stateless
+    * per-row column work, so it adds nothing to the gate's state or
+    * shuffle): dedup fingerprints are computed over the ORIGINAL text
+    * (two docs differing only in contact details are near-dups, not exact
+    * dups), while everything downstream of the gate sees only scrubbed
+    * content.
     */
-  def gateWithText(docs: Dataset[Doc], blocklist: Seq[String], qualityMin: Double)
+  def gateWithText(docs: Dataset[Doc], blocklist: Seq[String], qualityMin: Double,
+    maskPii: Boolean = false)
   : Dataset[VerdictDoc] = {
     // only uni- and bi-gram phrases are matchable (the gram stream is
     // tokens ∪ sliding bigrams); fail loudly rather than silently never
@@ -56,12 +63,15 @@ object StreamingCleanExport {
     val tk = toks(col("text"))
     val hitUni = exists(tk, t => t.isInCollection(uni))
     val hitBi = exists(bigrams(tk), g => g.isInCollection(bi))
+    val carried =
+      if (maskPii) graft.functions.PiiFunctions.maskPii(col("text"))
+      else col("text")
     val screened = docs.select(
       col("docId"),
       md5(normText(col("text"))).as("fp"),
       (hitUni || hitBi).as("blocked"),
       (round(qualityScore(tk), 4) < qualityMin).as("lowQuality"),
-      col("text")).as[Screened]
+      carried.as("text")).as[Screened]
     screened
       .groupByKey(_.fp)
       .transformWithState(

@@ -673,6 +673,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("clean gate with maskPii scrubs kept text but dedups on the original") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingCleanExport._
+    val stream = MemoryStream[Doc]
+    val out = gateWithText(stream.toDS(), Nil, 0.0, maskPii = true)
+    val query = out.writeStream
+      .format("memory").queryName("spiigate").outputMode("append").start()
+    try {
+      stream.addData(
+        Doc(1, "ping alice@example.com about the perfectly normal report"),
+        // same text except the contact: a DIFFERENT doc (near-dup, not
+        // exact) — masking must not collapse them into one fingerprint
+        Doc(2, "ping bob@example.org about the perfectly normal report"))
+      query.processAllAvailable()
+      val got = spark.table("spiigate").as[VerdictDoc].collect()
+        .map(v => v.docId -> v).toMap
+      assert(got(1L).keep && got(2L).keep,
+        s"PII-differing docs are distinct, both kept: $got")
+      got.values.foreach { v =>
+        assert(!v.text.contains("@"), s"email leaked: ${v.text}")
+        assert(v.text.contains("<EMAIL>"), s"placeholder missing: ${v.text}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming near-dup pairs docs across micro-batches via LSH buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
