@@ -52,6 +52,11 @@ object DedupQueries extends QueryModule {
   private val SampleThreshold: BigInt = BigInt(SamplePerStratum) << 60
   // double-hashing modulus: keeps h0 + 11 * (h1 % Mod) well inside Long.
   private val DoubleHashMod = 1L << 56
+  // q126 split-assignment: hash seed + cumulative percent cut points
+  // (train < 90, val < 95, test otherwise) over a 0–99 bucket.
+  private val SplitSeed = 41
+  private val TrainCut = 90
+  private val ValCut = 95
 
   /** doc_id + distinct 3-gram word shingles + both base hashes, cached per
     * (session, sf dir): q26–q29 all start from this stage — materialized
@@ -378,6 +383,30 @@ object DedupQueries extends QueryModule {
       labels.filter(!isEval)
         .join(evalCensus, "cid")
         .select(col("doc_id"), col("cid").as("cluster_id"), col("n_eval"))
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-FREE split assignment — the constructive twin of q110's audit.
+    // Every doc routes to train/val/test by hashing its dup-cluster
+    // REPRESENTATIVE (q65's component label; singletons represent
+    // themselves), so an entire near-dup family lands in ONE split by
+    // construction and the q110 audit of this assignment is empty by
+    // definition. The bucket is the same md5-derived deterministic hash the
+    // sampler (q66) uses — stable under retries and incremental re-runs,
+    // never rand(). Cost: the memoized label table plus one broadcast-free
+    // doc_id equi-join; the corpus itself is scanned once and never
+    // reshuffled, so the stage is O(scan) at any corpus size.
+    "q126_cluster_split" -> ((s, dir) => {
+      val withRep = docs(s, dir).select("doc_id")
+        .join(dupLabels(s, dir), Seq("doc_id"), "left")
+        .withColumn("rep_id", coalesce(col("cid"), col("doc_id")))
+      val bucket = hash64(col("rep_id").cast("string"), SplitSeed) % 100
+      withRep
+        .withColumn("split",
+          when(bucket < TrainCut, "train")
+            .when(bucket < ValCut, "val")
+            .otherwise("test"))
+        .select("doc_id", "rep_id", "split")
         .orderBy("doc_id")
     }),
 
@@ -729,6 +758,28 @@ object DedupQueries extends QueryModule {
          FROM lab JOIN ec USING (cluster_id)
          WHERE lab.doc_id % $LeakMod <> $LeakRes
          ORDER BY lab.doc_id""",
+    "q126_cluster_split" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql),
+         jp AS (SELECT a_id, b_id FROM pairs
+           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+           WHERE ($eqSql) >= ${NumHashes / 2}),
+         edges AS (SELECT a_id s, b_id d FROM jp
+           UNION ALL SELECT b_id, a_id FROM jp),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+         lab AS (SELECT node AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY 1),
+         b AS (SELECT doc_id, rep_id,
+           (${hash64Sql("CAST(rep_id AS VARCHAR)", SplitSeed)}) % 100 AS bk
+           FROM lab)
+         SELECT doc_id, rep_id,
+           CASE WHEN bk < $TrainCut THEN 'train'
+                WHEN bk < $ValCut THEN 'val' ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
     "q108_clean_export" -> {
       val terms = TextQueries.Blocklist.map(t => s"'$t'").mkString(", ")
       s"""WITH RECURSIVE $tkCte, $shCte,

@@ -521,6 +521,29 @@ class PipelineSpec extends AnyFunSuite {
     cl.unpersist(); leak.unpersist()
   }
 
+  test("cluster-aware split assignment is total, deterministic, and leakage-free") {
+    import org.apache.spark.sql.functions._
+    val sp = SparkEntry.queries("q126_cluster_split")(spark, sf001).cache()
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(sp.count() == nDocs, "every doc must receive a split")
+    assert(sp.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // leakage-free by construction: both endpoints of every near-dup pair
+    // (the q27 graph whose components label the splits) share a split
+    val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, sf001)
+      .select("a_id", "b_id")
+    val bySplit = sp.select(col("doc_id"), col("split"))
+    val crossed = pairs
+      .join(bySplit.withColumnRenamed("doc_id", "a_id").withColumnRenamed("split", "sa"), "a_id")
+      .join(bySplit.withColumnRenamed("doc_id", "b_id").withColumnRenamed("split", "sb"), "b_id")
+      .filter(col("sa") =!= col("sb"))
+    assert(crossed.count() == 0, "no near-dup pair may straddle a split boundary")
+    // deterministic: a second run assigns identically
+    val again = SparkEntry.queries("q126_cluster_split")(spark, sf001)
+    assert(sp.exceptAll(again).count() == 0 && again.exceptAll(sp).count() == 0)
+    sp.unpersist()
+  }
+
   test("BPE merge pairs match a direct Scala recount of the top pair") {
     import org.apache.spark.sql.functions._
     val d = SparkEntry.queries("q111_bpe_merge_pairs")(spark, sf0001).collect()
