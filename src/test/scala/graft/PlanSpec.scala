@@ -171,6 +171,14 @@ class PlanSpec extends AnyFunSuite {
       s"q110 joins component labels against a keyed census:\n$plan")
   }
 
+  test("split assignment is one keyed join; the corpus scan reads only doc_id") {
+    val plan = planOf("q126_cluster_split")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q126 joins labels by doc_id only:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"q126 must prune the documents scan to doc_id:\n$plan")
+  }
+
   test("clean export composes keyed screens — no pairwise stage anywhere") {
     val plan = planOf("q108_clean_export")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
