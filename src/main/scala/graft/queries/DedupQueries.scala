@@ -617,6 +617,29 @@ object DedupQueries extends QueryModule {
   private val eqSql = (0 until NumHashes)
     .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
 
+  /** The near-dup component-labeling CTE chain (signatures → banded LSH
+    * candidates → est-J ≥ 0.5 pairs → doubled edges → recursive min-label
+    * reachability → `lab(doc_id, cluster_id)`, singletons self-labeled).
+    * ONE definition shared by every oracle that consumes cluster labels
+    * (q65, q108, q110, q126) so a threshold or reach-semantics change can
+    * never diverge them. Callers must open with `WITH RECURSIVE $tkCte,
+    * $shCte,` before splicing this in.
+    */
+  private val labCtes =
+    s"""sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql),
+         jp AS (SELECT a_id, b_id FROM pairs
+           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+           WHERE ($eqSql) >= ${NumHashes / 2}),
+         edges AS (SELECT a_id s, b_id d FROM jp
+           UNION ALL SELECT b_id, a_id FROM jp),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+         lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)"""
+
   // bit weights as precomputed Long literals: 1L << 63 is Long.MinValue and
   // must reach DuckDB as a value — `1::BIGINT << 63` would signed-overflow.
   // Ascending k keeps every partial sum of the + chain inside BIGINT.
@@ -721,37 +744,13 @@ object DedupQueries extends QueryModule {
          ORDER BY a_id, b_id""",
     "q65_dedup_clusters" ->
       s"""WITH RECURSIVE $tkCte, $shCte,
-         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
-         pairs AS ($pairUnionsSql),
-         jp AS (SELECT a_id, b_id FROM pairs
-           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
-           WHERE ($eqSql) >= ${NumHashes / 2}),
-         edges AS (SELECT a_id s, b_id d FROM jp
-           UNION ALL SELECT b_id, a_id FROM jp),
-         reach(node, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
-         lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         $labCtes,
          cs AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
          SELECT lab.doc_id, lab.cluster_id, cs.csize
          FROM lab JOIN cs USING (cluster_id) ORDER BY doc_id""",
     "q110_split_leakage" ->
       s"""WITH RECURSIVE $tkCte, $shCte,
-         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
-         pairs AS ($pairUnionsSql),
-         jp AS (SELECT a_id, b_id FROM pairs
-           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
-           WHERE ($eqSql) >= ${NumHashes / 2}),
-         edges AS (SELECT a_id s, b_id d FROM jp
-           UNION ALL SELECT b_id, a_id FROM jp),
-         reach(node, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
-         lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         $labCtes,
          ec AS (SELECT cluster_id, count(*) AS n_eval FROM lab
                 WHERE doc_id % $LeakMod = $LeakRes GROUP BY 1)
          SELECT lab.doc_id, lab.cluster_id, ec.n_eval
@@ -760,21 +759,9 @@ object DedupQueries extends QueryModule {
          ORDER BY lab.doc_id""",
     "q126_cluster_split" ->
       s"""WITH RECURSIVE $tkCte, $shCte,
-         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
-         pairs AS ($pairUnionsSql),
-         jp AS (SELECT a_id, b_id FROM pairs
-           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
-           WHERE ($eqSql) >= ${NumHashes / 2}),
-         edges AS (SELECT a_id s, b_id d FROM jp
-           UNION ALL SELECT b_id, a_id FROM jp),
-         reach(node, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
-         lab AS (SELECT node AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY 1),
-         b AS (SELECT doc_id, rep_id,
-           (${hash64Sql("CAST(rep_id AS VARCHAR)", SplitSeed)}) % 100 AS bk
+         $labCtes,
+         b AS (SELECT doc_id, cluster_id AS rep_id,
+           (${hash64Sql("CAST(cluster_id AS VARCHAR)", SplitSeed)}) % 100 AS bk
            FROM lab)
          SELECT doc_id, rep_id,
            CASE WHEN bk < $TrainCut THEN 'train'
@@ -783,19 +770,7 @@ object DedupQueries extends QueryModule {
     "q108_clean_export" -> {
       val terms = TextQueries.Blocklist.map(t => s"'$t'").mkString(", ")
       s"""WITH RECURSIVE $tkCte, $shCte,
-         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
-         pairs AS ($pairUnionsSql),
-         jp AS (SELECT a_id, b_id FROM pairs
-           JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
-           WHERE ($eqSql) >= ${NumHashes / 2}),
-         edges AS (SELECT a_id s, b_id d FROM jp
-           UNION ALL SELECT b_id, a_id FROM jp),
-         reach(node, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
-         lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         $labCtes,
          fp AS (SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
            FROM documents),

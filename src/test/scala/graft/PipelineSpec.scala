@@ -538,9 +538,19 @@ class PipelineSpec extends AnyFunSuite {
       .join(bySplit.withColumnRenamed("doc_id", "b_id").withColumnRenamed("split", "sb"), "b_id")
       .filter(col("sa") =!= col("sb"))
     assert(crossed.count() == 0, "no near-dup pair may straddle a split boundary")
-    // deterministic: a second run assigns identically
-    val again = SparkEntry.queries("q126_cluster_split")(spark, sf001)
-    assert(sp.exceptAll(again).count() == 0 && again.exceptAll(sp).count() == 0)
+    // independent recompute: derive the expected assignment from q65's
+    // cluster table through a FRESH expression path (SQL-string hash +
+    // bucket arithmetic, not the query's own Column tree) — catches a
+    // drifted seed/cut-point/hash as well as nondeterminism, rather than
+    // re-comparing the session-memoized label cache with itself
+    val expectedSplit = SparkEntry.queries("q65_dedup_clusters")(spark, sf001)
+      .selectExpr("doc_id", "cluster_id AS rep_id",
+        "CASE WHEN CAST(conv(substring(md5(concat('41:', CAST(cluster_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100 < 90 THEN 'train' " +
+          "WHEN CAST(conv(substring(md5(concat('41:', CAST(cluster_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100 < 95 THEN 'val' " +
+          "ELSE 'test' END AS split")
+    assert(sp.exceptAll(expectedSplit).count() == 0 &&
+      expectedSplit.exceptAll(sp).count() == 0,
+      "assignment must equal the q65-derived recompute")
     sp.unpersist()
   }
 

@@ -786,15 +786,33 @@ class StreamingSpec extends AnyFunSuite {
       val replayed = clusters.labels(spark).as[(Long, Long)].collect().toMap
       assert(replayed == got, s"redelivered batch changed labels: $replayed")
 
-      // crash BEFORE the manifest publish: orphan version dirs and staging
-      // leftovers exist but the manifest never advanced — readers must
-      // ignore them and the next update must proceed to a correct state
-      val orphanLbl = java.nio.file.Paths.get(
-        s"$store/clusters/labels/cb=3/v=9999")
-      java.nio.file.Files.createDirectories(orphanLbl)
-      java.nio.file.Files.writeString(orphanLbl.resolve("junk"), "not parquet")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-        s"$store/clusters/.staging-edges-v=9999"))
+      // crash BEFORE the manifest publish: a prior attempt died mid-write at
+      // exactly the version the NEXT update will recompute (manifest max +
+      // 1), leaving orphan version dirs and half-written staging dirs in
+      // EVERY bucket — readers must ignore them, and the next update must
+      // hit writeBucketed's staging-clear and rmTree-dst recovery branches
+      // (a same-version dst collision on Files.move) rather than sidestep
+      // them with a version that can never recur
+      val nf = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$store/clusters/manifest"))
+      val head = try nf.toArray.map(_.toString).filter(_.matches(".*/m=\\d+$"))
+        .maxBy(s => s.substring(s.lastIndexOf('=') + 1).toLong)
+      finally nf.close()
+      val crashV = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(head)).linesIterator.filter(_.nonEmpty)
+        .map(_.split(",")(2).toLong).max + 1
+      for (cb <- 0L until 64L; t <- Seq("labels", "edges")) {
+        val orphan = java.nio.file.Paths.get(
+          s"$store/clusters/$t/cb=$cb/v=$crashV")
+        java.nio.file.Files.createDirectories(orphan)
+        java.nio.file.Files.writeString(orphan.resolve("junk"), "not parquet")
+      }
+      for (t <- Seq("labels", "edges")) {
+        val stag = java.nio.file.Paths.get(
+          s"$store/clusters/.staging-$t-v=$crashV/cb=3")
+        java.nio.file.Files.createDirectories(stag)
+        java.nio.file.Files.writeString(stag.resolve("junk"), "not parquet")
+      }
       assert(clusters.labels(spark).as[(Long, Long)].collect().toMap == got,
         "unpublished orphan versions must be invisible to readers")
       clusters.update(Seq((5L, 12L, 0.9)).toDF("aId", "bId", "estSim"))
