@@ -410,6 +410,21 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Corpus-side SQL surface (the LLM-pipeline twin of q123): the split ×
+    // keep-reason census ROUTED THROUGH spark.sql over the mounted
+    // CorpusSurface views — verifying a plain-SQL user of the pipeline
+    // verdict tables gets oracle-identical results with no Scala facade.
+    // Mounted once per session (temp views persist), like a SQL user
+    // registering the surface at connect time; the timed work is the query.
+    "q127_corpus_sql" -> ((s, dir) => {
+      CorpusSurface.mount(s, dir)
+      s.sql("""
+        SELECT sp.split, c.reason, count(1) AS n_docs
+        FROM corpus_splits sp JOIN corpus_clean c ON sp.doc_id = c.doc_id
+        GROUP BY sp.split, c.reason
+        ORDER BY sp.split, c.reason""")
+    }),
+
     // The TERMINAL pipeline stage: materialize the cleaned-corpus keep list.
     // Composes the already-linear screens into ONE declarative plan — exact
     // dedup (md5 canonical-form groups), near-dup clustering (q65's
@@ -640,6 +655,52 @@ object DedupQueries extends QueryModule {
            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
          lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)"""
 
+  /** q108's screen chain — exact-dup keeper, blocklist grams, quality floor,
+    * then the per-doc first-rule-fired verdict `r(doc_id, reason)`. Shared
+    * by the q108 export oracle and the q127 SQL-surface roll-up; splice
+    * after `$labCtes`.
+    */
+  private val cleanCtes = {
+    val terms = TextQueries.Blocklist.map(t => s"'$t'").mkString(", ")
+    s"""fp AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+         ex AS (SELECT f.doc_id, f.doc_id <> k.keeper AS is_exact
+                FROM fp f JOIN (SELECT fp, min(doc_id) AS keeper
+                                FROM fp GROUP BY 1) k USING (fp)),
+         g AS (SELECT doc_id, unnest(t) AS g FROM tk
+               UNION ALL
+               SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> array_to_string(t[i:i+1], ' '))) AS g
+               FROM tk WHERE len(t) >= 2),
+         bl AS (SELECT DISTINCT doc_id FROM g
+                WHERE g IN ($terms)),
+         q AS (SELECT doc_id,
+             round(0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) +
+               0.5 * (1.0 - CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / len(t)), 4) AS q
+           FROM tk),
+         r AS (SELECT d.doc_id,
+             CASE WHEN ex.is_exact THEN 'exact_dup'
+                  WHEN lab.cluster_id <> d.doc_id THEN 'near_dup'
+                  WHEN bl.doc_id IS NOT NULL THEN 'blocklist'
+                  WHEN q.q < $QualityMin THEN 'quality'
+                  ELSE 'kept' END AS reason
+           FROM documents d
+           JOIN ex USING (doc_id) JOIN lab USING (doc_id)
+           LEFT JOIN bl USING (doc_id) JOIN q USING (doc_id))"""
+  }
+
+  /** q126's split bucket over `lab` + the cut-point CASE — shared by the
+    * q126 assignment oracle and the q127 SQL-surface roll-up.
+    */
+  private val splitCte =
+    s"""b AS (SELECT doc_id, cluster_id AS rep_id,
+           (${hash64Sql("CAST(cluster_id AS VARCHAR)", SplitSeed)}) % 100 AS bk
+           FROM lab)"""
+  private val splitCaseSql =
+    s"CASE WHEN bk < $TrainCut THEN 'train' WHEN bk < $ValCut THEN 'val' ELSE 'test' END"
+
   // bit weights as precomputed Long literals: 1L << 63 is Long.MinValue and
   // must reach DuckDB as a value — `1::BIGINT << 63` would signed-overflow.
   // Ascending k keeps every partial sum of the + chain inside BIGINT.
@@ -760,48 +821,24 @@ object DedupQueries extends QueryModule {
     "q126_cluster_split" ->
       s"""WITH RECURSIVE $tkCte, $shCte,
          $labCtes,
-         b AS (SELECT doc_id, cluster_id AS rep_id,
-           (${hash64Sql("CAST(cluster_id AS VARCHAR)", SplitSeed)}) % 100 AS bk
-           FROM lab)
-         SELECT doc_id, rep_id,
-           CASE WHEN bk < $TrainCut THEN 'train'
-                WHEN bk < $ValCut THEN 'val' ELSE 'test' END AS split
+         $splitCte
+         SELECT doc_id, rep_id, $splitCaseSql AS split
          FROM b ORDER BY doc_id""",
-    "q108_clean_export" -> {
-      val terms = TextQueries.Blocklist.map(t => s"'$t'").mkString(", ")
+    "q127_corpus_sql" ->
       s"""WITH RECURSIVE $tkCte, $shCte,
          $labCtes,
-         fp AS (SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-           FROM documents),
-         ex AS (SELECT f.doc_id, f.doc_id <> k.keeper AS is_exact
-                FROM fp f JOIN (SELECT fp, min(doc_id) AS keeper
-                                FROM fp GROUP BY 1) k USING (fp)),
-         g AS (SELECT doc_id, unnest(t) AS g FROM tk
-               UNION ALL
-               SELECT doc_id, unnest(list_transform(range(1, len(t)),
-                 i -> array_to_string(t[i:i+1], ' '))) AS g
-               FROM tk WHERE len(t) >= 2),
-         bl AS (SELECT DISTINCT doc_id FROM g
-                WHERE g IN ($terms)),
-         q AS (SELECT doc_id,
-             round(0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) +
-               0.5 * (1.0 - CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
-                 / len(t)), 4) AS q
-           FROM tk),
-         r AS (SELECT d.doc_id,
-             CASE WHEN ex.is_exact THEN 'exact_dup'
-                  WHEN lab.cluster_id <> d.doc_id THEN 'near_dup'
-                  WHEN bl.doc_id IS NOT NULL THEN 'blocklist'
-                  WHEN q.q < $QualityMin THEN 'quality'
-                  ELSE 'kept' END AS reason
-           FROM documents d
-           JOIN ex USING (doc_id) JOIN lab USING (doc_id)
-           LEFT JOIN bl USING (doc_id) JOIN q USING (doc_id))
+         $cleanCtes,
+         $splitCte
+         SELECT $splitCaseSql AS split, r.reason, count(*) AS n_docs
+         FROM b JOIN r USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q108_clean_export" ->
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         $labCtes,
+         $cleanCtes
          SELECT doc_id, CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS keep,
            reason
-         FROM r ORDER BY doc_id"""
-    },
+         FROM r ORDER BY doc_id""",
     "q67_decontamination" ->
       s"""WITH $tkCte, $shCte,
          shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),

@@ -554,6 +554,27 @@ class PipelineSpec extends AnyFunSuite {
     sp.unpersist()
   }
 
+  test("corpus SQL surface answers with the same tables the oracle gate checks") {
+    import org.apache.spark.sql.functions._
+    graft.queries.CorpusSurface.mount(spark, sf001)
+    // derived tier: the pinned label view IS q65's plan
+    val viaSql = spark.sql(
+      "SELECT doc_id, cluster_id, csize FROM corpus_dup_labels ORDER BY doc_id")
+    val direct = SparkEntry.queries("q65_dedup_clusters")(spark, sf001)
+    assert(viaSql.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaSql).count() == 0,
+      "corpus_dup_labels must be q65 verbatim")
+    // raw tier: parquet-path views list fresh files per query
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(spark.sql("SELECT count(1) FROM corpus_documents").head().getLong(0) == nDocs)
+    // cross-view join covers every doc exactly once (both verdict tables
+    // are total over the corpus)
+    val joined = spark.sql(
+      """SELECT count(1) FROM corpus_splits sp
+         JOIN corpus_clean c ON sp.doc_id = c.doc_id""").head().getLong(0)
+    assert(joined == nDocs, s"split x clean join must be total: $joined != $nDocs")
+  }
+
   test("BPE merge pairs match a direct Scala recount of the top pair") {
     import org.apache.spark.sql.functions._
     val d = SparkEntry.queries("q111_bpe_merge_pairs")(spark, sf0001).collect()
