@@ -51,15 +51,19 @@ object Bench {
       // steady-state rate (same warm-up methodology as q38, noted in
       // COVERAGE.md).
       SparkEntry.queries("q51_chain_backfill")(spark, sfDir).count()
-      // One untimed q123 pass: the SQL-surface mount (view registration +
-      // path analyses) is once-per-session setup a SQL user pays at
-      // connect time; the timed run measures the query over the mounted
-      // views. Same for q127's corpus-surface mount.
-      SparkEntry.queries("q123_sql_surface")(spark, sfDir).count()
-      SparkEntry.queries("q127_corpus_sql")(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (timed runs will record the errors): $e")
     }
+    // One untimed pass each for the two SQL-surface queries: the mounts
+    // (view registration + path analyses) are once-per-session setup a SQL
+    // user pays at connect time; the timed runs measure the query over the
+    // mounted views. Independent try blocks — q127's corpus mount does not
+    // depend on the chain warm-up above, so an earlier failure must not
+    // silently fold mount cost into its timed run.
+    try SparkEntry.queries("q123_sql_surface")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] q123 warm-up failed: $e") }
+    try SparkEntry.queries("q127_corpus_sql")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] q127 warm-up failed: $e") }
     // A failed query must be VISIBLE in the bench record, not disguised as a
     // fast run: its entry is -1 (never a plausible duration), its message
     // lands in the "errors" object, and stderr flags it for a local eye.

@@ -555,7 +555,6 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("corpus SQL surface answers with the same tables the oracle gate checks") {
-    import org.apache.spark.sql.functions._
     graft.queries.CorpusSurface.mount(spark, sf001)
     // derived tier: the pinned label view IS q65's plan
     val viaSql = spark.sql(
@@ -573,6 +572,16 @@ class PipelineSpec extends AnyFunSuite {
       """SELECT count(1) FROM corpus_splits sp
          JOIN corpus_clean c ON sp.doc_id = c.doc_id""").head().getLong(0)
     assert(joined == nDocs, s"split x clean join must be total: $joined != $nDocs")
+    // view names are session-global: asking the mount for a different
+    // directory must REPOINT them (not no-op against the stale mount), and
+    // asking for the first directory again must repoint back
+    graft.queries.CorpusSurface.mount(spark, sf0001)
+    val n0 = spark.sql("SELECT count(1) FROM corpus_documents").head().getLong(0)
+    assert(n0 == spark.read.parquet(s"$sf0001/documents.parquet").count(),
+      "mounting a second sfDir must retarget the raw views")
+    graft.queries.CorpusSurface.mount(spark, sf001)
+    assert(spark.sql("SELECT count(1) FROM corpus_documents").head().getLong(0) == nDocs,
+      "re-mounting the first sfDir must repoint back, not hit a stale cache")
   }
 
   test("BPE merge pairs match a direct Scala recount of the top pair") {
