@@ -58,6 +58,18 @@ object DedupQueries extends QueryModule {
   private val TrainCut = 90
   private val ValCut = 95
 
+  /** Split routing (rep id → train/val/test) — the ONE definition shared by
+    * the q126 batch assignment and the streaming assignment view
+    * (`StreamingDupClusters.splitAssignments`), so the two surfaces cannot
+    * drift on seed or cut points.
+    */
+  private[graft] def splitOf(repId: Column): Column = {
+    val bucket = hash64(repId.cast("string"), SplitSeed) % 100
+    when(bucket < TrainCut, "train")
+      .when(bucket < ValCut, "val")
+      .otherwise("test")
+  }
+
   /** doc_id + distinct 3-gram word shingles + both base hashes, cached per
     * (session, sf dir): q26–q29 all start from this stage — materialized
     * once with the md5 work done, like dedup pipelines persist their
@@ -397,15 +409,10 @@ object DedupQueries extends QueryModule {
     // doc_id equi-join; the corpus itself is scanned once and never
     // reshuffled, so the stage is O(scan) at any corpus size.
     "q126_cluster_split" -> ((s, dir) => {
-      val withRep = docs(s, dir).select("doc_id")
+      docs(s, dir).select("doc_id")
         .join(dupLabels(s, dir), Seq("doc_id"), "left")
         .withColumn("rep_id", coalesce(col("cid"), col("doc_id")))
-      val bucket = hash64(col("rep_id").cast("string"), SplitSeed) % 100
-      withRep
-        .withColumn("split",
-          when(bucket < TrainCut, "train")
-            .when(bucket < ValCut, "val")
-            .otherwise("test"))
+        .withColumn("split", splitOf(col("rep_id")))
         .select("doc_id", "rep_id", "split")
         .orderBy("doc_id")
     }),

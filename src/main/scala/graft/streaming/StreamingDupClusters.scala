@@ -143,6 +143,23 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
   def labels(spark: SparkSession): DataFrame =
     readBuckets(spark, "labels", readManifest(), labelSchema)
 
+  /** Leakage-free split assignment over the CURRENT label store — the
+    * streaming twin of the batch q126 operator, sharing its routing
+    * expression (`DedupQueries.splitOf`) so the two surfaces cannot drift.
+    * Docs with a stored label route by their component's representative;
+    * pairless docs self-represent. An assignment read mid-stream is
+    * PROVISIONAL for docs whose component is still merging (a later,
+    * lower-id member moves the whole family — together — to the new rep's
+    * split); once the component stops growing it equals the batch
+    * assignment (StreamingSpec pins the equality after a full replay).
+    */
+  def splitAssignments(spark: SparkSession, docIds: DataFrame): DataFrame =
+    docIds.select(col("doc_id"))
+      .join(labels(spark), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cid"), col("doc_id")))
+      .select(col("doc_id"), col("rep_id"),
+        graft.queries.DedupQueries.splitOf(col("rep_id")).as("split"))
+
   /** Fold one micro-batch of near-dup pairs (columns `aId`, `bId`) into the
     * store. The foreachBatch body.
     */

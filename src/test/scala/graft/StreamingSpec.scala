@@ -778,6 +778,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(10L) == 5L && got(11L) == 5L,
         s"family-1 labels must have merged down to doc 5: $got")
 
+      // streaming split assignment (q126's twin): after the replay it must
+      // equal the batch assignment — reps from the converged store, routing
+      // verified against an INDEPENDENT Scala recompute of the md5 bucket
+      // (not the shared Column expression). 999 is a never-paired doc: it
+      // must self-represent.
+      val ids = (got.keys.toSeq :+ 999L).toDF("doc_id")
+      val assigned = clusters.splitAssignments(spark, ids)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+      def splitScala(rep: Long): String = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"41:$rep".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val b = java.lang.Long.parseLong(hex, 16) % 100
+        if (b < 90) "train" else if (b < 95) "val" else "test"
+      }
+      assigned.foreach { case (id, (rep, sp)) =>
+        assert(rep == expected.getOrElse(id, id),
+          s"doc $id must route by its converged component rep")
+        assert(sp == splitScala(rep),
+          s"doc $id split $sp != independent recompute ${splitScala(rep)}")
+      }
+      assert(assigned(999L)._1 == 999L, "unpaired docs self-represent")
+
       // foreachBatch redelivery (crash after the manifest publish):
       // re-applying already-folded pairs must reproduce identical labels
       clusters.update(streamed.synchronized {
