@@ -5,18 +5,48 @@ import org.apache.spark.sql.functions._
 
 /** PII detection + redaction kernels (the C4/Dolma/FineWeb scrub stage),
   * shared by batch q124 and the streaming clean gate. Patterns are
-  * restricted to the Java-regex ∩ RE2 subset so the DuckDB oracle scans
-  * identically (same discipline as the BPE pre-tokenizer).
+  * restricted to the Java-regex ∩ RE2 subset — no lookaround, ASCII
+  * classes, `\b` word boundaries — so the DuckDB oracle scans identically
+  * (same discipline as the BPE pre-tokenizer).
+  *
+  * Pattern breadth is production-shaped, not plant-shaped:
+  *  - IPv4: full dotted-quad with every octet range-checked 0–255 and
+  *    `\b`-guarded on both ends, so `300.1.2.3`, `1.2.3.456`, `v1.2.3`,
+  *    and digit-run embeddings never match. Known, documented limit shared
+  *    with the C4 scrubber: a bare in-range quad used as a VERSION string
+  *    (`1.2.3.4`) is textually indistinguishable from an address and IS
+  *    masked; a 5-part dotted string masks its leading quad (RE2 has no
+  *    lookahead to forbid a trailing `.digit`).
+  *  - Phones: NANP with parenthesized or separator-delimited area code
+  *    (`(555) 123-4567`, `555-123-4567`, `555.123.4567`), optional `1`/`+1`
+  *    country prefix, plus bare-E.164 (`+` and 8–15 digits). Unseparated
+  *    7- or 10-digit runs deliberately do NOT match — without a `+` or
+  *    separators they are indistinguishable from ids/serials, and a corpus
+  *    scrub that eats every long number destroys training data.
   *
   * Masking order matters and is part of the contract: emails first (so a
   * dotted quad inside a hostname never double-masks), then phones, then
-  * IPv4s.
+  * IPv4s (safe in this order because a valid quad's octets are ≤ 3 digits
+  * and the phone shapes all require a 4-digit final group, so no phone
+  * pattern can consume part of a quad).
   */
 object PiiFunctions {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\b555-[0-9]{4}\\b"
-  val IpRe = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  private val Sep = "[ .-]"
+  /** NANP (paren / separated) with optional country prefix, then bare
+    * E.164. Alternatives are self-contained so the FULL match is exactly
+    * the phone (literal placeholder replacement needs no group refs, which
+    * Java (`$1`) and RE2 (`\1`) spell differently).
+    */
+  val PhoneRe: String =
+    s"(\\+?1$Sep?)?\\([0-9]{3}\\)$Sep?[0-9]{3}$Sep?[0-9]{4}\\b" +
+      s"|(\\+?1$Sep)?\\b[0-9]{3}$Sep[0-9]{3}$Sep[0-9]{4}\\b" +
+      "|\\+[0-9]{8,15}\\b"
+
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+  val IpRe: String = s"\\b$Octet\\.$Octet\\.$Octet\\.$Octet\\b"
 
   def countEmails(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")

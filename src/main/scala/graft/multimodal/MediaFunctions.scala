@@ -14,16 +14,20 @@ import java.security.MessageDigest
   * executor-local decoding, fixed-width embedding output ready for the
   * similarity operators (q31/q32).
   *
-  * CODEC STATUS (round-7 probe): the JDK's own `javax.imageio.ImageIO` IS
-  * a real image codec (PNG/JPEG/GIF/BMP, headless-safe), so the image path
-  * below is REAL — [[decodeHeader]] magic-sniffs the payload and routes
-  * genuine image containers through ImageIO (decode, pixel-space resize,
-  * pixel-histogram embedding), exercised on actual PNGs by MultimodalSpec.
-  * Audio/video codecs are NOT in this environment (no javacv/ffmpeg on the
-  * offline classpath), so those kinds parse this repo's deterministic GRFT
-  * container instead — that residual stub is environment-bound, and the
-  * plug point (these same per-batch slots) takes an ffmpeg binding with no
-  * signature or plan-shape change.
+  * CODEC STATUS (rounds 7–8): the JDK itself ships two real codecs, and
+  * both are wired in — `javax.imageio.ImageIO` for images (PNG/JPEG/GIF/
+  * BMP, headless-safe; round 7) and `javax.sound.sampled.AudioSystem` for
+  * audio (WAV/PCM incl. 8-bit and big-endian via format conversion; round
+  * 8). [[decodeHeader]] magic-sniffs the payload: GRFT containers parse
+  * synthetically, RIFF/WAVE routes through AudioSystem (real sample
+  * decode, naive-decimation downsample in the resize stage, amplitude-
+  * histogram embedding from real PCM), anything else through ImageIO —
+  * both real paths exercised on actual PNG/WAV bytes by MultimodalSpec.
+  * VIDEO is the one genuinely environment-bound kind (probe: no javacv/
+  * ffmpeg on the offline classpath, and the JDK has no video codec), so
+  * it parses this repo's deterministic GRFT container; the plug point
+  * (these same per-batch slots) takes an ffmpeg binding with no signature
+  * or plan-shape change.
   */
 object MediaFunctions {
 

@@ -260,27 +260,42 @@ object DedupQueries extends QueryModule {
       val sh = shingleHashes(s, dir)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
-      val pre = sh.join(dfreq, "hs")
+      // ONE ranked table (global (df, hs) total order within each doc)
+      // feeds both join sides — the a-side prefix-restricts it, the b-side
+      // keeps every shingle but carries its rank so the positional filter
+      // can prune AT MATCH TIME; Catalyst's exchange reuse computes the
+      // ranking once.
+      val ranked = sh.join(dfreq, "hs")
         .withColumn("r", row_number().over(
           Window.partitionBy("doc_id").orderBy("df", "hs")))
         .join(sz, "doc_id")
+      val pre = ranked
         .filter(col("r") <= col("n") - expr("(n*4 + 4) div 5") + 1)
         .filter(col("df") >= 2)
-        .select(col("doc_id").as("a_id"), col("hs"), col("n").as("n_a"))
-      // length filter (lossless): shared ≤ n_b and C ≥ 0.8 force
-      // 5·n_b ≥ 4·n_a — the container must be at least 80% of A's size.
-      // Applied on the DISTINCT candidate pairs (one keyed join with the
-      // small size table), pruning undersized containers before the
-      // three-way verify join where the pair mass costs; attaching n_b to
-      // the b-side shingle rows instead would shuffle the full shingle
-      // table a second time (measured 2.5× worse at 10× data).
+        .select(col("doc_id").as("a_id"), col("hs"),
+          col("r").as("r_a"), col("n").as("n_a"))
+      val bside = ranked.select(col("doc_id").as("b_id"), col("hs"),
+        col("r").as("r_b"), col("n").as("n_b"))
+      // Both prunes run INSIDE the prefix join, before the distinct where
+      // the superlinear dup-mass term lives (round 7 measured the distinct
+      // over raw candidate pairs as the residual sf1 cost):
+      //  - length filter (lossless): shared ≤ n_b and C ≥ 0.8 force
+      //    5·n_b ≥ 4·n_a — the container is at least 80% of A's size;
+      //  - positional filter (lossless, the PPJoin bound proven on q26):
+      //    for the SMALLEST shared element at ranks (r_a, r_b), every
+      //    shared element ranks ≥ it in both docs, so shared ≤
+      //    1 + min(n_a − r_a, n_b − r_b); C ≥ 0.8 needs shared ≥
+      //    ⌈0.8·n_a⌉, and the smallest shared element (always in A's
+      //    prefix with df ≥ 2, else the pair can't qualify) satisfies the
+      //    bound — pruning the matches below it loses no qualifying pair.
+      val alpha = expr("(n_a*4 + 4) div 5")
       val cand = pre
-        .join(sh.select(col("doc_id").as("b_id"), col("hs")), "hs")
+        .join(bside, "hs")
         .filter(col("a_id") =!= col("b_id"))
-        .select("a_id", "b_id", "n_a").distinct()
-        .join(sz.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
         .filter(col("n_b") * 5 >= col("n_a") * 4)
-        .select("a_id", "b_id")
+        .filter(lit(1) + least(col("n_a") - col("r_a"),
+          col("n_b") - col("r_b")) >= alpha)
+        .select("a_id", "b_id").distinct()
       val inter = cand
         .join(sh.select(col("doc_id").as("a_id"), col("hs")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("hs")), Seq("b_id", "hs"))

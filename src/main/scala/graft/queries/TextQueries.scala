@@ -722,17 +722,39 @@ object TextQueries extends QueryModule {
     // replays the same construction) — what's under test is the regex
     // find/count/global-mask machinery, identically on both engines
     // (patterns restricted to the Java-regex ∩ RE2 subset, like the BPE
-    // pre-tokenizer). Pure per-row column work: no UDF, no shuffle before
-    // the presentation sort.
+    // pre-tokenizer). The plant covers the production pattern breadth:
+    // three phone shapes (parenthesized NANP, +1-prefixed NANP, bare
+    // E.164), a full-range dotted quad, AND adversarial negatives that
+    // must count 0 and survive masking untouched — a 3-part semver, an
+    // out-of-range quad (999.x.y.z), a year range, and a bare digit run.
+    // Pure per-row column work: no UDF, no shuffle before the
+    // presentation sort. PiiSpec holds the intent (exact expected counts);
+    // the oracle hash proves both engines agree byte-for-byte.
     "q124_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id")
       val planted = docs(s, dir).select(col("doc_id"),
         concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.com or 555-"),
-          lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
-          lit(" from 10."), (col("doc_id") % 256).cast("string"),
-          lit("."), (col("doc_id") * 31 % 256).cast("string"),
-          lit(".7")).as("text"))
+          lit(" contact user"), id.cast("string"),
+          lit("@mail.example.com call ("),
+          (lit(200) + id % 700).cast("string"), lit(") "),
+          (lit(100) + id * 13 % 900).cast("string"), lit("-"),
+          lpad((id * 7919 % 10000).cast("string"), 4, "0"),
+          lit(" or +1 "), (lit(200) + id * 3 % 700).cast("string"),
+          lit("-"), (lit(100) + id * 7 % 900).cast("string"), lit("-"),
+          lpad((id * 97 % 10000).cast("string"), 4, "0"),
+          lit(" intl +44"),
+          lpad((id * 37 % 1000000000L).cast("string"), 9, "0"),
+          lit(" ip "), (id % 256).cast("string"),
+          lit("."), (id * 31 % 256).cast("string"),
+          lit("."), (id * 17 % 256).cast("string"),
+          lit("."), (id * 7 % 256).cast("string"),
+          lit(" v"), (id % 10).cast("string"),
+          lit("."), (id % 7).cast("string"),
+          lit("."), (id % 5).cast("string"),
+          lit(" build 999."), (id * 5 % 256).cast("string"),
+          lit("."), (id * 11 % 256).cast("string"),
+          lit("."), (id * 3 % 256).cast("string"),
+          lit(" range 2023-2024 ref 12345678")).as("text"))
       planted.select(
         col("doc_id"),
         graft.functions.PiiFunctions.countEmails(col("text")).as("n_email"),
@@ -1217,10 +1239,26 @@ object TextQueries extends QueryModule {
       val ip = graft.functions.PiiFunctions.IpRe
       s"""WITH planted AS (SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-               '@mail.example.com or 555-' ||
+               '@mail.example.com call (' ||
+               CAST(200 + doc_id % 700 AS VARCHAR) || ') ' ||
+               CAST(100 + doc_id * 13 % 900 AS VARCHAR) || '-' ||
                lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') ||
-               ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
-               CAST(doc_id * 31 % 256 AS VARCHAR) || '.7' AS text
+               ' or +1 ' || CAST(200 + doc_id * 3 % 700 AS VARCHAR) ||
+               '-' || CAST(100 + doc_id * 7 % 900 AS VARCHAR) || '-' ||
+               lpad(CAST(doc_id * 97 % 10000 AS VARCHAR), 4, '0') ||
+               ' intl +44' ||
+               lpad(CAST(doc_id * 37 % 1000000000 AS VARCHAR), 9, '0') ||
+               ' ip ' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+               CAST(doc_id * 31 % 256 AS VARCHAR) || '.' ||
+               CAST(doc_id * 17 % 256 AS VARCHAR) || '.' ||
+               CAST(doc_id * 7 % 256 AS VARCHAR) ||
+               ' v' || CAST(doc_id % 10 AS VARCHAR) || '.' ||
+               CAST(doc_id % 7 AS VARCHAR) || '.' ||
+               CAST(doc_id % 5 AS VARCHAR) ||
+               ' build 999.' || CAST(doc_id * 5 % 256 AS VARCHAR) || '.' ||
+               CAST(doc_id * 11 % 256 AS VARCHAR) || '.' ||
+               CAST(doc_id * 3 % 256 AS VARCHAR) ||
+               ' range 2023-2024 ref 12345678' AS text
            FROM documents)
          SELECT doc_id,
            CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
