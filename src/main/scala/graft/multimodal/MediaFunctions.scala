@@ -38,19 +38,56 @@ object MediaFunctions {
     content.length >= 13 &&
       new String(content, 0, 4, StandardCharsets.US_ASCII) == "GRFT"
 
+  private def isRiffWave(content: Array[Byte]): Boolean =
+    content.length >= 12 &&
+      new String(content, 0, 4, StandardCharsets.US_ASCII) == "RIFF" &&
+      new String(content, 8, 4, StandardCharsets.US_ASCII) == "WAVE"
+
   private def readImage(content: Array[Byte]): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     require(img != null, "payload is neither a GRFT container nor a decodable image")
     img
   }
 
-  /** Container header decode: GRFT magic → synthetic parse; anything else →
-    * the JDK ImageIO codec (real PNG/JPEG/GIF/BMP decode).
+  /** Real WAV decode through the JDK's `javax.sound.sampled` codec:
+    * whatever the container's sample format (8-bit, big-endian, unsigned),
+    * the stream converts to 16-bit signed little-endian PCM so downstream
+    * stages see ONE sample shape. Returns (format, interleaved samples).
+    */
+  private def readPcm(content: Array[Byte])
+  : (javax.sound.sampled.AudioFormat, Array[Short]) = {
+    import javax.sound.sampled._
+    val ais0 = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val f0 = ais0.getFormat
+    val ais =
+      if (f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        f0.getSampleSizeInBits == 16 && !f0.isBigEndian) ais0
+      else AudioSystem.getAudioInputStream(
+        new AudioFormat(f0.getSampleRate, 16, f0.getChannels, true, false), ais0)
+    val bytes = ais.readAllBytes()
+    val samples = new Array[Short](bytes.length / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (ais.getFormat, samples)
+  }
+
+  /** Container header decode: GRFT magic → synthetic parse; RIFF/WAVE →
+    * the JDK audio codec ((sample frames, channels) — the audio analog of
+    * raster dimensions); anything else → the JDK ImageIO codec (real
+    * PNG/JPEG/GIF/BMP decode).
     */
   private[multimodal] def decodeHeader(content: Array[Byte]): (Int, Int) =
     if (isGrft(content)) {
       val bb = ByteBuffer.wrap(content, 5, 8)
       (bb.getInt(), bb.getInt())
+    } else if (isRiffWave(content)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      (ais.getFrameLength.toInt, ais.getFormat.getChannels)
     } else {
       val img = readImage(content)
       (img.getWidth, img.getHeight)
@@ -64,7 +101,10 @@ object MediaFunctions {
     * (DuckDB's sha256 only accepts VARCHAR). Real image payloads get a
     * PIXEL-SPACE feature instead: a luminance histogram over the decoded
     * raster (deterministic — PNG/JPEG decode is bit-exact per spec), the
-    * classic pre-neural global image descriptor.
+    * classic pre-neural global image descriptor. Real WAV payloads get the
+    * audio analog: an amplitude histogram over the decoded 16-bit PCM
+    * samples (deterministic — PCM decode is exact), L1-normalized like the
+    * image histogram.
     */
   private[multimodal] def embed(content: Array[Byte]): Array[Float] =
     if (isGrft(content)) {
@@ -74,6 +114,11 @@ object MediaFunctions {
       val d2 = MessageDigest.getInstance("SHA-256").digest(d1)
       val bytes = d1 ++ d2
       Array.tabulate(EmbeddingDim)(i => (bytes(i) & 0xff).toFloat / 255f - 0.5f)
+    } else if (isRiffWave(content)) {
+      val (_, samples) = readPcm(content)
+      val bins = new Array[Float](EmbeddingDim)
+      samples.foreach { s => bins(((s + 32768) * EmbeddingDim) >>> 16) += 1f }
+      bins.map(_ / math.max(samples.length, 1).toFloat)
     } else {
       val img = readImage(content)
       val bins = new Array[Float](EmbeddingDim)
@@ -119,13 +164,17 @@ object MediaFunctions {
     }
   }
 
-  /** Resize stage (images/video; audio passes through untouched). GRFT
-    * containers: the header is rewritten to (w/factor, h/factor) and the
-    * payload decimated to every `factor`-th byte — the deterministic
-    * stand-in for pixel decimation, byte-reproducible by the DuckDB oracle
-    * straight from the input blob. REAL image containers: an actual
-    * pixel-space rescale through the ImageIO/Graphics2D codec, re-encoded
-    * as PNG — the per-batch slot a javacv scaler would occupy.
+  /** Resize stage. GRFT containers: the header is rewritten to (w/factor,
+    * h/factor) and the payload decimated to every `factor`-th byte — the
+    * deterministic stand-in for pixel decimation, byte-reproducible by the
+    * DuckDB oracle straight from the input blob (GRFT audio passes through
+    * untouched, preserving the fixture contract). REAL image containers:
+    * an actual pixel-space rescale through the ImageIO/Graphics2D codec,
+    * re-encoded as PNG. REAL WAV containers: sample-rate downsampling by
+    * naive frame decimation (every `factor`-th sample frame, rate divided
+    * by `factor` — duration preserved; no anti-alias low-pass, which is
+    * the slot a real resampler plugs into), re-encoded as 16-bit PCM WAV
+    * through the same JDK codec.
     */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     // fail loudly at the driver, not as an ArithmeticException (or silently
@@ -135,7 +184,36 @@ object MediaFunctions {
     media.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap { batch =>
         batch.iterator.map { m =>
-          if (m.kind == "audio") m
+          if (m.kind == "audio" && isRiffWave(m.content)) {
+            import javax.sound.sampled._
+            val (fmt, samples) = readPcm(m.content)
+            val ch = fmt.getChannels
+            val nFrames = samples.length / ch
+            val keptFrames = (nFrames + factor - 1) / factor
+            val out = new Array[Byte](keptFrames * ch * 2)
+            var f = 0
+            while (f < keptFrames) {
+              var c = 0
+              while (c < ch) {
+                val s = samples(f * factor * ch + c)
+                out(2 * (f * ch + c)) = (s & 0xff).toByte
+                out(2 * (f * ch + c) + 1) = ((s >> 8) & 0xff).toByte
+                c += 1
+              }
+              f += 1
+            }
+            val outRate = math.max(fmt.getSampleRate / factor, 1f)
+            val outFmt = new AudioFormat(outRate, 16, ch, true, false)
+            val bos = new java.io.ByteArrayOutputStream()
+            AudioSystem.write(
+              new AudioInputStream(new java.io.ByteArrayInputStream(out),
+                outFmt, keptFrames.toLong),
+              AudioFileFormat.Type.WAVE, bos)
+            m.copy(content = bos.toByteArray,
+              meta = m.meta.copy(mimeType = "audio/wav",
+                sampleRate = outRate.toInt))
+          }
+          else if (m.kind == "audio") m
           else if (!isGrft(m.content)) {
             val img = readImage(m.content)
             val (rw, rh) = (math.max(img.getWidth / factor, 1),

@@ -101,6 +101,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1000L).toSeq != feats(1001L).toSeq)
   }
 
+  test("real audio codec: actual WAVs decode, downsample, and embed through javax.sound.sampled") {
+    import spark.implicits._
+    // real 16-bit PCM WAV payloads generated through the JDK codec itself
+    def wav(nFrames: Int, rate: Float, tone: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val bytes = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val s = (math.sin(2 * math.Pi * tone * i / rate) * 12000).toInt.toShort
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt,
+          nFrames.toLong), AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = spark.createDataset(Seq(
+      MediaRow(2000L, "audio", wav(800, 8000f, 440),
+        MediaMeta("audio/wav", -1, -1, 8000, 100L)),
+      MediaRow(2001L, "audio", wav(1200, 8000f, 1200),
+        MediaMeta("audio/wav", -1, -1, 8000, 150L))))
+
+    // decode: true (sample frames, channels) from the decoded stream
+    val decoded = MediaFunctions.decodeFrames(rows).collect()
+      .map(d => d.mediaId -> ((d.width, d.height))).toMap
+    assert(decoded == Map(2000L -> ((800, 1)), 2001L -> ((1200, 1))))
+
+    // resize: REAL downsampling — re-decode the emitted WAV independently
+    // and check frame count, rate, and that samples are the decimated
+    // originals (every 2nd frame of the source PCM)
+    val origById = rows.collect().map(r => r.mediaId -> r.content).toMap
+    MediaFunctions.resize(rows, 2).collect().foreach { r =>
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      assert(ais.getFormat.getSampleRate == 4000f, "rate must halve")
+      assert(r.meta.sampleRate == 4000)
+      val n0 = decoded(r.mediaId)._1
+      assert(ais.getFrameLength == (n0 + 1) / 2, "every 2nd frame kept")
+      val got = ais.readAllBytes()
+      val src = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(origById(r.mediaId))).readAllBytes()
+      for (f <- 0 until (n0 + 1) / 2; b <- 0 until 2)
+        assert(got(2 * f + b) == src(4 * f + b),
+          s"media ${r.mediaId} frame $f not the decimated source sample")
+    }
+
+    // embed: amplitude-histogram features — deterministic, L1-normalized,
+    // and sensitive to content (different tones ⇒ different embeddings)
+    val feats = MediaFunctions.extractFeatures(rows).collect()
+      .map(f => f.mediaId -> f.embedding).toMap
+    feats.values.foreach { e =>
+      assert(e.length == MediaFunctions.EmbeddingDim)
+      assert(math.abs(e.sum - 1.0f) < 1e-3, "histogram must be L1-normalized")
+    }
+    assert(feats(2000L).toSeq != feats(2001L).toSeq)
+  }
+
   test("token_count matches size(split) on real documents and edge cases") {
     TokenCountExpression.register(spark)
     val docs = Tables.load(spark, sf0001, "documents")
