@@ -118,6 +118,60 @@ class GraftEngine(spark: SparkSession, warehouse: String,
     ).foreach { case (n, df) => df.createOrReplaceTempView(prefix + n) }
   }
 
+  /** PERSISTENT-catalog registration — the "always on" form of
+    * [[registerViews]]: where temporary views are invisible outside the
+    * registering session, these land in the session CATALOG, so ANY other
+    * session sharing it (`spark.newSession()`, JDBC/Thrift-server clients;
+    * durable across applications when the catalog is a Hive metastore)
+    * queries the warehouse by name with zero Scala — the Spark analog of
+    * the reference's always-on REST surface (TapirRoutes.scala:24-68).
+    *
+    * Three tiers, matching the freshness model of [[registerViews]]:
+    *  - the entity tables register as persistent catalog VIEWs over their
+    *    `parquet.` warehouse paths — zero copy, fresh file listing AND
+    *    partition discovery on every query (an external TABLE over these
+    *    bucket-partitioned dirs would need `RECOVER PARTITIONS` re-run
+    *    after every ingest batch — a staleness trap the path view avoids);
+    *  - `spent_boxes`/`utxo_live` are catalog VIEWs over those (always
+    *    fresh); `utxo` is a catalog VIEW whose text inlines the MVCC
+    *    manifest's current base+delta version paths (the pin "expressed as
+    *    a view over the manifest"): readable for `keepVersions` further
+    *    commits, re-register to advance;
+    *  - the computed dims (script dims, salted roll-up, graph edges) are
+    *    `saveAsTable` SNAPSHOTS with an explicit location inside the
+    *    warehouse — materialized once at registration (they are
+    *    UDF-derived plans no SQL text can express), re-registered to
+    *    refresh.
+    */
+  def registerCatalog(prefix: String = "graft_"): Unit = {
+    Seq("blocks", "txs", "outputs", "inputs", "assets", "data_inputs",
+      "registers", "tokens").foreach { n =>
+      spark.sql(s"CREATE OR REPLACE VIEW $prefix$n AS " +
+        s"SELECT * FROM parquet.`$warehouse/$n`")
+    }
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW ${prefix}spent_boxes AS
+         SELECT o.* FROM ${prefix}outputs o
+         WHERE EXISTS (SELECT 1 FROM ${prefix}inputs i WHERE i.boxId = o.boxId)""")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW ${prefix}utxo_live AS
+         SELECT o.* FROM ${prefix}outputs o
+         WHERE NOT EXISTS (SELECT 1 FROM ${prefix}inputs i WHERE i.boxId = o.boxId)""")
+    spark.sql(s"CREATE OR REPLACE VIEW ${prefix}utxo AS ${ingest.utxoViewSql()}")
+    val t = tables
+    Seq("ergo_trees" -> t.ergoTrees, "ergo_tree_t8s" -> t.ergoTreeT8s,
+      "utxo_by_script" -> utxosByScript, "tx_edges" -> txEdges
+    ).foreach { case (n, df) =>
+      // snapshots live INSIDE the warehouse layout (not the session's
+      // spark-warehouse dir): an explicit external path keeps the data
+      // next to what it derives from, and survives catalog-implementation
+      // restarts without orphaned-location collisions
+      spark.sql(s"DROP TABLE IF EXISTS $prefix$n")
+      df.write.mode("overwrite").format("parquet")
+        .option("path", s"$warehouse/_catalog/$n").saveAsTable(prefix + n)
+    }
+  }
+
   // ---- the BoxService matrix (§3.1) ----
 
   def utxos: DataFrame = ingest.utxo(spark)

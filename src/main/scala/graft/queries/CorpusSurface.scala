@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.SparkEntry
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The corpus-pipeline SQL surface — the LLM-data analog of
   * `GraftEngine.registerViews` (the chain-warehouse surface, itself the
@@ -17,41 +17,95 @@ import org.apache.spark.sql.SparkSession
   *  - the derived tables are pinned plans built from the SAME operator
   *    definitions the DuckDB oracle gate hash-verifies: `corpus_dup_labels`
   *    (q65 component labels), `corpus_clean` (q108 keep/reason verdicts),
-  *    `corpus_splits` (q126 leakage-free split assignment). Their inputs
-  *    ride the per-session operator memos (label/signature caches), so the
+  *    `corpus_splits` (q126 leakage-free split assignment). They register
+  *    CACHED (lazily materialized on first SQL touch), so an interactive
+  *    user pays the label/screen chain once per mount, not once per
+  *    statement; their inputs ride the per-session operator memos, so the
   *    derived tier reflects the corpus snapshot the session first read —
-  *    the same lifetime as every other memoized table; a swapped-in-place
-  *    corpus needs a fresh session to re-read.
+  *    a swapped-in-place corpus needs a fresh session (or [[remount]]) to
+  *    re-read.
   *
   * View names are SESSION-global, so the mount state is keyed per session
   * (current (sfDir, prefix)), not per (session, sfDir): asking for a
   * different directory or prefix REPOINTS the views rather than silently
-  * no-opping against a stale mount.
+  * no-opping against a stale mount. Mount and remount serialize on the
+  * session (two concurrent JDBC statements mounting different dirs can no
+  * longer interleave the per-view CREATEs into a mixed state).
   */
 object CorpusSurface {
 
   private val mounted =
     scala.collection.concurrent.TrieMap[SparkSession, (String, String)]()
-  Memos.register(s => mounted.remove(s))
+  private val cached =
+    scala.collection.concurrent.TrieMap[SparkSession, Seq[DataFrame]]()
+  Memos.register { s =>
+    mounted.remove(s)
+    cached.remove(s).foreach(_.foreach(_.unpersist()))
+  }
 
   /** Idempotent per (current sfDir, prefix); repoints on any change. */
   def mount(s: SparkSession, sfDir: String, prefix: String = "corpus_"): Unit =
-    if (!mounted.get(s).contains((sfDir, prefix))) remount(s, sfDir, prefix)
+    s.synchronized {
+      if (!mounted.get(s).contains((sfDir, prefix))) remount(s, sfDir, prefix)
+    }
 
   /** Force re-registration: repoints the raw `parquet.`-path views and
-    * re-pins the derived plans (off the session's operator memos).
+    * re-pins (re-caches) the derived plans off the session's operator
+    * memos.
     */
-  def remount(s: SparkSession, sfDir: String, prefix: String = "corpus_"): Unit = {
-    Memos.hook(s)
-    Seq("documents", "embeddings").foreach { n =>
-      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $prefix$n AS " +
-        s"SELECT * FROM parquet.`$sfDir/$n.parquet`")
+  def remount(s: SparkSession, sfDir: String, prefix: String = "corpus_"): Unit =
+    s.synchronized {
+      Memos.hook(s)
+      Seq("documents", "embeddings").foreach { n =>
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $prefix$n AS " +
+          s"SELECT * FROM parquet.`$sfDir/$n.parquet`")
+      }
+      cached.remove(s).foreach(_.foreach(_.unpersist()))
+      val derived = Seq(
+        "dup_labels" -> SparkEntry.queries("q65_dedup_clusters")(s, sfDir),
+        "clean" -> SparkEntry.queries("q108_clean_export")(s, sfDir),
+        "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir)
+      ).map { case (n, df) =>
+        val c = df.cache()
+        c.createOrReplaceTempView(prefix + n)
+        c
+      }
+      cached(s) = derived
+      mounted(s) = (sfDir, prefix)
     }
-    Seq(
-      "dup_labels" -> SparkEntry.queries("q65_dedup_clusters")(s, sfDir),
-      "clean" -> SparkEntry.queries("q108_clean_export")(s, sfDir),
-      "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir)
-    ).foreach { case (n, df) => df.createOrReplaceTempView(prefix + n) }
-    mounted(s) = (sfDir, prefix)
-  }
+
+  /** PERSISTENT-catalog mount — the "always on" form of [[mount]], the
+    * corpus twin of `GraftEngine.registerCatalog`: raw tables register as
+    * EXTERNAL parquet tables (zero copy, fresh listing per query) and the
+    * three derived verdict tables as `saveAsTable` SNAPSHOTS, all visible
+    * to any session sharing the catalog (`newSession()`, JDBC/Thrift
+    * clients; durable under a Hive metastore) with no Scala and no
+    * per-session mount call. Snapshots pin the corpus as of this call —
+    * re-run to refresh, exactly like the chain surface's dim snapshots.
+    */
+  /** `snapshotDir` holds the materialized verdict tables (the corpus dir
+    * itself is typically read-only); pass a stable location when the
+    * catalog is durable (HMS) — the default is a fresh temp dir per call,
+    * fine for in-application catalogs where the registration pins anyway.
+    */
+  def mountCatalog(s: SparkSession, sfDir: String,
+    prefix: String = "corpus_",
+    snapshotDir: String = java.nio.file.Files
+      .createTempDirectory("graft-corpus-catalog").toString): Unit =
+    s.synchronized {
+      Seq("documents", "embeddings").foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $prefix$n")
+        s.sql(s"CREATE TABLE $prefix$n USING PARQUET " +
+          s"LOCATION '$sfDir/$n.parquet'")
+      }
+      Seq(
+        "dup_labels" -> SparkEntry.queries("q65_dedup_clusters")(s, sfDir),
+        "clean" -> SparkEntry.queries("q108_clean_export")(s, sfDir),
+        "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir)
+      ).foreach { case (n, df) =>
+        s.sql(s"DROP TABLE IF EXISTS $prefix$n")
+        df.write.mode("overwrite").format("parquet")
+          .option("path", s"$snapshotDir/$n").saveAsTable(prefix + n)
+      }
+    }
 }

@@ -680,6 +680,45 @@ class ChainIngest(
     }
   }
 
+  /** The MVCC utxo pin rendered as SQL TEXT: the current base + delta
+    * version paths inlined into one statement (explicit column lists, so
+    * positional UNION is safe), registerable as a PERSISTENT catalog view
+    * — the "always on" form of [[utxo]] for JDBC/Thrift/second-session
+    * clients. Same retention contract as the pinned DataFrame: readable
+    * for `keepVersions` further commits; re-register to advance the pin.
+    * Empty delta halves (no part files — their dirs are schema-less) are
+    * skipped at generation time, which is sound because the view is a pin
+    * of THIS version set.
+    */
+  def utxoViewSql(): String = {
+    val baseV = baseVersions().lastOption
+    val liveDeltas = deltaVersions().filter(v => v > baseV.getOrElse(-1L))
+    if (baseV.isEmpty && liveDeltas.isEmpty)
+      throw new IllegalStateException("no utxo snapshot yet")
+    def hasParquet(dir: String): Boolean = {
+      val path = Paths.get(dir)
+      Files.exists(path) && {
+        val s = Files.list(path)
+        try s.anyMatch(f => f.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    }
+    val cols = addsSchema.fieldNames.mkString(", ")
+    val addSelects =
+      baseV.filter(v => hasParquet(basePath(v)))
+        .map(v => s"SELECT $cols FROM parquet.`${basePath(v)}`").toSeq ++
+        liveDeltas.filter(v => hasParquet(s"${deltaPath(v)}/adds"))
+          .map(v => s"SELECT $cols FROM parquet.`${deltaPath(v)}/adds`")
+    require(addSelects.nonEmpty, "utxo snapshot holds no readable rows yet")
+    val union = addSelects.mkString(" UNION ALL ")
+    val remSelects = liveDeltas
+      .filter(v => hasParquet(s"${deltaPath(v)}/removes"))
+      .map(v => s"SELECT boxId FROM parquet.`${deltaPath(v)}/removes`")
+    if (remSelects.isEmpty) union
+    else s"SELECT u.* FROM ($union) u LEFT ANTI JOIN " +
+      s"(${remSelects.mkString(" UNION ALL ")}) r ON u.boxId = r.boxId"
+  }
+
   /** Startup integrity check + self-heal (the Initializer.scala:15-37
     * analog): processBatch appends raw FIRST, then writes entities, then
     * commits the UTXO delta — a crash anywhere in between leaves later

@@ -84,6 +84,10 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
         (t, b.toLong) -> v.toLong
       }.toMap
 
+  // ---- read leases: a pinned reader exempts its manifest (and every
+  // version it references) from GC until closed ----
+  private val leases = scala.collection.mutable.Map.empty[Long, Int]
+
   private def publishManifest(entries: Map[(String, Long), Long]): Unit = {
     Files.createDirectories(manifestDir)
     val next = manifestVersions().lastOption.getOrElse(-1L) + 1
@@ -93,14 +97,20 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     Files.writeString(tmp, body)
     Files.move(tmp, manifestDir.resolve(s"m=$next"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // GC with one-manifest grace: a lazy DataFrame handed out by labels()
-    // before this update still references the PREVIOUS head's versions, so
-    // only manifests/versions older than the last TWO heads are reclaimed
-    // (best-effort; a crash here only leaves garbage, never corruption)
-    val heads = manifestVersions().takeRight(2)
+    // GC with two-head retention + leases: a TRANSIENT frame handed out by
+    // labels() before this update still references the PREVIOUS head's
+    // versions, which the two-head keep-set protects for exactly one
+    // publish — the documented transient contract. Readers that must
+    // outlive that (dashboards, long joins) hold a [[pinnedLabels]] lease,
+    // whose manifest (and the versions it references) survives GC until
+    // close(). Best-effort as before: a crash here only leaves garbage,
+    // never corruption.
+    val keep = manifestVersions().takeRight(2).toSet ++
+      leases.synchronized(leases.keySet.toSet)
+    val heads = manifestVersions().filter(keep.contains)
     val live: Set[(String, Long, Long)] = heads.flatMap(m =>
       readManifestAt(m).map { case ((t, b), v) => (t, b, v) }).toSet
-    manifestVersions().dropRight(2)
+    manifestVersions().filterNot(keep.contains)
       .foreach(m => Files.deleteIfExists(manifestDir.resolve(s"m=$m")))
     Seq("edges", "labels").foreach { t =>
       val root = Paths.get(s"$storeDir/$t")
@@ -139,9 +149,42 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
   /** The accumulated labels: (doc_id, cid) for every doc that has ever
     * appeared in a pair. Pairless docs are singleton clusters by definition
     * (same contract as the batch `dupLabels`).
+    *
+    * READ CONTRACT — transient: the lazy frame resolves the CURRENT
+    * manifest; the two-head GC retention guarantees its files survive
+    * exactly ONE subsequent [[update]]. A reader held across more updates
+    * than that must use [[pinnedLabels]], which leases its manifest out of
+    * GC until closed.
     */
   def labels(spark: SparkSession): DataFrame =
     readBuckets(spark, "labels", readManifest(), labelSchema)
+
+  /** A labels frame PINNED to the manifest it resolved: the store's GC
+    * exempts that manifest (and every bucket version it references) until
+    * [[PinnedLabels.close]], so the frame stays readable across any number
+    * of interleaved updates — the long-lived-reader form of [[labels]]
+    * (dashboards, multi-pass jobs). The snapshot is immutable by
+    * construction (bucket versions are never rewritten), so the pinned
+    * frame also never sees a torn mix of old and new buckets.
+    */
+  final class PinnedLabels private[StreamingDupClusters](
+    val df: DataFrame, manifestId: Long) extends AutoCloseable {
+    override def close(): Unit =
+      if (manifestId >= 0) leases.synchronized {
+        leases.updateWith(manifestId)(_.map(_ - 1).filter(_ > 0))
+      }
+  }
+
+  def pinnedLabels(spark: SparkSession): PinnedLabels = {
+    val m = manifestVersions().lastOption.getOrElse(-1L)
+    if (m >= 0) leases.synchronized {
+      leases.updateWith(m)(c => Some(c.getOrElse(0) + 1))
+    }
+    val manifest = if (m >= 0) readManifestAt(m)
+    else Map.empty[(String, Long), Long]
+    new PinnedLabels(
+      readBuckets(spark, "labels", manifest, labelSchema), m)
+  }
 
   /** Leakage-free split assignment over the CURRENT label store — the
     * streaming twin of the batch q126 operator, sharing its routing

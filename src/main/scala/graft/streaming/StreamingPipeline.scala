@@ -62,4 +62,36 @@ object StreamingPipeline {
   def nearDupSuppressed(spark: org.apache.spark.sql.SparkSession,
     clusters: StreamingDupClusters): org.apache.spark.sql.DataFrame =
     clusters.labels(spark).filter(col("doc_id") =!= col("cid"))
+
+  /** The FULL per-doc curation verdict a training-data consumer needs —
+    * (doc_id, keep, reason, split) — composed from the two incrementally-
+    * maintained surfaces: the gate's verdict stream (exact_dup/blocklist/
+    * quality screens) and the label store (near-dup suppression + the
+    * leakage-free split routing of `StreamingDupClusters.splitAssignments`,
+    * sharing batch q126's `splitOf` expression). This is the streaming twin
+    * of batch `q108 ⋈ q126`, evaluated at export-materialization time:
+    * a gate-KEPT doc that the label store marks non-canonical flips to
+    * (keep=0, near_dup) — exactly q108's rule — and every doc routes by its
+    * component representative (self when unpaired). Suppression and split
+    * are PROVISIONAL for components still merging (a later lower-id member
+    * moves the family together) and final once the component stops growing;
+    * after a full replay the output equals the batch composition
+    * (StreamingSpec pins the equality). Plan shape: ONE doc_id equi-join
+    * against the bucketed label store — no pairwise stage, no data-volume
+    * collect.
+    */
+  def curationVerdicts(spark: org.apache.spark.sql.SparkSession,
+    gateVerdicts: org.apache.spark.sql.DataFrame,
+    clusters: StreamingDupClusters): org.apache.spark.sql.DataFrame =
+    gateVerdicts
+      .select(col("docId").as("doc_id"), col("reason"))
+      .join(clusters.labels(spark), Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("reason") === "kept" && col("cid").isNotNull &&
+          col("cid") =!= col("doc_id"), "near_dup")
+          .otherwise(col("reason")))
+      .withColumn("rep_id", coalesce(col("cid"), col("doc_id")))
+      .select(col("doc_id"),
+        (col("reason") === "kept").cast("int").as("keep"), col("reason"),
+        graft.queries.DedupQueries.splitOf(col("rep_id")).as("split"))
 }

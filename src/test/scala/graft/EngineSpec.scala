@@ -96,6 +96,58 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(prSum - 1.0) < 1e-3, s"pagerank mass $prSum must be ~1")
   }
 
+  test("persistent catalog: a SECOND session queries warehouse and corpus by name") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-catalog").toString
+    val engine = new GraftEngine(spark, s"$base/warehouse")
+    engine.ingest.processBatch(
+      spark.createDataset(ChainFixture.generate(30)), 0L)
+    engine.registerCatalog(prefix = "cat_")
+    queries.CorpusSurface.mountCatalog(spark, sf0001, prefix = "ccat_")
+
+    // a FRESH session (no temp views, no Scala mounts, no memos) — the
+    // catalog alone must resolve every table/view by name
+    val s2 = spark.newSession()
+    assert(s2.catalog.tableExists("cat_blocks"))
+    // external entity table == facade
+    assert(s2.sql("SELECT count(*) FROM cat_blocks").head.getLong(0) ==
+      engine.tables.blocks.count())
+    // catalog VIEW over external tables (always fresh)
+    assert(s2.sql("SELECT count(*) FROM cat_utxo_live").head.getLong(0) ==
+      engine.utxos.count())
+    // the MVCC pin as a catalog view over the manifest == the Scala frame,
+    // value-for-value (hash of the sorted box set, not just the count)
+    val viaSql = s2.sql(
+      "SELECT boxId, ergValue FROM cat_utxo ORDER BY boxId")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaScala = engine.utxos.select("boxId", "ergValue").orderBy("boxId")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == viaScala)
+    // snapshot dims
+    assert(s2.sql("SELECT count(*) FROM cat_ergo_trees").head.getLong(0) ==
+      engine.tables.ergoTrees.count())
+    assert(s2.sql("SELECT count(*) FROM cat_tx_edges").head.getLong(0) ==
+      engine.txEdges.count())
+
+    // corpus twin: the snapshot verdict tables equal the batch operators
+    val cleanSql = s2.sql(
+      "SELECT doc_id, keep, reason FROM ccat_clean ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val cleanScala = SparkEntry.queries("q108_clean_export")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("keep"), r.getAs[String]("reason"))).toSeq
+    assert(cleanSql == cleanScala)
+    assert(s2.sql("SELECT count(*) FROM ccat_documents").head.getLong(0) ==
+      Tables.load(spark, sf0001, "documents").count())
+    // the pin advances on re-registration after further ingest
+    engine.ingest.processBatch(
+      spark.createDataset(ChainFixture.generate(40).drop(30)), 1L)
+    engine.registerCatalog(prefix = "cat_")
+    assert(s2.sql("SELECT count(*) FROM cat_blocks").head.getLong(0) == 40L)
+    assert(s2.sql("SELECT count(*) FROM cat_utxo").head.getLong(0) ==
+      engine.utxos.count())
+  }
+
   test("heal detects a crash between raw append and derivation and repairs it") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-heal").toString

@@ -845,6 +845,101 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("pinned labels stay readable across 3+ updates; transient frames across one") {
+    import spark.implicits._
+    val store = tmpDir("graft-pinlabels")
+    val clusters = new StreamingDupClusters(s"$store/c", buckets = 8)
+    clusters.update(Seq((10L, 11L, 0.9)).toDF("aId", "bId", "estSim"))
+    val pinned = clusters.pinnedLabels(spark)
+    val snapshot = pinned.df.as[(Long, Long)].collect().toMap
+    assert(snapshot == Map(10L -> 10L, 11L -> 10L))
+    // three further updates, each rewriting the touched label buckets —
+    // under the unpinned two-head grace the first manifest's versions
+    // would be GC'd after the second; the lease must keep them readable
+    clusters.update(Seq((11L, 12L, 0.9)).toDF("aId", "bId", "estSim"))
+    clusters.update(Seq((5L, 10L, 0.9)).toDF("aId", "bId", "estSim"))
+    clusters.update(Seq((20L, 21L, 0.9)).toDF("aId", "bId", "estSim"))
+    assert(pinned.df.as[(Long, Long)].collect().toMap == snapshot,
+      "pinned frame must keep serving its manifest's snapshot")
+    // the CURRENT view moved on (family merged down to 5, new family 20)
+    assert(clusters.labels(spark).as[(Long, Long)].collect().toMap ==
+      Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 12L -> 5L, 20L -> 20L, 21L -> 20L))
+    pinned.close()
+    // after release, the next update may GC the old manifest; the current
+    // view must stay intact
+    clusters.update(Seq((20L, 22L, 0.9)).toDF("aId", "bId", "estSim"))
+    assert(clusters.labels(spark).as[(Long, Long)].collect().toMap ==
+      Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 12L -> 5L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("terminal streaming verdict (keep, reason, split) equals batch q108 x q126 after replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingCleanExport.Doc
+    // the batch pipeline's q103/q108 blocklist and quality floor, passed
+    // verbatim to the gate (the constants are package-private by design)
+    val blocklist = Seq("slow", "drop", "slow fast", "table value", "big table")
+    val qualityMin = 0.62
+    val base = "the quick brown fox jumps over lazy dogs while " +
+      "rain falls on dusty roads tonight and nothing else moves"
+    val other = "an entirely different passage discussing catalyst " +
+      "codegen partitions shuffles joins windows aggregates and scans"
+    val docRows = Seq(
+      1L -> base, // near-dup canonical → kept
+      2L -> (base + " again"), // near-dup non-canonical → near_dup
+      3L -> other, // kept
+      4L -> "please drop this immediately right away", // blocklist
+      5L -> Seq.fill(20)("spam").mkString(" "), // quality (score 0.525)
+      6L -> "one more genuinely novel document about streams here")
+    // batch ground truth: the SAME docs as a documents table, through the
+    // real q108 and q126 operators
+    val dir = tmpDir("graft-verdict-batch")
+    docRows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val batch = SparkEntry.queries("q108_clean_export")(spark, dir)
+      .join(SparkEntry.queries("q126_cluster_split")(spark, dir)
+        .select("doc_id", "split"), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("keep"), r.getAs[String]("reason"),
+          r.getAs[String]("split")))).toMap
+
+    // streaming replay: gate verdicts (query 1) + gate→pairs→label store
+    // (query 2), fed identical batches; then the terminal composition
+    val store = tmpDir("graft-verdict-stream")
+    val clusters = new StreamingDupClusters(s"$store/c", buckets = 8)
+    val gateStream = MemoryStream[Doc]
+    val pairStream = MemoryStream[Doc]
+    val gateQuery = StreamingCleanExport
+      .gate(gateStream.toDS(), blocklist, qualityMin)
+      .writeStream.format("memory").queryName("sverdicts")
+      .outputMode("append").start()
+    val pairQuery = StreamingPipeline.cleanDupClusters(
+      pairStream.toDS(), blocklist, qualityMin, clusters, s"$store/ckpt")
+    try {
+      val batches = Seq(docRows.take(3), docRows.drop(3))
+      batches.foreach { b =>
+        val ds = b.map { case (id, t) => Doc(id, t) }
+        gateStream.addData(ds); pairStream.addData(ds)
+        gateQuery.processAllAvailable(); pairQuery.processAllAvailable()
+      }
+      val composed = StreamingPipeline.curationVerdicts(
+        spark, spark.table("sverdicts"), clusters)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("keep"), r.getAs[String]("reason"),
+            r.getAs[String]("split")))).toMap
+      assert(composed == batch,
+        s"streaming (keep, reason, split) diverged from batch:\n" +
+          s" streaming=$composed\n batch=$batch")
+      // sanity on the interesting rows, independent of the batch engine
+      assert(composed(2L)._2 == "near_dup" && composed(2L)._1 == 0)
+      assert(composed(4L)._2 == "blocklist")
+      assert(composed(5L)._2 == "quality")
+      assert(composed(1L) == ((1, "kept", composed(2L)._3)),
+        "a near-dup family shares one split by construction")
+    } finally { gateQuery.stop(); pairQuery.stop() }
+  }
+
   test("pool-state pairing tags each batch with the pool before it and tracks evictions") {
     import spark.implicits._
     def tx(id: String) = MempoolTx(id, new java.sql.Timestamp(1700000000000L), Nil, Nil)
