@@ -96,6 +96,26 @@ object DedupQueries extends QueryModule {
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     shingledDocs(s, dir).select(col("doc_id"), col("h0").as("hs"))
 
+  /** doc_id → (n, distinct shingle-hash ARRAY) — the verify-side layout
+    * for the exact set-similarity operators (q26/q59/q120): one doc_id
+    * shuffle builds both the size table and the per-doc array, and pair
+    * verification becomes a per-row `array_intersect` instead of an
+    * exploded three-way join (rows shrink from per-shingle to per-doc).
+    * Memoized per (session, sf dir) like the shingle/signature stages —
+    * dedup pipelines materialize this table once. ~n longs per doc: bounded
+    * by document length, the same order as the signature row.
+    */
+  private val arrMemo = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  Memos.register(s => arrMemo.keys.filter(_._1 eq s)
+    .foreach(k => arrMemo.remove(k).foreach(_.unpersist())))
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
+    arrMemo.getOrElseUpdate((s, dir), {
+      Memos.hook(s)
+      shingleHashes(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), collect_list(col("hs")).as("arr"))
+        .cache()
+    })
+
   /** MinHash signature via Kirsch–Mitzenmacher double hashing: two md5-based
     * hashes per shingle expand to all NumHashes functions as
     * g_k = h0 + k·(h1 mod 2^56) — same collision behaviour, 6× less md5.
@@ -143,6 +163,7 @@ object DedupQueries extends QueryModule {
     shingledDocs(s, dir).count()
     signatures(s, dir).count()
     dupLabels(s, dir).count()
+    shingleArrays(s, dir).count()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -192,7 +213,8 @@ object DedupQueries extends QueryModule {
     "q26_shingle_jaccard" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val sh = shingleHashes(s, dir)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val arrs = shingleArrays(s, dir)
+      val sz = arrs.select("doc_id", "n")
       val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       // rank within doc by (df, hs); prefix p = n − ceil(0.5·n) + 1.
       val ranked = sh.join(dfreq, "hs")
@@ -219,7 +241,7 @@ object DedupQueries extends QueryModule {
         .filter(lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) >= alpha)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      exactJaccard(cand, sh, sz)
+      exactJaccard(cand, arrs)
     }),
 
     // MinHash + LSH: 12 md5-derived min-hashes per doc, banded 3×4; docs
@@ -238,10 +260,8 @@ object DedupQueries extends QueryModule {
     // hash); no stage is all-pairs. Trades bounded recall (an LSH miss is a
     // missed pair) for linear scaling; q26 is the exact-recall form.
     "q59_jaccard_lsh_bucketed" -> ((s, dir) => {
-      val sh = shingleHashes(s, dir)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val cand = lshCandidatePairs(signatures(s, dir))
-      exactJaccard(cand, sh, sz)
+      exactJaccard(cand, shingleArrays(s, dir))
     }),
 
     // CONTAINMENT join (asymmetric Jaccard, C(A,B) = |A∩B|/|A| ≥ 0.8):
@@ -258,7 +278,8 @@ object DedupQueries extends QueryModule {
     "q120_containment" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val sh = shingleHashes(s, dir)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val arrs = shingleArrays(s, dir)
+      val sz = arrs.select("doc_id", "n")
       val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       // ONE ranked table (global (df, hs) total order within each doc)
       // feeds both join sides — the a-side prefix-restricts it, the b-side
@@ -296,12 +317,15 @@ object DedupQueries extends QueryModule {
         .filter(lit(1) + least(col("n_a") - col("r_a"),
           col("n_b") - col("r_b")) >= alpha)
         .select("a_id", "b_id").distinct()
-      val inter = cand
-        .join(sh.select(col("doc_id").as("a_id"), col("hs")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("hs")), Seq("b_id", "hs"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-      inter
-        .join(sz.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+      // verify in the doc-array layout (same round-8 move as exactJaccard):
+      // two doc_id equi-joins + one per-pair array_intersect replace the
+      // exploded three-way join + groupBy count that dominated at 10× data
+      cand
+        .join(arrs.select(col("doc_id").as("a_id"), col("n").as("n_a"),
+          col("arr").as("aa")), "a_id")
+        .join(arrs.select(col("doc_id").as("b_id"), col("arr").as("ab")), "b_id")
+        .withColumn("shared",
+          size(array_intersect(col("aa"), col("ab"))).cast("long"))
         .filter(col("shared") * 5 >= col("n_a") * 4)
         .select(col("a_id"), col("b_id"), col("n_a"), col("shared"),
           round(col("shared").cast("double") / col("n_a"), 4).as("containment"))
@@ -592,25 +616,26 @@ object DedupQueries extends QueryModule {
     }.reduce(_ unionByName _).distinct()
   }
 
-  /** Exact |A∩B|/|A∪B| ≥ 0.5 over candidate pairs only: intersections are
-    * counted with keyed joins on (doc, shingle hash) — cost is
-    * Σ_candidates |A|, never corpus².
+  /** Exact |A∩B|/|A∪B| ≥ 0.5 over candidate pairs only, verified in the
+    * DOC-ARRAY layout ([[shingleArrays]]): two doc_id equi-joins attach
+    * each side's shingle-hash array, and the intersection is one codegen'd
+    * `array_intersect` per pair — cost is Σ_candidates |A|, never corpus².
+    * (Round 8: replaced the exploded three-way join + groupBy count, whose
+    * per-shingle rows made the verify stage the dominant shuffle at 10×
+    * data — the array form moves the same Σ|A| work out of the shuffle and
+    * into per-row columnar compute.)
     */
-  private def exactJaccard(cand: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
-    val inter = cand
-      .join(sh.as("xa"), col("a_id") === col("xa.doc_id"))
-      .join(sh.as("xb"),
-        col("b_id") === col("xb.doc_id") && col("xa.hs") === col("xb.hs"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
-      .join(sz.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+  private def exactJaccard(cand: DataFrame, arrs: DataFrame): DataFrame =
+    cand
+      .join(arrs.select(col("doc_id").as("a_id"), col("n").as("na"),
+        col("arr").as("aa")), "a_id")
+      .join(arrs.select(col("doc_id").as("b_id"), col("n").as("nb"),
+        col("arr").as("ab")), "b_id")
+      .withColumn("c", size(array_intersect(col("aa"), col("ab"))).cast("long"))
       .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
-  }
 
   /** doc_id → 32-bit simhash over distinct 3-gram shingles. */
   private def simhashed(s: SparkSession, dir: String): DataFrame = {
