@@ -84,8 +84,12 @@ object DedupQueries extends QueryModule {
       graft.functions.WordShinglesExpression.register(s)
       docs(s, dir)
         .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("s"))
-        .withColumn("h0", hash64(col("s"), 0))
-        .withColumn("h1c", hash64(col("s"), 1) % DoubleHashMod)
+        // cache ONLY (doc_id, h0, h1c): no consumer reads the 3-word
+        // string itself, and dropping it shrinks the cached table ~3× —
+        // at 100× bench data the fat form no longer fit storage memory,
+        // and its eviction made every consumer re-pay the md5 kernel
+        .select(col("doc_id"), hash64(col("s"), 0).as("h0"),
+          (hash64(col("s"), 1) % DoubleHashMod).as("h1c"))
         .cache()
     })
 

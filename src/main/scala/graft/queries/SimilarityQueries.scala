@@ -58,24 +58,61 @@ object SimilarityQueries extends QueryModule {
     * Ties break by (rounded distance, c_id) via struct ordering, mirroring
     * the oracle's rank exactly.
     */
-  private def lloydAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val centArr = cent
-      .withColumn("cc", dotNative(col("cv"), col("cv")))
-      .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as("cs"))
-    def d2of(c: Column): Column =
-      col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv")) + c.getField("cc")
-    e.withColumn("vv", dotNative(col("v"), col("v")))
-      .crossJoin(broadcast(centArr))
-      // two-pass transform: HOF lambdas are interpreted (no common-
-      // subexpression elimination), so naming d2 in a first pass halves the
-      // dot products vs repeating d2of inside one struct
-      .withColumn("d2s", transform(col("cs"), c =>
-        struct(d2of(c).as("d2"), c.getField("c_id").as("c_id"))))
-      .withColumn("best", array_min(transform(col("d2s"), x =>
-        struct(round(x.getField("d2"), 6).as("rd2"), x.getField("c_id").as("c_id"),
-          x.getField("d2").as("d2")))))
-      .select(col("vec_id"), col("v"),
-        col("best.c_id").as("c_id"), col("best.d2").as("d2"))
+  private def lloydAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    assignCompiled(e, cent, 1)
+
+  /** The assign kernel, compiled: centroids collect to the driver (K × dim
+    * doubles — bounded by construction) and broadcast; each partition runs
+    * a primitive loop computing the SAME arithmetic as the previous
+    * higher-order-function form — left-to-right dot products (the
+    * `vec_dot` contract), d2 = ‖v‖² − 2·v·c + ‖c‖², HALF_UP 6-dp rounding,
+    * (rd2, c_id) tie order — so outputs are bit-identical and the DuckDB
+    * oracles replay unchanged. Why mapPartitions here (the documented
+    * last-resort tier): Catalyst evaluates HOF lambdas INTERPRETED, and
+    * q113's corpus-scaled K makes the assign stage n·K = n²/ClusterSize
+    * dot products — at 100× bench data the interpretation overhead
+    * dominated the whole query (measured 34 s of a 44 s run). The kernel
+    * stays strictly map-side: broadcast centroids, no shuffle, and the
+    * n·K flop count itself is embarrassingly parallel across executors.
+    */
+  private def assignCompiled(e: DataFrame, cent: DataFrame, probes: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double], Double)] = cent.collect().map { r =>
+      val cv = r.getSeq[Double](r.fieldIndex("cv")).toArray
+      var cc = 0.0
+      var i = 0
+      while (i < cv.length) { cc += cv(i) * cv(i); i += 1 }
+      (r.getLong(r.fieldIndex("c_id")), cv, cc)
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, vs) =>
+          val v = vs.toArray
+          var vv = 0.0
+          var i = 0
+          while (i < v.length) { vv += v(i) * v(i); i += 1 }
+          val scored = new Array[(Double, Long, Double)](cs.length)
+          var k = 0
+          while (k < cs.length) {
+            val (cid, cv, cc) = cs(k)
+            var dp = 0.0
+            var j = 0
+            val n = math.min(v.length, cv.length)
+            while (j < n) { dp += v(j) * cv(j); j += 1 }
+            val d2 = vv - 2.0 * dp + cc
+            val rd2 = java.math.BigDecimal.valueOf(d2)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            scored(k) = (rd2, cid, d2)
+            k += 1
+          }
+          scored.sortBy(t => (t._1, t._2)).take(probes)
+            .iterator.map(t => (id, vs, t._2, t._3))
+        }
+      }
+      .toDF("vec_id", "v", "c_id", "d2")
   }
 
   /** Multi-probe assignment: every vector to its `probes` nearest centroids
@@ -85,21 +122,8 @@ object SimilarityQueries extends QueryModule {
     * array_sort + slice per vector, and the explode multiplies rows by
     * `probes`, never shuffles.
     */
-  private def probeAssign(e: DataFrame, cent: DataFrame, probes: Int): DataFrame = {
-    val centArr = cent
-      .withColumn("cc", dotNative(col("cv"), col("cv")))
-      .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as("cs"))
-    def d2of(c: Column): Column =
-      col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv")) + c.getField("cc")
-    e.withColumn("vv", dotNative(col("v"), col("v")))
-      .crossJoin(broadcast(centArr))
-      .withColumn("d2s", transform(col("cs"), c =>
-        struct(d2of(c).as("d2"), c.getField("c_id").as("c_id"))))
-      .withColumn("probe", explode(slice(array_sort(transform(col("d2s"), x =>
-        struct(round(x.getField("d2"), 6).as("rd2"),
-          x.getField("c_id").as("c_id")))), 1, probes)))
-      .select(col("vec_id"), col("v"), col("probe.c_id").as("c_id"))
-  }
+  private def probeAssign(e: DataFrame, cent: DataFrame, probes: Int): DataFrame =
+    assignCompiled(e, cent, probes).select("vec_id", "v", "c_id")
 
   /** Centroid update: per-(cluster, dim) mean, re-assembled into an array.
     * Components round to 9 dp so partition-order summation noise cannot
