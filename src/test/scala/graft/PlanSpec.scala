@@ -266,11 +266,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("k-means assignment broadcasts the centroids — corpus never shuffles to join") {
     val plan = planOf("q73_kmeans_train")
-    // the folded centroid array must broadcast (nested loop is correct for a
-    // conditionless 1×corpus join); the corpus must never sort-merge, and the
-    // argmin must be the array fold — no per-vector rank window (a window
-    // would shuffle the whole corpus by vec_id each assignment)
-    assert(plan.contains("BroadcastNestedLoopJoin"), s"centroids must broadcast:\n$plan")
+    // round 8: assignment is the compiled broadcast-centroid MapPartitions
+    // kernel (centroids ride a broadcast variable, invisible to the plan) —
+    // the corpus must never sort-merge-join and the argmin must never be a
+    // per-vector rank window (a window would shuffle the whole corpus by
+    // vec_id each assignment); the ONLY exchanges allowed are the K-row
+    // aggregations after per-partition combining
+    assert(plan.contains("MapPartitions graft.queries.SimilarityQueries"),
+      s"assignment must be the compiled map-side kernel:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$plan")
     assert(!plan.contains("Window"), s"assignment must not window-shuffle the corpus:\n$plan")
   }
