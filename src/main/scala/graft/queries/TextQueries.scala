@@ -14,6 +14,45 @@ import org.apache.spark.sql.functions._
   * shuffle except the final aggregations. Per-doc outputs shuffle nothing at
   * all until the (tiny) presentation sort.
   */
+/** Shared symbolic 4×4 determinant builder for the q128 probe solve: ONE
+  * expression structure instantiated over Doubles (the Spark driver's
+  * Cramer solve) and over SQL text (the DuckDB oracle's solve), so both
+  * engines evaluate the identical parse tree — identical IEEE doubles
+  * (neither engine reassociates floating-point arithmetic).
+  */
+private[queries] object ProbeDet {
+  trait Alg[T] {
+    def add(x: T, y: T): T; def sub(x: T, y: T): T; def mul(x: T, y: T): T
+  }
+  object DblAlg extends Alg[Double] {
+    def add(x: Double, y: Double): Double = x + y
+    def sub(x: Double, y: Double): Double = x - y
+    def mul(x: Double, y: Double): Double = x * y
+  }
+  object SqlAlg extends Alg[String] {
+    def add(x: String, y: String): String = s"($x + $y)"
+    def sub(x: String, y: String): String = s"($x - $y)"
+    def mul(x: String, y: String): String = s"($x * $y)"
+  }
+
+  /** Cofactor expansion along row 0 with a FIXED operation order:
+    * det = (e00·M00 + e02·M02) − (e01·M01 + e03·M03).
+    */
+  def det4[T](e: (Int, Int) => T)(alg: Alg[T]): T = {
+    import alg._
+    def d3(c: Seq[Int]): T = {
+      def m(i: Int, j: Int) = e(i + 1, c(j))
+      sub(add(mul(m(0, 0), sub(mul(m(1, 1), m(2, 2)), mul(m(1, 2), m(2, 1)))),
+        mul(m(0, 2), sub(mul(m(1, 0), m(2, 1)), mul(m(1, 1), m(2, 0))))),
+        mul(m(0, 1), sub(mul(m(1, 0), m(2, 2)), mul(m(1, 2), m(2, 0)))))
+    }
+    sub(add(mul(e(0, 0), d3(Seq(1, 2, 3))),
+      mul(e(0, 2), d3(Seq(0, 1, 3)))),
+      add(mul(e(0, 1), d3(Seq(0, 2, 3))),
+        mul(e(0, 3), d3(Seq(0, 1, 2)))))
+  }
+}
+
 object TextQueries extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -762,8 +801,81 @@ object TextQueries extends QueryModule {
         graft.functions.PiiFunctions.countIps(col("text")).as("n_ip"),
         md5(graft.functions.PiiFunctions.maskPii(col("text"))).as("masked_fp"))
         .orderBy("doc_id")
+    }),
+
+    // MODEL-IN-THE-LOOP QUALITY PROBE (the fastText/DSIR-style curation
+    // move, in its linear form): TRAIN a classifier that distills the
+    // hand-written quality rule (q108's keep floor as the weak teacher)
+    // into a learned linear scorer over cheap per-doc features, then score
+    // the held-out half of the corpus with the learned weights. Training
+    // is CLASS-BALANCED weighted least squares solved in closed form:
+    // ONE moments pass over the train split (the 14 entries of the 4×4
+    // weighted Gram matrix + moment vector, map-side-combined aggregates,
+    // each rounded to 9 dp) and a Cramer's-rule normal-equation solve —
+    // iteration-free, so the fit is exact regardless of feature
+    // conditioning (this Gram matrix's condition number is ~10³; a
+    // gradient loop needed thousands of steps to match it). Classes are
+    // reweighted to half the loss mass each — the teacher keeps ~93 % of
+    // docs, so unweighted LS collapses to the base-rate predictor.
+    // Training costs one corpus scan at ANY scale, and only 14 doubles
+    // ever reach the driver. The determinant expressions are GENERATED
+    // from one shared symbolic builder for both engines, so the DuckDB
+    // oracle replays the entire solve — weighted model TRAINING under the
+    // correctness gate.
+    "q128_quality_probe" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val nTok = size(tk).cast("double")
+      val feat = docs(s, dir).select(
+        col("doc_id"),
+        round(size(array_distinct(tk)).cast("double") / nTok, 4).as("f1"),
+        round(size(filter(tk, t => t.isin("the", "a"))).cast("double") / nTok, 4).as("f2"),
+        round(least(nTok, lit(200.0)) / 200, 4).as("f3"),
+        when(round(qualityScore(tk), 4) >= ProbeTeacherMin, 1.0)
+          .otherwise(0.0).as("y"))
+      val train0 = feat.filter(col("doc_id") % 2 === 0)
+      // class priors + feature means (centering conditions the solve's
+      // determinants; exact-count weights balance the classes)
+      val c = train0.agg(count(lit(1)), sum(col("y").cast("long")),
+        round(avg("f1"), 4), round(avg("f2"), 4), round(avg("f3"), 4)).head()
+      val (nTr, n1) = (c.getLong(0), c.getLong(1))
+      val mu = Array(c.getDouble(2), c.getDouble(3), c.getDouble(4))
+      val wt = when(col("y") === 1.0, lit(nTr.toDouble / (2.0 * n1)))
+        .otherwise(lit(nTr.toDouble / (2.0 * (nTr - n1))))
+      val xs = Seq(lit(1.0), col("f1") - mu(0), col("f2") - mu(1),
+        col("f3") - mu(2))
+      // one pass: upper-triangle Gram moments a_ij = avg(wt·x_i·x_j) and
+      // the target moments b_i = avg(wt·y·x_i)
+      val momCols =
+        (for { i <- 0 to 3; j <- i to 3 }
+          yield round(avg(wt * xs(i) * xs(j)), 9)) ++
+          (0 to 3).map(i => round(avg(wt * col("y") * xs(i)), 9))
+      val m = train0.agg(momCols.head, momCols.tail: _*).head()
+      val upper = (for { i <- 0 to 3; j <- i to 3 } yield (i, j)).zipWithIndex.toMap
+      def a(i: Int, j: Int): Double =
+        m.getDouble(upper(if (i <= j) (i, j) else (j, i)))
+      def b(i: Int): Double = m.getDouble(10 + i)
+      // Cramer over the same generated determinant structure the oracle
+      // uses (identical operation order ⇒ identical doubles)
+      val detA = ProbeDet.det4((i, j) => a(i, j))(ProbeDet.DblAlg)
+      val w = Array.tabulate(4) { k =>
+        val dk = ProbeDet.det4((i, j) => if (j == k) b(i) else a(i, j))(ProbeDet.DblAlg)
+        java.math.BigDecimal.valueOf(dk / detA)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      val yhat = round(lit(w(0)) + lit(w(1)) * (col("f1") - mu(0)) +
+        lit(w(2)) * (col("f2") - mu(1)) + lit(w(3)) * (col("f3") - mu(2)), 4)
+      feat.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), yhat.as("yhat"),
+          (yhat >= 0.5).cast("int").as("pred"),
+          col("y").cast("int").as("label"))
+        .orderBy("doc_id")
     })
   )
+
+  // q128 probe hyperparameters: the weak teacher is q108's keep floor
+  // (0.62 — restated here, the shared constant is package-private to
+  // DedupQueries by design).
+  private val ProbeTeacherMin = 0.62
 
 
   /** GPT-2-style pre-tokenizer regex, restricted to constructs Java regex
@@ -1269,6 +1381,53 @@ object TextQueries extends QueryModule {
              '$phone', '<PHONE>', 'g'),
              '$ip', '<IP>', 'g')) AS masked_fp
          FROM planted ORDER BY doc_id"""
+    },
+    // The PROBE TRAINING replayed in SQL: the moments pass and the
+    // Cramer's-rule normal-equation solve, with the determinant text
+    // generated from the SAME symbolic builder the Spark driver evaluates.
+    "q128_quality_probe" -> {
+      val xsSql = Seq("1.0", "x1", "x2", "x3")
+      val moms =
+        (for { i <- 0 to 3; j <- i to 3 }
+          yield s"round(avg(wt * ${xsSql(i)} * ${xsSql(j)}), 9) AS a$i$j") ++
+          (0 to 3).map(i => s"round(avg(wt * y * ${xsSql(i)}), 9) AS b$i")
+      def aName(i: Int, j: Int) = s"a${math.min(i, j)}${math.max(i, j)}"
+      val detA = ProbeDet.det4((i, j) => aName(i, j))(ProbeDet.SqlAlg)
+      val ws = (0 to 3).map { k =>
+        val dk = ProbeDet.det4(
+          (i, j) => if (j == k) s"b$i" else aName(i, j))(ProbeDet.SqlAlg)
+        s"round(($dk) / ($detA), 9) AS w$k"
+      }
+      s"""WITH feat AS MATERIALIZED (
+           SELECT doc_id,
+             round(n_uniq / n_tokens, 4) AS f1,
+             round(n_stop / n_tokens, 4) AS f2,
+             round(least(n_tokens, 200) / 200, 4) AS f3,
+             CASE WHEN round(0.5 * (n_uniq / n_tokens)
+                         + 0.5 * (1.0 - n_stop / n_tokens), 4) >= $ProbeTeacherMin
+                  THEN 1.0 ELSE 0.0 END AS y
+           FROM (SELECT doc_id,
+                   CAST(len(tk) AS DOUBLE) AS n_tokens,
+                   CAST(len(list_distinct(tk)) AS DOUBLE) AS n_uniq,
+                   CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop
+                 FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+                       FROM documents))),
+         pri AS (SELECT CAST(count(*) AS DOUBLE) AS nt,
+                        CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) AS n1,
+                        round(avg(f1), 4) AS m1, round(avg(f2), 4) AS m2,
+                        round(avg(f3), 4) AS m3
+                 FROM feat WHERE doc_id % 2 = 0),
+         trx AS (SELECT f1 - m1 AS x1, f2 - m2 AS x2, f3 - m3 AS x3, y,
+                        CASE WHEN y = 1.0 THEN nt / (2.0 * n1)
+                             ELSE nt / (2.0 * (nt - n1)) END AS wt
+                 FROM feat, pri WHERE doc_id % 2 = 0),
+         mom AS (SELECT ${moms.mkString(",\n           ")} FROM trx),
+         w AS (SELECT ${ws.mkString(",\n           ")} FROM mom)
+         SELECT doc_id,
+           round(w0 + w1*(f1-m1) + w2*(f2-m2) + w3*(f3-m3), 4) AS yhat,
+           CAST(round(w0 + w1*(f1-m1) + w2*(f2-m2) + w3*(f3-m3), 4) >= 0.5 AS INT) AS pred,
+           CAST(y AS INT) AS label
+         FROM feat, pri, w WHERE doc_id % 2 = 1 ORDER BY doc_id"""
     }
   )
 }

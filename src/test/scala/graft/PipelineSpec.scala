@@ -746,8 +746,34 @@ class PipelineSpec extends AnyFunSuite {
     // The NTZ→Timestamp cast is only lossless vs the DuckDB oracle under a
     // UTC session; a silent shift would corrupt every temporal query.
     import org.apache.spark.sql.types.TimestampNTZType
-    val isNtz = spark.read.parquet(s"$sf001/events.parquet")
+    val isNtz0 = spark.read.parquet(s"$sf001/events.parquet")
       .schema("ts").dataType == TimestampNTZType
+    assertNtzLoadGuard(isNtz0)
+  }
+
+  test("q128 probe distills the quality teacher: full minority recall, wide separation") {
+    import org.apache.spark.sql.functions._
+    val d = SparkEntry.queries("q128_quality_probe")(spark, sf001).cache()
+    try {
+      val n = d.count()
+      assert(n > 0 && n < 500, "held-out half only")
+      val acc = d.filter(col("pred") === col("label")).count().toDouble / n
+      assert(acc >= 0.8, s"held-out accuracy $acc must beat 0.8")
+      // the class-balanced solve must catch EVERY teacher-rejected doc —
+      // an unbalanced fit collapses to the ~93% base-rate predictor and
+      // fails exactly this
+      val low = d.filter(col("label") === 0)
+      assert(low.count() > 0, "corpus must contain teacher-rejected docs")
+      assert(low.filter(col("pred") =!= 0).count() == 0,
+        "every low-quality doc must be flagged")
+      // learned scores separate the classes by a wide margin
+      val m1 = d.filter(col("label") === 1).agg(avg("yhat")).head.getDouble(0)
+      val m0 = low.agg(avg("yhat")).head.getDouble(0)
+      assert(m1 > m0 + 0.3, s"score separation too small: $m1 vs $m0")
+    } finally d.unpersist()
+  }
+
+  private def assertNtzLoadGuard(isNtz: Boolean): Unit = {
     assume(isNtz, "current testdata generation stores NTZ")
     val key = "spark.sql.session.timeZone"
     val saved = spark.conf.get(key)
