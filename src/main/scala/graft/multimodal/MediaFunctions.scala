@@ -14,20 +14,25 @@ import java.security.MessageDigest
   * executor-local decoding, fixed-width embedding output ready for the
   * similarity operators (q31/q32).
   *
-  * CODEC STATUS (rounds 7–8): the JDK itself ships two real codecs, and
-  * both are wired in — `javax.imageio.ImageIO` for images (PNG/JPEG/GIF/
-  * BMP, headless-safe; round 7) and `javax.sound.sampled.AudioSystem` for
-  * audio (WAV/PCM incl. 8-bit and big-endian via format conversion; round
-  * 8). [[decodeHeader]] magic-sniffs the payload: GRFT containers parse
-  * synthetically, RIFF/WAVE routes through AudioSystem (real sample
-  * decode, naive-decimation downsample in the resize stage, amplitude-
-  * histogram embedding from real PCM), anything else through ImageIO —
-  * both real paths exercised on actual PNG/WAV bytes by MultimodalSpec.
-  * VIDEO is the one genuinely environment-bound kind (probe: no javacv/
-  * ffmpeg on the offline classpath, and the JDK has no video codec), so
-  * it parses this repo's deterministic GRFT container; the plug point
-  * (these same per-batch slots) takes an ffmpeg binding with no signature
-  * or plan-shape change.
+  * CODEC STATUS (rounds 7–8): every media kind now has a REAL JDK-codec
+  * path, magic-sniffed per payload —
+  *  - IMAGES via `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP; decode,
+  *    Graphics2D rescale, luminance-histogram embedding; round 7);
+  *  - AUDIO via `javax.sound.sampled.AudioSystem` (WAV/PCM incl. 8-bit
+  *    and big-endian via format conversion; decimation downsample,
+  *    amplitude-histogram embedding from real samples; round 8);
+  *  - VIDEO via ImageIO's MULTI-FRAME GIF support (animated GIF — the one
+  *    video container the JDK genuinely decodes): real per-frame
+  *    rasterization for [[sampleFrames]], per-frame spatial rescale
+  *    re-encoded as multi-frame GIF for [[resize]], and a
+  *    pooled-across-frames luminance histogram for [[embed]] (round 8).
+  * All three real paths are exercised on actual PNG/WAV/GIF bytes by
+  * MultimodalSpec. The deterministic GRFT container remains only as the
+  * oracle fixture format and for codecs the environment lacks (probe:
+  * javacv/ffmpeg absent, so e.g. MP4/H.264 has no decoder here); the plug
+  * point — these same per-batch slots — takes an ffmpeg binding with no
+  * signature or plan-shape change. GIF caveat, documented: frames decode
+  * as stored (no disposal-method compositing of patch frames).
   */
 object MediaFunctions {
 
@@ -42,6 +47,44 @@ object MediaFunctions {
     content.length >= 12 &&
       new String(content, 0, 4, StandardCharsets.US_ASCII) == "RIFF" &&
       new String(content, 8, 4, StandardCharsets.US_ASCII) == "WAVE"
+
+  private def isGif(content: Array[Byte]): Boolean =
+    content.length >= 6 &&
+      new String(content, 0, 4, StandardCharsets.US_ASCII) == "GIF8"
+
+  /** Real multi-frame decode through the JDK's GIF codec (animated GIF is
+    * the one VIDEO container ImageIO genuinely decodes): every frame
+    * rasterized in order. Limitation (documented plug point): frames are
+    * decoded as stored — no disposal-method compositing, so patch-frame
+    * GIFs yield the patches, not the composited screen; a full video
+    * binding (ffmpeg) replaces this slot with no signature change.
+    */
+  private def readGifFrames(content: Array[Byte]): Vector[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no GIF reader available")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try (0 until reader.getNumImages(true)).map(reader.read).toVector
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
+  private def writeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), writer.getDefaultWriteParam))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
 
   private def readImage(content: Array[Byte]): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
@@ -119,24 +162,39 @@ object MediaFunctions {
       val bins = new Array[Float](EmbeddingDim)
       samples.foreach { s => bins(((s + 32768) * EmbeddingDim) >>> 16) += 1f }
       bins.map(_ / math.max(samples.length, 1).toFloat)
+    } else if (isGif(content)) {
+      // video descriptor: luminance histogram POOLED across all decoded
+      // frames (the temporal mean of the per-frame image descriptor)
+      val bins = new Array[Float](EmbeddingDim)
+      var total = 0L
+      readGifFrames(content).foreach(img => total += lumInto(img, bins))
+      bins.map(_ / math.max(total, 1L).toFloat)
     } else {
       val img = readImage(content)
       val bins = new Array[Float](EmbeddingDim)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          bins(lum * EmbeddingDim / 256) += 1f
-          x += 1
-        }
-        y += 1
-      }
-      val n = (img.getWidth * img.getHeight).toFloat
+      val n = lumInto(img, bins).toFloat
       bins.map(_ / n)
     }
+
+  /** Accumulate the luminance histogram of one raster; returns its pixel
+    * count (shared by the image descriptor and the pooled video form).
+    */
+  private def lumInto(img: java.awt.image.BufferedImage,
+    bins: Array[Float]): Long = {
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        bins(lum * EmbeddingDim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    img.getWidth.toLong * img.getHeight
+  }
 
   /** Decode stage: one header parse per row, batched per partition. */
   def decodeFrames(media: Dataset[MediaRow]): Dataset[DecodedFrame] = {
@@ -214,6 +272,25 @@ object MediaFunctions {
                 sampleRate = outRate.toInt))
           }
           else if (m.kind == "audio") m
+          else if (isGif(m.content)) {
+            // real VIDEO spatial rescale: every frame through the
+            // Graphics2D codec, re-encoded as a multi-frame GIF through
+            // the same JDK writer (a generic image route would silently
+            // decode frame 0 and drop the rest)
+            val frames = readGifFrames(m.content)
+            val scaled = frames.map { img =>
+              val (rw, rh) = (math.max(img.getWidth / factor, 1),
+                math.max(img.getHeight / factor, 1))
+              val out = new java.awt.image.BufferedImage(rw, rh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try g.drawImage(img, 0, 0, rw, rh, null) finally g.dispose()
+              out
+            }
+            m.copy(content = writeGif(scaled),
+              meta = m.meta.copy(mimeType = "image/gif",
+                width = scaled.head.getWidth, height = scaled.head.getHeight))
+          }
           else if (!isGrft(m.content)) {
             val img = readImage(m.content)
             val (rw, rh) = (math.max(img.getWidth / factor, 1),
@@ -247,15 +324,27 @@ object MediaFunctions {
     }
   }
 
-  /** Frame sampling for video kind: every `stride`-th synthetic frame of the
-    * container (a real impl seeks keyframes; same output shape).
+  /** Frame sampling for video kind. GIF containers: REAL frames through
+    * the JDK codec, every `stride`-th frame with its true raster
+    * dimensions (`nBytes` reports the decoded raster's pixel count). GRFT
+    * containers: every `stride`-th synthetic frame (a real impl seeks
+    * keyframes; same output shape).
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val (w, h) = decodeHeader(m.content)
-      val nFrames = math.max(1, (m.content.length - 13) / 16)
-      (0 until nFrames by stride).map(i => DecodedFrame(m.mediaId, i, w, h, 16))
+      if (isGif(m.content)) {
+        val frames = readGifFrames(m.content)
+        (0 until frames.length by stride).map { i =>
+          val f = frames(i)
+          DecodedFrame(m.mediaId, i, f.getWidth, f.getHeight,
+            f.getWidth * f.getHeight)
+        }
+      } else {
+        val (w, h) = decodeHeader(m.content)
+        val nFrames = math.max(1, (m.content.length - 13) / 16)
+        (0 until nFrames by stride).map(i => DecodedFrame(m.mediaId, i, w, h, 16))
+      }
     }
   }
 }

@@ -161,6 +161,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2000L).toSeq != feats(2001L).toSeq)
   }
 
+  test("real video codec: animated GIFs sample, resize, and embed frame-by-frame") {
+    import spark.implicits._
+    // a real multi-frame GIF generated through the JDK sequence writer
+    def gif(w: Int, h: Int, nFrames: Int, seed: Int): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h)
+          img.setRGB(x, y, (x * 31 + y * 17 + f * 101 + seed * 7919) & 0xffffff)
+        img
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(fr => writer.writeToSequence(
+          new javax.imageio.IIOImage(fr, null, null), writer.getDefaultWriteParam))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val rows = spark.createDataset(Seq(
+      MediaRow(3000L, "video", gif(32, 24, 9, 1), MediaMeta("image/gif", 32, 24, -1, 900L)),
+      MediaRow(3001L, "video", gif(48, 32, 5, 2), MediaMeta("image/gif", 48, 32, -1, 500L))))
+
+    // frame sampling: REAL decoded frames, every 4th, true raster dims
+    val frames = MediaFunctions.sampleFrames(rows, stride = 4).collect()
+      .groupBy(_.mediaId).view.mapValues(_.sortBy(_.frameIndex)).toMap
+    assert(frames(3000L).map(_.frameIndex).toSeq == Seq(0, 4, 8))
+    assert(frames(3001L).map(_.frameIndex).toSeq == Seq(0, 4))
+    assert(frames(3000L).forall(f => f.width == 32 && f.height == 24))
+
+    // resize: a real per-frame rescale re-encoded as a MULTI-FRAME gif —
+    // re-decode independently and check frame count and rasters
+    MediaFunctions.resize(rows, 2).collect().foreach { r =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val f0 = reader.read(0)
+      reader.dispose(); iis.close()
+      val orig = if (r.mediaId == 3000L) (9, 32, 24) else (5, 48, 32)
+      assert(n == orig._1, s"media ${r.mediaId}: frame count must survive resize")
+      assert(f0.getWidth == orig._2 / 2 && f0.getHeight == orig._3 / 2)
+      assert(r.meta.width == orig._2 / 2 && r.meta.height == orig._3 / 2)
+    }
+
+    // embed: pooled-across-frames histogram — L1-normalized, content-
+    // sensitive
+    val feats = MediaFunctions.extractFeatures(rows).collect()
+      .map(f => f.mediaId -> f.embedding).toMap
+    feats.values.foreach { e =>
+      assert(e.length == MediaFunctions.EmbeddingDim)
+      assert(math.abs(e.sum - 1.0f) < 1e-3, "pooled histogram must be L1-normalized")
+    }
+    assert(feats(3000L).toSeq != feats(3001L).toSeq)
+
+    // decode: header parse = frame-0 raster dimensions
+    val decoded = MediaFunctions.decodeFrames(rows).collect()
+      .map(d => d.mediaId -> ((d.width, d.height))).toMap
+    assert(decoded == Map(3000L -> ((32, 24)), 3001L -> ((48, 32))))
+  }
+
   test("token_count matches size(split) on real documents and edge cases") {
     TokenCountExpression.register(spark)
     val docs = Tables.load(spark, sf0001, "documents")
