@@ -48,17 +48,47 @@ object PiiFunctions {
   private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
   val IpRe: String = s"\\b$Octet\\.$Octet\\.$Octet\\.$Octet\\b"
 
+  /** US SSN, strict 3-2-4 dashed shape (the dashless 9-digit run is
+    * indistinguishable from an id and deliberately not matched). Disjoint
+    * from every phone shape (those all need a 3-digit middle group).
+    */
+  val SsnRe: String = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Payment-card numbers, 4×4 with uniform space/dash separators (the
+    * standard embossed grouping; bare 16-digit runs are id-ambiguous and
+    * not matched). Amex-style 4-6-5 is included. Uniformity is enforced
+    * by ENUMERATING the separator variants — RE2 has no backreferences,
+    * so `([ -])...\1` is outside the Java∩RE2 contract. Disjoint from
+    * phones (no 4-digit leading group there) and from SSNs.
+    */
+  val CardRe: String =
+    "\\b[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}\\b" +
+      "|\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b" +
+      "|\\b[0-9]{4} [0-9]{6} [0-9]{5}\\b" +
+      "|\\b[0-9]{4}-[0-9]{6}-[0-9]{5}\\b"
+
   def countEmails(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
   def countPhones(text: Column): Column =
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long")
   def countIps(text: Column): Column =
     size(regexp_extract_all(text, lit(IpRe), lit(0))).cast("long")
+  def countSsns(text: Column): Column =
+    size(regexp_extract_all(text, lit(SsnRe), lit(0))).cast("long")
+  def countCards(text: Column): Column =
+    size(regexp_extract_all(text, lit(CardRe), lit(0))).cast("long")
 
-  /** Global mask with typed placeholders; pure codegen'd column work. */
+  /** Global mask with typed placeholders; pure codegen'd column work.
+    * Order (part of the contract): emails, then cards (before phones —
+    * both are digit groups, and cards are the longer match), then SSNs,
+    * then phones, then IPv4s.
+    */
   def maskPii(text: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(text,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      text,
       lit(EmailRe), lit("<EMAIL>")),
+      lit(CardRe), lit("<CARD>")),
+      lit(SsnRe), lit("<SSN>")),
       lit(PhoneRe), lit("<PHONE>")),
       lit(IpRe), lit("<IP>"))
 }

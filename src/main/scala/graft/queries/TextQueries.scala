@@ -793,12 +793,22 @@ object TextQueries extends QueryModule {
           lit(" build 999."), (id * 5 % 256).cast("string"),
           lit("."), (id * 11 % 256).cast("string"),
           lit("."), (id * 3 % 256).cast("string"),
+          lit(" ssn "), (lit(100) + id % 900).cast("string"),
+          lit("-"), (lit(10) + id % 90).cast("string"),
+          lit("-"), (lit(1000) + id * 7 % 9000).cast("string"),
+          lit(" card "), (lit(1000) + id * 3 % 9000).cast("string"),
+          lit(" "), (lit(1000) + id * 11 % 9000).cast("string"),
+          lit(" "), (lit(1000) + id * 13 % 9000).cast("string"),
+          lit(" "), (lit(1000) + id * 17 % 9000).cast("string"),
+          lit(" order 1234-56-789 batch 1111 2222 3333"),
           lit(" range 2023-2024 ref 12345678")).as("text"))
       planted.select(
         col("doc_id"),
         graft.functions.PiiFunctions.countEmails(col("text")).as("n_email"),
         graft.functions.PiiFunctions.countPhones(col("text")).as("n_phone"),
         graft.functions.PiiFunctions.countIps(col("text")).as("n_ip"),
+        graft.functions.PiiFunctions.countSsns(col("text")).as("n_ssn"),
+        graft.functions.PiiFunctions.countCards(col("text")).as("n_card"),
         md5(graft.functions.PiiFunctions.maskPii(col("text"))).as("masked_fp"))
         .orderBy("doc_id")
     }),
@@ -1349,6 +1359,8 @@ object TextQueries extends QueryModule {
       val email = graft.functions.PiiFunctions.EmailRe
       val phone = graft.functions.PiiFunctions.PhoneRe
       val ip = graft.functions.PiiFunctions.IpRe
+      val ssn = graft.functions.PiiFunctions.SsnRe
+      val card = graft.functions.PiiFunctions.CardRe
       s"""WITH planted AS (SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR) ||
                '@mail.example.com call (' ||
@@ -1370,14 +1382,27 @@ object TextQueries extends QueryModule {
                ' build 999.' || CAST(doc_id * 5 % 256 AS VARCHAR) || '.' ||
                CAST(doc_id * 11 % 256 AS VARCHAR) || '.' ||
                CAST(doc_id * 3 % 256 AS VARCHAR) ||
+               ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||
+               CAST(10 + doc_id % 90 AS VARCHAR) || '-' ||
+               CAST(1000 + doc_id * 7 % 9000 AS VARCHAR) ||
+               ' card ' || CAST(1000 + doc_id * 3 % 9000 AS VARCHAR) || ' ' ||
+               CAST(1000 + doc_id * 11 % 9000 AS VARCHAR) || ' ' ||
+               CAST(1000 + doc_id * 13 % 9000 AS VARCHAR) || ' ' ||
+               CAST(1000 + doc_id * 17 % 9000 AS VARCHAR) ||
+               ' order 1234-56-789 batch 1111 2222 3333' ||
                ' range 2023-2024 ref 12345678' AS text
            FROM documents)
          SELECT doc_id,
            CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
            CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
+           CAST(len(regexp_extract_all(text, '$ssn')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '$card')) AS BIGINT) AS n_card,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(text,
              '$email', '<EMAIL>', 'g'),
+             '$card', '<CARD>', 'g'),
+             '$ssn', '<SSN>', 'g'),
              '$phone', '<PHONE>', 'g'),
              '$ip', '<IP>', 'g')) AS masked_fp
          FROM planted ORDER BY doc_id"""

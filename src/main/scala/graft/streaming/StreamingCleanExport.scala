@@ -41,7 +41,7 @@ object StreamingCleanExport {
     * composition surface: downstream incremental stages (near-dup pairing,
     * feature extraction) consume the KEPT stream without a stream-stream
     * join back to the source. `maskPii = true` additionally scrubs
-    * emails/phones/IPs from the carried text (the q124 kernel — stateless
+    * emails/cards/SSNs/phones/IPs from the carried text (the q124 kernel — stateless
     * per-row column work, so it adds nothing to the gate's state or
     * shuffle): dedup fingerprints are computed over the ORIGINAL text
     * (two docs differing only in contact details are near-dups, not exact

@@ -76,6 +76,35 @@ class PiiSpec extends AnyFunSuite {
     assert(counts("five 1.2.3.4.5 parts")._3 == 1L)
   }
 
+  private def countSC(text: String): (Long, Long) = {
+    import spark.implicits._
+    val r = Seq(text).toDF("t")
+      .select(countSsns(col("t")), countCards(col("t"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("ssn positives and negatives") {
+    assert(countSC("ssn 123-45-6789 on file") == ((1L, 0L)))
+    assert(masked("ssn 123-45-6789 on file") == "ssn <SSN> on file")
+    assert(countSC("call 123-456-7890 phone-shaped")._1 == 0L)
+    assert(countSC("id 1234-56-7890 overlong")._1 == 0L)
+    assert(countSC("id 123-45-67890 overlong-serial")._1 == 0L)
+    assert(countSC("bare 123456789 nine-digits")._1 == 0L)
+  }
+
+  test("card positives and negatives") {
+    assert(countSC("pay 1234 5678 9012 3456 now")._2 == 1L)
+    assert(countSC("pay 1234-5678-9012-3456 now")._2 == 1L)
+    assert(countSC("amex 3714 496353 98431 now")._2 == 1L)
+    assert(masked("pay 1234 5678 9012 3456 now") == "pay <CARD> now")
+    assert(countSC("mixed 1234 5678-9012 3456 separators")._2 == 0L)
+    assert(countSC("bare 1234567890123456 run")._2 == 0L)
+    assert(countSC("short 1111 2222 3333 groups")._2 == 0L)
+    // a dashed card must mask as ONE card, not leak an SSN/phone fragment
+    val m = masked("pay 1234-5678-9012-3456 now")
+    assert(m == "pay <CARD> now", m)
+  }
+
   test("masking order and placeholder integrity on mixed text") {
     val text = "mail bob@h10.example.com or (555) 123-4567 / +4915123456789 " +
       "from 172.16.254.1, build 999.1.2.3 v2.14.3 range 2023-2024"
@@ -98,11 +127,19 @@ class PiiSpec extends AnyFunSuite {
       f"${id * 37 % 1000000000L}%09d ip ${id % 256}." +
       s"${id * 31 % 256}.${id * 17 % 256}.${id * 7 % 256}" +
       s" v${id % 10}.${id % 7}.${id % 5} build 999.${id * 5 % 256}." +
-      s"${id * 11 % 256}.${id * 3 % 256} range 2023-2024 ref 12345678"
+      s"${id * 11 % 256}.${id * 3 % 256}" +
+      s" ssn ${100 + id % 900}-${10 + id % 90}-${1000 + id * 7 % 9000}" +
+      s" card ${1000 + id * 3 % 9000} ${1000 + id * 11 % 9000} " +
+      s"${1000 + id * 13 % 9000} ${1000 + id * 17 % 9000}" +
+      " order 1234-56-789 batch 1111 2222 3333" +
+      " range 2023-2024 ref 12345678"
     assert(counts(text) == ((1L, 3L, 1L)))
+    assert(countSC(text) == ((1L, 1L)))
     val m = masked(text)
     assert(m.contains("<EMAIL>") && m.contains("<IP>"))
+    assert(m.contains("<SSN>") && m.contains("<CARD>"))
     assert("<PHONE>".r.findAllIn(m).size == 3, m)
     assert(m.contains("999.") && m.contains("range 2023-2024"), m)
+    assert(m.contains("order 1234-56-789") && m.contains("batch 1111 2222 3333"), m)
   }
 }
