@@ -865,10 +865,17 @@ object TextQueries extends QueryModule {
         m.getDouble(upper(if (i <= j) (i, j) else (j, i)))
       def b(i: Int): Double = m.getDouble(10 + i)
       // Cramer over the same generated determinant structure the oracle
-      // uses (identical operation order ⇒ identical doubles)
-      val detA = ProbeDet.det4((i, j) => a(i, j))(ProbeDet.DblAlg)
+      // uses (identical operation order ⇒ identical doubles). RIDGE on the
+      // diagonal: a DEAD feature (constant over the train split — e.g. a
+      // corpus whose tokenization never hits the stopword list) zeroes a
+      // centered row/column and the plain solve divides by det 0; the λ
+      // term keeps the system invertible with the same closed form, both
+      // engines applying the identical literal.
+      def aReg(i: Int, j: Int): Double =
+        if (i == j) a(i, j) + ProbeRidge else a(i, j)
+      val detA = ProbeDet.det4((i, j) => aReg(i, j))(ProbeDet.DblAlg)
       val w = Array.tabulate(4) { k =>
-        val dk = ProbeDet.det4((i, j) => if (j == k) b(i) else a(i, j))(ProbeDet.DblAlg)
+        val dk = ProbeDet.det4((i, j) => if (j == k) b(i) else aReg(i, j))(ProbeDet.DblAlg)
         java.math.BigDecimal.valueOf(dk / detA)
           .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
       }
@@ -884,8 +891,10 @@ object TextQueries extends QueryModule {
 
   // q128 probe hyperparameters: the weak teacher is q108's keep floor
   // (0.62 — restated here, the shared constant is package-private to
-  // DedupQueries by design).
+  // DedupQueries by design); ridge λ keeps the normal equations
+  // invertible when a feature goes dead (see the solve comment).
   private val ProbeTeacherMin = 0.62
+  private val ProbeRidge = 0.000001
 
 
   /** GPT-2-style pre-tokenizer regex, restricted to constructs Java regex
@@ -1416,7 +1425,9 @@ object TextQueries extends QueryModule {
         (for { i <- 0 to 3; j <- i to 3 }
           yield s"round(avg(wt * ${xsSql(i)} * ${xsSql(j)}), 9) AS a$i$j") ++
           (0 to 3).map(i => s"round(avg(wt * y * ${xsSql(i)}), 9) AS b$i")
-      def aName(i: Int, j: Int) = s"a${math.min(i, j)}${math.max(i, j)}"
+      def aName(i: Int, j: Int) =
+        if (i == j) s"(a$i$j + $ProbeRidge)"
+        else s"a${math.min(i, j)}${math.max(i, j)}"
       val detA = ProbeDet.det4((i, j) => aName(i, j))(ProbeDet.SqlAlg)
       val ws = (0 to 3).map { k =>
         val dk = ProbeDet.det4(
