@@ -169,10 +169,13 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     */
   final class PinnedLabels private[StreamingDupClusters](
     val df: DataFrame, manifestId: Long) extends AutoCloseable {
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** Idempotent — a double close must not release another pin's lease. */
     override def close(): Unit =
-      if (manifestId >= 0) leases.synchronized {
-        leases.updateWith(manifestId)(_.map(_ - 1).filter(_ > 0))
-      }
+      if (manifestId >= 0 && released.compareAndSet(false, true))
+        leases.synchronized {
+          leases.updateWith(manifestId)(_.map(_ - 1).filter(_ > 0))
+        }
   }
 
   def pinnedLabels(spark: SparkSession): PinnedLabels = {
