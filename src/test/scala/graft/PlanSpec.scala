@@ -278,6 +278,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"assignment must not window-shuffle the corpus:\n$plan")
   }
 
+  test("q128 probe scoring is a pure scan — learned weights fold as literals") {
+    // the trained weights are driver literals, so the held-out scoring
+    // plan must contain NO join and NO aggregation: one documents scan,
+    // per-row arithmetic, the presentation sort. (Training itself ran at
+    // plan-construction: one moments aggregation, nothing pairwise.)
+    val plan = planOf("q128_quality_probe")
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"scoring must not aggregate:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id") && plan.contains("text"),
+      s"scoring reads doc_id + text only:\n$plan")
+  }
+
   test("balance/rich-list/entropy/tfidf plans keep their scale shape") {
     // q75's running balance must be a partitioned window, never global
     val bal = planOf("q75_balance_history")
