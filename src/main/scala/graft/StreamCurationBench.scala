@@ -51,11 +51,12 @@ object StreamCurationBench {
       .parquet(src)
       .select(col("doc_id").as("docId"), col("text"))
       .as[streaming.StreamingCleanExport.Doc]
-    // same screens as batch q108 (package-private constants, restated)
-    val blocklist = Seq("slow", "drop", "slow fast", "table value", "big table")
+    // the SAME screens as batch q108 — shared constants, not restated
+    // literals (r08 ADVICE)
     val t0 = System.nanoTime()
     val query = streaming.StreamingPipeline.cleanDupClusters(
-      docs, blocklist, 0.62, clusters, s"$work/ckpt")
+      docs, queries.TextQueries.Blocklist, queries.DedupQueries.QualityMin,
+      clusters, s"$work/ckpt")
     query.processAllAvailable()
     query.stop()
     val secs = (System.nanoTime() - t0) / 1e9

@@ -76,36 +76,48 @@ object CorpusSurface {
 
   /** PERSISTENT-catalog mount — the "always on" form of [[mount]], the
     * corpus twin of `GraftEngine.registerCatalog`: raw tables register as
-    * EXTERNAL parquet tables (zero copy, fresh listing per query) and the
-    * three derived verdict tables as `saveAsTable` SNAPSHOTS, all visible
-    * to any session sharing the catalog (`newSession()`, JDBC/Thrift
+    * catalog VIEWs over their `parquet.` paths (zero copy, fresh listing
+    * per query) and the three derived verdict tables as materialized
+    * SNAPSHOTS behind versioned-location catalog views, all visible to
+    * any session sharing the catalog (`newSession()`, JDBC/Thrift
     * clients; durable under a Hive metastore) with no Scala and no
     * per-session mount call. Snapshots pin the corpus as of this call —
-    * re-run to refresh, exactly like the chain surface's dim snapshots.
+    * re-run to refresh; each refresh writes a NEW `v=<k>` dir and swaps
+    * the view atomically (`CREATE OR REPLACE VIEW`), so an always-on
+    * reader never observes a dropped table or deleted files, and stale
+    * snapshot dirs older than one swap are GC'd rather than accumulating
+    * (both r08 ADVICE findings).
     */
   /** `snapshotDir` holds the materialized verdict tables (the corpus dir
-    * itself is typically read-only); pass a stable location when the
-    * catalog is durable (HMS) — the default is a fresh temp dir per call,
-    * fine for in-application catalogs where the registration pins anyway.
+    * itself is typically read-only). The DEFAULT is a STABLE location
+    * under the session's `spark.sql.warehouse.dir`
+    * (`_graft_corpus_catalog/<prefix>`), so a durable (HMS) catalog's
+    * entries survive restarts and repeated mounts reuse — and GC — one
+    * layout instead of littering temp dirs (r08 ADVICE: the old
+    * per-call `createTempDirectory` default pinned durable catalogs to a
+    * path that vanishes on reboot and leaked a dir per mount).
     */
   def mountCatalog(s: SparkSession, sfDir: String,
     prefix: String = "corpus_",
-    snapshotDir: String = java.nio.file.Files
-      .createTempDirectory("graft-corpus-catalog").toString): Unit =
+    snapshotDir: String = null): Unit =
     s.synchronized {
+      val snapRoot = Option(snapshotDir).getOrElse(
+        s.conf.get("spark.sql.warehouse.dir")
+          .stripSuffix("/") + s"/_graft_corpus_catalog/$prefix")
       Seq("documents", "embeddings").foreach { n =>
-        s.sql(s"DROP TABLE IF EXISTS $prefix$n")
-        s.sql(s"CREATE TABLE $prefix$n USING PARQUET " +
-          s"LOCATION '$sfDir/$n.parquet'")
+        // legacy CREATE TABLE registration (pre-r09) blocks the view swap
+        if (s.catalog.tableExists(prefix + n) &&
+          s.catalog.getTable(prefix + n).tableType != "VIEW")
+          s.sql(s"DROP TABLE IF EXISTS $prefix$n")
+        s.sql(s"CREATE OR REPLACE VIEW $prefix$n AS " +
+          s"SELECT * FROM parquet.`$sfDir/$n.parquet`")
       }
       Seq(
         "dup_labels" -> SparkEntry.queries("q65_dedup_clusters")(s, sfDir),
         "clean" -> SparkEntry.queries("q108_clean_export")(s, sfDir),
         "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir)
       ).foreach { case (n, df) =>
-        s.sql(s"DROP TABLE IF EXISTS $prefix$n")
-        df.write.mode("overwrite").format("parquet")
-          .option("path", s"$snapshotDir/$n").saveAsTable(prefix + n)
+        graft.GraftEngine.swapSnapshotView(s, prefix + n, df, s"$snapRoot/$n")
       }
     }
 }

@@ -38,8 +38,11 @@ object DedupQueries extends QueryModule {
   private val SimhashMaxHamming = 7
   private val SampleSeed = 66
   // q108 keep-list quality floor (drops the bottom ~7% of the composite
-  // q22 score on the synthetic corpus).
-  private val QualityMin = 0.62
+  // q22 score on the synthetic corpus). private[graft]: the q128 probe
+  // teacher (TextQueries.ProbeTeacherMin) and StreamCurationBench GATE ON
+  // THIS SAME FLOOR — referencing one constant keeps a threshold change
+  // from silently desynchronizing them from q108 (r08 ADVICE).
+  private[graft] val QualityMin = 0.62
   // q110 eval-split selector (deterministic ~5% stands in for the held-out
   // split being audited).
   private val LeakMod = 20
@@ -115,8 +118,15 @@ object DedupQueries extends QueryModule {
   private def shingleArrays(s: SparkSession, dir: String): DataFrame =
     arrMemo.getOrElseUpdate((s, dir), {
       Memos.hook(s)
+      // collect_SET + size, not collect_list + count (r08 ADVICE): the
+      // shingle strings are distinct per doc, but two distinct shingles
+      // can collide into one 60-bit hash — the verify side must then be
+      // set-based END TO END (array_intersect dedups, so n and the oracle
+      // must count distinct hashes too) or Spark and DuckDB diverge on
+      // exactly that doc
       shingleHashes(s, dir).groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), collect_list(col("hs")).as("arr"))
+        .agg(collect_set(col("hs")).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("n"), col("arr"))
         .cache()
     })
 
@@ -787,7 +797,7 @@ object DedupQueries extends QueryModule {
          FROM keep k JOIN cnt c USING (fp) ORDER BY k.fp""",
     "q26_shingle_jaccard" ->
       s"""WITH $tkCte, $shCte,
-         shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
+         shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c FROM shh a
            JOIN shh b ON a.hs = b.hs AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -797,7 +807,7 @@ object DedupQueries extends QueryModule {
          ORDER BY a_id, b_id""",
     "q120_containment" ->
       s"""WITH $tkCte, $shCte,
-         shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
+         shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
            FROM shh a JOIN shh b ON a.hs = b.hs AND a.doc_id <> b.doc_id
@@ -841,7 +851,7 @@ object DedupQueries extends QueryModule {
          ORDER BY a_id, b_id""",
     "q59_jaccard_lsh_bucketed" ->
       s"""WITH $tkCte, $shCte,
-         shh AS (SELECT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
+         shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
          banded AS (SELECT doc_id, $bandsSql FROM sig),

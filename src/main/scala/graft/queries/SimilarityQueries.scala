@@ -33,6 +33,11 @@ object SimilarityQueries extends QueryModule {
   // quadratic: 10x vectors -> 100x pairs — observed 13.4x wall at sf1 in r05
   // before this). The oracle replays the same formula from count(*).
   private val NearDupClusterSize = 250L
+  // q129 two-level IVF: vectors pre-select CoarseProbes of the G = ceil(√K)
+  // coarse groups, then probe only the fine centroids inside them — the
+  // assign stage drops from n·K to n·(G + CoarseProbes·K/G) ≈ n·√K flops,
+  // and only the G coarse centroids ever reach the driver.
+  private val CoarseProbes = 3
   private val OutlierK = 5  // q104 least-prototypical vectors flagged per label
   private val PqSubspaces = 4 // q107 product-quantization subspaces
   private val PqSubDim = 16   // dims per subspace (4 × 16 = 64)
@@ -136,6 +141,77 @@ object SimilarityQueries extends QueryModule {
       .groupBy("c_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s.getField("cx")).as("cv"))
+
+  /** Within-cluster pair kernel shared by q113/q129: cosine over same-bucket
+    * (a, b) pairs with a < b, thresholded at [[NearDupTau]]. A pair sharing
+    * BOTH probed clusters surfaces twice — identical rows (cosine is
+    * deterministic), so `distinct` is exact.
+    *
+    * COMPILED (the documented last-resort tier, same justification record
+    * as [[assignCompiled]]): the self-join form materializes Σ cohort²/2
+    * candidate UnsafeRows each carrying two 64-double arrays — measured
+    * 36 s of a 40 s sf10 run (~4×10⁸ candidates), pure row-materialization
+    * overhead around a codegen'd dot. Here each cluster's members load ONCE
+    * into primitive arrays and a lazy iterator walks i<j pairs — the SAME
+    * shuffle (one hash exchange on c_id), the SAME arithmetic in the same
+    * order (left-to-right dot — multiplication is commutative so (a,b)
+    * orientation cannot change the double; na·nb likewise; HALF_UP 4-dp
+    * via the exact BigDecimal path Spark's `round` uses), so outputs are
+    * bit-identical and the DuckDB oracles replay unchanged (driver gate +
+    * the PipelineSpec subset/recall laws pin this). The cheap pre-filter
+    * `cos > 0.3999` is lossless: any double ≤ 0.3999 rounds to ≤ 0.3999 <
+    * NearDupTau, so only survivors pay the BigDecimal. Memory: one cohort
+    * of primitive vectors per task (~cohort×dim doubles — cohorts are
+    * bounded by the adaptive-K contract), never the candidate set.
+    */
+  private def neardupPairs(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    // strictly below every double that 4-dp-rounds to ≥ NearDupTau
+    val preTau = NearDupTau - 1e-4
+    assigned.select(col("c_id"), col("vec_id"), col("v"), col("n"))
+      .as[(Long, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.map(t => (t._2, t._3.toArray, t._4)).toArray
+        new Iterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = 1
+          private var nextPair: (Long, Long, Double) = null
+          private def advance(): Unit = {
+            nextPair = null
+            while (nextPair == null && i < ms.length - 1) {
+              val (idA, va, na) = ms(i)
+              while (nextPair == null && j < ms.length) {
+                val (idB, vb, nb) = ms(j)
+                var dp = 0.0
+                var d = 0
+                val dim = math.min(va.length, vb.length)
+                while (d < dim) { dp += va(d) * vb(d); d += 1 }
+                val cos = dp / (na * nb)
+                if (cos > preTau) {
+                  val rcos = java.math.BigDecimal.valueOf(cos)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+                  if (rcos >= NearDupTau)
+                    nextPair =
+                      if (idA < idB) (idA, idB, rcos) else (idB, idA, rcos)
+                }
+                j += 1
+              }
+              if (j >= ms.length) { i += 1; j = i + 1 }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = nextPair != null
+          override def next(): (Long, Long, Double) = {
+            val r = nextPair; advance(); r
+          }
+        }
+      }
+      .toDF("a_id", "b_id", "cos_sim")
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
 
   /** Rank candidate (q_id, nbr_id, cos) triples and keep the top-k per query.
     * Ranking uses cosine rounded to 6 dp with nbr_id tie-break so the order
@@ -282,18 +358,89 @@ object SimilarityQueries extends QueryModule {
         .withColumn("n", l2NormNative(col("v")))
         .select("vec_id", "v", "n", "c_id")
         .localCheckpoint(true)
-      assigned.as("a")
-        .join(assigned.as("b"),
-          col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          dotNative(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
-        .filter(round(col("cos"), 4) >= NearDupTau)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(col("cos"), 4).as("cos_sim"))
-        // a pair sharing BOTH probed clusters surfaces twice — identical
-        // rows (cosine is deterministic), so distinct is exact
-        .distinct()
-        .orderBy("a_id", "b_id")
+      neardupPairs(assigned)
+    }),
+
+    // TWO-LEVEL IVF near-dup — the scale form of q113 (VERDICT r08 #1):
+    // every corpus-scaled stage in q113 is n·K dot products with K = n/250
+    // (n²/250 flops — 12.1×/decade at sf10: the fine Lloyd TRAINING pass
+    // and the final assign), and its centroid broadcast collects all K
+    // centroids to the driver. Here a COARSE quantizer of G = ceil(√K)
+    // groups trains first (first-G seed, one Lloyd step — n·G flops), and
+    // BOTH fine stages are then group-restricted: the fine Lloyd step
+    // ranks each vector against only the seeds of its CoarseProbes probed
+    // groups, and the final assign does the same against the trained fine
+    // centroids — n·(2G + 2·CoarseProbes·K/G) ≈ n·√K flops end to end; no
+    // stage touches n·K. Only the G = √K coarse centroids are ever
+    // collected; seeds and fine centroids stay DISTRIBUTED, folded
+    // per-group and equi-joined on the group id (Spark auto-broadcasts
+    // while that table is under the broadcast threshold and falls back to
+    // a shuffle join beyond it — the size-adaptive behavior a 100 TB
+    // corpus needs). Same fine probe width, threshold, and pair semantics
+    // as q113; PipelineSpec pins recall ≥ 0.95 against q113 on a corpus
+    // where the coarse stage genuinely restricts.
+    "q129_ivf2_neardup" -> ((s, dir) => {
+      val e = corpus(s, dir).select("vec_id", "v")
+      val k = math.max(KMeansK.toLong, e.count() / NearDupClusterSize)
+      val g = math.ceil(math.sqrt(k.toDouble)).toLong
+      // COARSE level first (q113 trains fine centroids with a FULL n·K
+      // Lloyd pass — the very stage this query exists to remove, so here
+      // even training is group-restricted): first-G seed, one Lloyd step
+      // over the corpus — n·G flops, compiled.
+      val coarse0 = e.filter(col("vec_id") < g)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val coarse1 = centroidsOf(lloydAssign(e, coarse0)).localCheckpoint(true)
+      // every vector's CoarseProbes nearest groups — n·G flops; the ONLY
+      // compiled-kernel collects in the query are coarse0/coarse1: G = √K
+      // rows each. Checkpointed: it feeds BOTH restricted assigns below,
+      // and its lineage holds a corpus pass.
+      val vecProbes = assignCompiled(e, coarse1, CoarseProbes)
+        .select(col("vec_id"), col("v"), col("c_id").as("g_id"))
+        .withColumn("vv", dotNative(col("v"), col("v")))
+        .localCheckpoint(true)
+      // fine SEEDS (first K vectors) → their coarse group, folded to one
+      // array row per group. The K seeds stay DISTRIBUTED — grouped and
+      // equi-joined on g_id (Spark auto-broadcasts while the group table
+      // is small and falls back to a shuffle join beyond the threshold —
+      // the size-adaptive behavior a 100 TB corpus needs).
+      val seeds = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("vec_id"), col("v"))
+      def grouped(cents: DataFrame): DataFrame =
+        assignCompiled(cents, coarse1, 1)
+          .select(col("c_id").as("g_id"), col("vec_id").as("c_id"), col("v").as("cv"))
+          .withColumn("cc", dotNative(col("cv"), col("cv")))
+          .groupBy("g_id")
+          .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as("cents"))
+      // one RESTRICTED fine Lloyd step: each vector against only the seeds
+      // in its probed groups (n·CoarseProbes·K/G ≈ n·√K dot products; the
+      // per-element dispatch is interpreted but each dot is the native
+      // codegen'd expression), ranked by the same (HALF_UP-6dp d2, c_id)
+      // order as assignCompiled — struct sort matches it exactly.
+      def topPicks(cents: DataFrame, nPicks: Int): DataFrame =
+        vecProbes.join(cents, "g_id")
+          .select(col("vec_id"), col("v"),
+            slice(array_sort(transform(col("cents"), c =>
+              struct(round(col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv"))
+                + c.getField("cc"), 6).as("rd2"),
+                c.getField("c_id").as("c_id")))), 1, nPicks).as("picks"))
+          // global top across probed groups = top of the per-group tops
+          // (each group's candidates are disjoint); v rides along via
+          // first() — identical across a vector's probe rows
+          .groupBy("vec_id")
+          .agg(slice(array_sort(flatten(collect_list(col("picks")))),
+            1, nPicks).as("picks"), first(col("v")).as("v"))
+          .select(col("vec_id"), col("v"), explode(col("picks")).as("p"))
+          .select(col("vec_id"), col("v"), col("p.c_id").as("c_id"))
+      val cent1 = centroidsOf(topPicks(grouped(seeds), 1)).localCheckpoint(true)
+      // final restricted assign against the TRAINED fine centroids, same
+      // shape, top-NearDupProbes — then the shared q113 pair kernel
+      val assigned = topPicks(
+        grouped(cent1.select(col("c_id").as("vec_id"), col("cv").as("v"))),
+        NearDupProbes)
+        .withColumn("n", l2NormNative(col("v")))
+        .select("vec_id", "v", "n", "c_id")
+        .localCheckpoint(true)
+      neardupPairs(assigned)
     }),
 
     // Hard-negative mining (the contrastive-training data op — DPR/SBERT
@@ -605,6 +752,89 @@ object SimilarityQueries extends QueryModule {
                           + list_dot_product(c.cv, c.cv) AS d2
                       FROM e CROSS JOIN cent1 c)),
          a2 AS (SELECT vec_id, v, c_id FROM r2 WHERE rn <= $NearDupProbes)
+         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM a2 a JOIN a2 b
+           ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $NearDupTau
+         ORDER BY a_id, b_id""",
+
+    // Replays the full two-level pipeline: coarse training over the corpus
+    // (first-G seed → one Lloyd step → coarse1), the CoarseProbes group
+    // pre-selection, the RESTRICTED fine Lloyd step (vectors × seeds of
+    // their probed groups only), the restricted final assign against the
+    // trained fine centroids, and the same pair tail as q113. The
+    // multiply-referenced CTEs are MATERIALIZED — DuckDB re-inlines them
+    // otherwise and the nested-window plan blows up exponentially.
+    "q129_ivf2_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         coarse0 AS (SELECT vec_id AS g_id, v AS gv FROM e WHERE vec_id <
+           (SELECT CAST(ceil(sqrt(
+              greatest($KMeansK, count(*) // $NearDupClusterSize))) AS BIGINT)
+            FROM embeddings)),
+         cr1 AS (SELECT vec_id, v, g_id, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY round(d2, 6), g_id) AS rn
+                 FROM (SELECT e.vec_id, e.v, c.g_id,
+                         list_dot_product(e.v, e.v)
+                           - 2.0 * list_dot_product(e.v, c.gv)
+                           + list_dot_product(c.gv, c.gv) AS d2
+                       FROM e CROSS JOIN coarse0 c)),
+         ca1 AS (SELECT vec_id, v, g_id FROM cr1 WHERE rn = 1),
+         ccomp AS (SELECT g_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                   FROM ca1),
+         coarse1 AS MATERIALIZED (SELECT g_id, list(cx ORDER BY pos) AS gv
+                     FROM (SELECT g_id, pos, round(avg(x), 9) AS cx
+                           FROM ccomp GROUP BY g_id, pos)
+                     GROUP BY g_id),
+         vp AS MATERIALIZED (SELECT vec_id, v, g_id FROM (
+                  SELECT e.vec_id, e.v, c.g_id, row_number() OVER (
+                    PARTITION BY e.vec_id ORDER BY round(
+                      list_dot_product(e.v, e.v)
+                        - 2.0 * list_dot_product(e.v, c.gv)
+                        + list_dot_product(c.gv, c.gv), 6), c.g_id) AS rn
+                  FROM e CROSS JOIN coarse1 c)
+                WHERE rn <= $CoarseProbes),
+         sg AS (SELECT c_id, cv, g_id FROM (
+                  SELECT s.vec_id AS c_id, s.v AS cv, c.g_id, row_number() OVER (
+                    PARTITION BY s.vec_id ORDER BY round(
+                      list_dot_product(s.v, s.v)
+                        - 2.0 * list_dot_product(s.v, c.gv)
+                        + list_dot_product(c.gv, c.gv), 6), c.g_id) AS rn
+                  FROM (SELECT vec_id, v FROM e WHERE vec_id <
+                          (SELECT greatest($KMeansK, count(*) // $NearDupClusterSize)
+                           FROM embeddings)) s
+                    CROSS JOIN coarse1 c)
+                WHERE rn = 1),
+         tr AS (SELECT vec_id, v, c_id FROM (
+                  SELECT vp.vec_id, vp.v, s.c_id, row_number() OVER (
+                    PARTITION BY vp.vec_id ORDER BY round(
+                      list_dot_product(vp.v, vp.v)
+                        - 2.0 * list_dot_product(vp.v, s.cv)
+                        + list_dot_product(s.cv, s.cv), 6), s.c_id) AS rn
+                  FROM vp JOIN sg s USING (g_id))
+                WHERE rn = 1),
+         tcomp AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                   FROM tr),
+         cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                   FROM (SELECT c_id, pos, round(avg(x), 9) AS cx
+                         FROM tcomp GROUP BY c_id, pos)
+                   GROUP BY c_id),
+         fg AS (SELECT c_id, cv, g_id FROM (
+                  SELECT f.c_id, f.cv, c.g_id, row_number() OVER (
+                    PARTITION BY f.c_id ORDER BY round(
+                      list_dot_product(f.cv, f.cv)
+                        - 2.0 * list_dot_product(f.cv, c.gv)
+                        + list_dot_product(c.gv, c.gv), 6), c.g_id) AS rn
+                  FROM cent1 f CROSS JOIN coarse1 c)
+                WHERE rn = 1),
+         a2 AS MATERIALIZED (SELECT vec_id, v, c_id FROM (
+                  SELECT vp.vec_id, vp.v, f.c_id, row_number() OVER (
+                    PARTITION BY vp.vec_id ORDER BY round(
+                      list_dot_product(vp.v, vp.v)
+                        - 2.0 * list_dot_product(vp.v, f.cv)
+                        + list_dot_product(f.cv, f.cv), 6), f.c_id) AS rn
+                  FROM vp JOIN fg f USING (g_id))
+                WHERE rn <= $NearDupProbes)
          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
          FROM a2 a JOIN a2 b

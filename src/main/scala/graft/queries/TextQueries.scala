@@ -889,11 +889,14 @@ object TextQueries extends QueryModule {
     })
   )
 
-  // q128 probe hyperparameters: the weak teacher is q108's keep floor
-  // (0.62 — restated here, the shared constant is package-private to
-  // DedupQueries by design); ridge λ keeps the normal equations
-  // invertible when a feature goes dead (see the solve comment).
-  private val ProbeTeacherMin = 0.62
+  // q128 probe hyperparameters: the weak teacher IS q108's keep floor —
+  // one shared constant, so a threshold change cannot desynchronize the
+  // probe's teacher from the clean gate it distills (r08 ADVICE). `def`,
+  // not `val`: TextQueries and DedupQueries reference each other's
+  // constants, and a val here would make class-load order decide whether
+  // the cycle sees an uninitialized field. Ridge λ keeps the normal
+  // equations invertible when a feature goes dead (see the solve comment).
+  private def ProbeTeacherMin = DedupQueries.QualityMin
   private val ProbeRidge = 0.000001
 
 
@@ -956,7 +959,9 @@ object TextQueries extends QueryModule {
   private val WinnowSeed = 77
   // q103 phrase blocklist (uni- and bi-gram entries over the synthetic
   // vocabulary; real pipelines load thousands of phrases from a file).
-  private[queries] val Blocklist: Seq[String] =
+  // private[graft]: StreamCurationBench gates on this same list (r08
+  // ADVICE — no restated literals to drift).
+  private[graft] val Blocklist: Seq[String] =
     Seq("slow", "drop", "slow fast", "table value", "big table")
 
   val oracles: Map[String, String] = Map(

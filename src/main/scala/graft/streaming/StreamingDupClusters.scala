@@ -87,8 +87,15 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
   // ---- read leases: a pinned reader exempts its manifest (and every
   // version it references) from GC until closed ----
   private val leases = scala.collection.mutable.Map.empty[Long, Int]
+  // One lock serializes {read head + take lease} against {publish + GC}:
+  // without it, a pin taken concurrently with two rapid publishes could
+  // lease a manifest whose files the second publish already GC'd — the
+  // two-head grace only covers one intervening publish (r08 ADVICE).
+  // publishManifest is called from the store's own update path (already
+  // effectively serial per store), so the lock adds no contention there.
+  private val gcLock = new Object
 
-  private def publishManifest(entries: Map[(String, Long), Long]): Unit = {
+  private def publishManifest(entries: Map[(String, Long), Long]): Unit = gcLock.synchronized {
     Files.createDirectories(manifestDir)
     val next = manifestVersions().lastOption.getOrElse(-1L) + 1
     val body = entries.toSeq.sortBy { case ((t, b), _) => (t, b) }
@@ -179,9 +186,17 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
   }
 
   def pinnedLabels(spark: SparkSession): PinnedLabels = {
-    val m = manifestVersions().lastOption.getOrElse(-1L)
-    if (m >= 0) leases.synchronized {
-      leases.updateWith(m)(c => Some(c.getOrElse(0) + 1))
+    // head read + lease registration are ONE atomic step under the same
+    // lock publishManifest's GC holds — a publish can therefore never run
+    // between reading the head and protecting it (r08 ADVICE race). Once
+    // the lease exists the manifest and its bucket versions are GC-exempt,
+    // so the file reads below are safe outside the lock.
+    val m = gcLock.synchronized {
+      val head = manifestVersions().lastOption.getOrElse(-1L)
+      if (head >= 0) leases.synchronized {
+        leases.updateWith(head)(c => Some(c.getOrElse(0) + 1))
+      }
+      head
     }
     val manifest = if (m >= 0) readManifestAt(m)
     else Map.empty[(String, Long), Long]

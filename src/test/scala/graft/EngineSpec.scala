@@ -148,6 +148,45 @@ class EngineSpec extends AnyFunSuite {
       engine.utxos.count())
   }
 
+  test("catalog staleness stamp: refresh only when the warehouse advanced, snapshots GC'd") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-catalog-stale").toString
+    val engine = new GraftEngine(spark, s"$base/warehouse")
+    val all = ChainFixture.generate(30)
+    engine.ingest.processBatch(spark.createDataset(all.take(20)), 0L)
+    engine.registerCatalog(prefix = "scat_")
+    val v0 = engine.catalogVersion("scat_")
+    assert(v0.isDefined, "registered catalog must carry the version stamp")
+    assert(!engine.refreshCatalog("scat_"),
+      "refresh at an unchanged warehouse version must be a no-op")
+    // further ingest: the STAMP exposes the staleness before any refresh
+    engine.ingest.processBatch(spark.createDataset(all.drop(20)), 1L)
+    assert(engine.catalogVersion("scat_") == v0,
+      "pinned views must keep their registration-time stamp")
+    assert(engine.ingest.currentUtxoVersion().exists(c => !v0.contains(c)),
+      "warehouse version must have advanced past the stamp")
+    val stale = spark.sql("SELECT count(*) FROM scat_ergo_trees").head.getLong(0)
+    assert(engine.refreshCatalog("scat_"),
+      "refresh at an advanced warehouse version must re-register")
+    assert(engine.catalogVersion("scat_")
+      .zip(v0).exists { case (a, b) => a > b })
+    // refreshed snapshot equals a fresh derivation, value-for-value
+    val viaSql = spark.sql("SELECT hash FROM scat_ergo_trees ORDER BY hash")
+      .collect().map(_.getString(0)).toSeq
+    val viaScala = engine.tables.ergoTrees.select("hash").orderBy("hash")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == viaScala)
+    assert(viaSql.size >= stale, "the refresh must see the new ingest")
+    assert(!engine.refreshCatalog("scat_"), "second refresh must be a no-op")
+    // versioned snapshot GC: current + one previous dir retained, no more
+    engine.ingest.processBatch(
+      spark.createDataset(ChainFixture.generate(35).drop(30)), 2L)
+    assert(engine.refreshCatalog("scat_"))
+    val vs = new java.io.File(s"$base/warehouse/_catalog/ergo_trees")
+      .list().toSeq.filter(_.startsWith("v=")).sorted
+    assert(vs.size == 2, s"expected current+previous snapshot dirs, got $vs")
+  }
+
   test("heal detects a crash between raw append and derivation and repairs it") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-heal").toString

@@ -227,6 +227,132 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded == Map(3000L -> ((32, 24)), 3001L -> ((48, 32))))
   }
 
+  test("optimized patch-frame GIFs composite to their full-frame twin") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.metadata.IIOMetadataNode
+    import spark.implicits._
+    val (sw, sh) = (32, 20)
+    def solid(w: Int, h: Int, rgb: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      img
+    }
+    // an OPTIMIZED animation: full base frame, then small patches at
+    // offsets with explicit disposal methods (incl. one
+    // restoreToBackgroundColor whose rect must revert to black)
+    def writePatchGif(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      def meta(img: BufferedImage, x: Int, y: Int, disposal: String) = {
+        val m = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+          writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = m.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def child(tag: String): IIOMetadataNode = {
+          val nl = root.getElementsByTagName(tag)
+          if (nl.getLength > 0) nl.item(0).asInstanceOf[IIOMetadataNode]
+          else { val n = new IIOMetadataNode(tag); root.appendChild(n); n }
+        }
+        val id = child("ImageDescriptor")
+        id.setAttribute("imageLeftPosition", x.toString)
+        id.setAttribute("imageTopPosition", y.toString)
+        val gce = child("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        m.setFromTree(fmt, root)
+        m
+      }
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        def frame(img: BufferedImage, x: Int, y: Int, disposal: String): Unit =
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, meta(img, x, y, disposal)),
+            writer.getDefaultWriteParam)
+        frame(solid(sw, sh, 0xcc2200), 0, 0, "doNotDispose")   // full base
+        frame(solid(8, 6, 0x00bb33), 4, 2, "doNotDispose")     // patch
+        frame(solid(8, 6, 0x1133ee), 12, 8, "restoreToBackgroundColor")
+        frame(solid(8, 6, 0xffffff), 20, 3, "doNotDispose")
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    // the full-frame TWIN: each frame is the manually composed screen
+    def composite(ops: Seq[(BufferedImage, Int, Int)]): BufferedImage = {
+      val c = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_RGB)
+      val g = c.createGraphics()
+      try ops.foreach { case (img, x, y) => g.drawImage(img, x, y, null) }
+      finally g.dispose()
+      c
+    }
+    val base = (solid(sw, sh, 0xcc2200), 0, 0)
+    val green = (solid(8, 6, 0x00bb33), 4, 2)
+    val blue = (solid(8, 6, 0x1133ee), 12, 8)
+    val blackRect = (solid(8, 6, 0x000000), 12, 8) // after background disposal
+    val white = (solid(8, 6, 0xffffff), 20, 3)
+    val twinFrames = Seq(
+      composite(Seq(base)),
+      composite(Seq(base, green)),
+      composite(Seq(base, green, blue)),
+      composite(Seq(base, green, blackRect, white)))
+    def writeFullGif(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        twinFrames.foreach(f => writer.writeToSequence(
+          new javax.imageio.IIOImage(f, null, null), writer.getDefaultWriteParam))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val rows = spark.createDataset(Seq(
+      MediaRow(4000L, "video", writePatchGif(), MediaMeta("image/gif", sw, sh, -1, 400L)),
+      MediaRow(4001L, "video", writeFullGif(), MediaMeta("image/gif", sw, sh, -1, 400L))))
+    // composited frames report the LOGICAL SCREEN dims, not patch dims
+    val frames = MediaFunctions.sampleFrames(rows, stride = 1).collect()
+      .groupBy(_.mediaId).view.mapValues(_.sortBy(_.frameIndex)).toMap
+    assert(frames(4000L).length == 4)
+    assert(frames(4000L).forall(f => f.width == sw && f.height == sh),
+      s"patch frames must composite to the ${sw}x$sh screen: " +
+        frames(4000L).map(f => (f.width, f.height)).toSeq)
+    // raster-level equality: identity resize re-encodes the COMPOSITED
+    // frames of both files — decode and compare every pixel of every frame
+    val out = MediaFunctions.resize(rows, 1).collect()
+      .map(r => r.mediaId -> r.content).toMap
+    def rasters(bytes: Array[Byte]): Seq[Seq[Int]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      try (0 until reader.getNumImages(true)).map { i =>
+        val f = reader.read(i)
+        (for (y <- 0 until f.getHeight; x <- 0 until f.getWidth)
+          yield f.getRGB(x, y)).toSeq
+      }.toSeq
+      finally { reader.dispose(); iis.close() }
+    }
+    val (patchR, fullR) = (rasters(out(4000L)), rasters(out(4001L)))
+    assert(patchR.length == 4 && fullR.length == 4)
+    patchR.zip(fullR).zipWithIndex.foreach { case ((p, f), i) =>
+      assert(p == f, s"frame $i: composited patch raster != full-frame twin")
+    }
+    // and the pooled video descriptor agrees byte-for-byte
+    val feats = MediaFunctions.extractFeatures(rows).collect()
+      .map(f => f.mediaId -> f.embedding.toSeq).toMap
+    assert(feats(4000L) == feats(4001L),
+      "pooled embedding must match the full-frame twin")
+  }
+
   test("token_count matches size(split) on real documents and edge cases") {
     TokenCountExpression.register(spark)
     val docs = Tables.load(spark, sf0001, "documents")

@@ -75,6 +75,36 @@ class PipelineSpec extends AnyFunSuite {
       s"(exact=${exact.size}, clustered=${clustered.size})")
   }
 
+  test("q129 two-level IVF keeps >=0.95 of q113's pairs where the coarse stage restricts") {
+    import spark.implicits._
+    // The bench corpora are too small for the coarse stage to bite (K <= 8
+    // ⇒ CoarseProbes covers every group and q129 degenerates to q113 — the
+    // oracle pins THAT case). Here: 8000 vectors ⇒ K = 32 fine centroids,
+    // G = 6 coarse groups, 3 probed — the pre-selection genuinely discards
+    // half the groups, so the assertion measures real approximation loss.
+    val rnd = new scala.util.Random(42)
+    val nLabels = 160
+    val centers = Array.fill(nLabels, 64)(rnd.nextGaussian())
+    val rows = (0L until 8000L).map { i =>
+      val c = centers((i % nLabels).toInt)
+      (i, c.map(x => (x + 0.35 * rnd.nextGaussian()).toFloat), (i % nLabels).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q129-recall").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k = math.max(8L, 8000L / 250L)
+    val g = math.ceil(math.sqrt(k.toDouble)).toLong
+    assert(g > 3, s"fixture must make CoarseProbes (3) < G, got G=$g")
+    def pairs(name: String) = SparkEntry.queries(name)(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact2 = pairs("q113_clustered_neardup")
+    val two = pairs("q129_ivf2_neardup")
+    assert(exact2.size > 1000, s"fixture produced too few q113 pairs: ${exact2.size}")
+    val recall = (exact2 & two).size.toDouble / exact2.size
+    assert(recall >= 0.95, s"two-level IVF recall $recall < 0.95 " +
+      s"(q113=${exact2.size}, q129=${two.size})")
+  }
+
   test("approx_count_distinct stays inside the bound q49 asserts to the oracle") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q49_approx_distinct")(spark, sf001)
