@@ -154,7 +154,6 @@ class GraftEngine(spark: SparkSession, warehouse: String,
     * the warehouse has actually advanced.
     */
   def registerCatalog(prefix: String = "graft_"): Unit = {
-    val ver = ingest.currentUtxoVersion().getOrElse(-1L)
     Seq("blocks", "txs", "outputs", "inputs", "assets", "data_inputs",
       "registers", "tokens").foreach { n =>
       spark.sql(s"CREATE OR REPLACE VIEW $prefix$n AS " +
@@ -168,20 +167,50 @@ class GraftEngine(spark: SparkSession, warehouse: String,
       s"""CREATE OR REPLACE VIEW ${prefix}utxo_live AS
          SELECT o.* FROM ${prefix}outputs o
          WHERE NOT EXISTS (SELECT 1 FROM ${prefix}inputs i WHERE i.boxId = o.boxId)""")
-    spark.sql(s"CREATE OR REPLACE VIEW ${prefix}utxo " +
-      s"TBLPROPERTIES ('$CatalogVersionProp' = '$ver') AS ${ingest.utxoViewSql()}")
-    val t = tables
-    Seq("ergo_trees" -> t.ergoTrees, "ergo_tree_t8s" -> t.ergoTreeT8s,
-      "utxo_by_script" -> utxosByScript, "tx_edges" -> txEdges
-    ).foreach { case (n, df) =>
-      // snapshots live INSIDE the warehouse layout (not the session's
-      // spark-warehouse dir): an explicit external path keeps the data
-      // next to what it derives from, and survives catalog-implementation
-      // restarts without orphaned-location collisions
-      GraftEngine.swapSnapshotView(spark, prefix + n, df,
-        s"$warehouse/_catalog/$n", Map(GraftEngine.CatalogVersionProp -> ver.toString))
+    // Pinned tier, with a CONSISTENT stamp (r09 VERDICT #5): the warehouse
+    // version is read BEFORE pinning/snapshotting and re-checked AFTER —
+    // an ingest commit landing mid-registration would otherwise leave the
+    // snapshots on one side of the commit and the stamp on the other, and
+    // a stamp NEWER than the snapshot content makes [[refreshCatalog]]
+    // serve stale snapshots until the commit after next. On a mismatch the
+    // pass simply re-runs against the advanced version. Bounded retries:
+    // under continuous ingest the final pass keeps its PRE-read stamp — a
+    // lower bound on the snapshot content, so the worst case is one
+    // redundant (cheap) refresh later, never undetected staleness.
+    var attempts = 0
+    var consistent = false
+    while (!consistent && attempts < 3) {
+      attempts += 1
+      val ver = ingest.currentUtxoVersion().getOrElse(-1L)
+      midRegistrationHook()
+      spark.sql(s"CREATE OR REPLACE VIEW ${prefix}utxo " +
+        s"TBLPROPERTIES ('$CatalogVersionProp' = '$ver') AS ${ingest.utxoViewSql()}")
+      val t = tables
+      Seq("ergo_trees" -> t.ergoTrees, "ergo_tree_t8s" -> t.ergoTreeT8s,
+        "utxo_by_script" -> utxosByScript, "tx_edges" -> txEdges
+      ).foreach { case (n, df) =>
+        // snapshots live INSIDE the warehouse layout (not the session's
+        // spark-warehouse dir): an explicit external path keeps the data
+        // next to what it derives from, and survives catalog-implementation
+        // restarts without orphaned-location collisions. The root is scoped
+        // BY PREFIX (r09 ADVICE): two prefixes sharing one v= chain meant
+        // one prefix's GC could delete the dir the other prefix's view
+        // still reads; a pre-r10 unprefixed chain is migrated by
+        // swapSnapshotView to the first prefix that registers.
+        GraftEngine.swapSnapshotView(spark, prefix + n, df,
+          s"$warehouse/_catalog/$prefix$n",
+          Map(GraftEngine.CatalogVersionProp -> ver.toString),
+          legacyRoot = Some(s"$warehouse/_catalog/$n"))
+      }
+      consistent = ingest.currentUtxoVersion().getOrElse(-1L) == ver
     }
   }
+
+  /** Test seam for the registration/ingest race (r09 VERDICT #5): fires
+    * after each pass's version pre-read, where a concurrent ingest commit
+    * is most damaging. Production no-op.
+    */
+  private[graft] var midRegistrationHook: () => Unit = () => ()
 
   private def CatalogVersionProp = GraftEngine.CatalogVersionProp
 
@@ -283,13 +312,37 @@ object GraftEngine {
     * The previous snapshot dir is retained for exactly one further swap
     * (in-flight readers), older dirs are GC'd.
     */
+  /** One lock object per snapshot root: the list-versions → pick next →
+    * write → swap → GC sequence is not safe to interleave (two concurrent
+    * refreshes would compute the same `next`, overwrite each other's v=
+    * dir mid-write, and GC a dir the other is about to register a view
+    * over) — the same serialization CorpusSurface.mountCatalog gets from
+    * `s.synchronized`, applied here at the root granularity so unrelated
+    * snapshots still refresh in parallel.
+    */
+  private val snapshotLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   private[graft] def swapSnapshotView(spark: SparkSession, name: String,
-    df: DataFrame, root: String, props: Map[String, String] = Map.empty): Unit = {
+    df: DataFrame, root: String, props: Map[String, String] = Map.empty,
+    legacyRoot: Option[String] = None): Unit =
+    snapshotLocks.getOrElseUpdate(root, new Object).synchronized {
     // Hadoop FS, not java.io — the snapshot root may be a `file:` URI (the
     // default corpus location derives from spark.sql.warehouse.dir) or, on
     // a real cluster, HDFS/S3A
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // one-time migration from the pre-r10 unprefixed layout: the whole v=
+    // chain moves (one rename) under the first prefix that registers;
+    // later prefixes find no legacy dir and start their own chain at v=0
+    legacyRoot.filter(_ != root).foreach { lr =>
+      val lp = new org.apache.hadoop.fs.Path(lr)
+      if (!fs.exists(rootPath) && fs.exists(lp) &&
+        fs.listStatus(lp).exists(_.getPath.getName.startsWith("v="))) {
+        fs.mkdirs(rootPath.getParent)
+        fs.rename(lp, rootPath)
+      }
+    }
     val prevVs =
       if (!fs.exists(rootPath)) Seq.empty[Long]
       else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
@@ -299,10 +352,18 @@ object GraftEngine {
     df.write.mode("overwrite").parquet(path)
     // a legacy saveAsTable registration (pre-r09 build) blocks CREATE OR
     // REPLACE VIEW with a name conflict — drop it once on upgrade (the
-    // one-time window this removes for every later refresh)
+    // one-time window this removes for every later refresh), and delete
+    // the old snapshot's part-files sitting directly in the root: the
+    // versioned GC below only walks v= dirs, so without this every
+    // upgraded catalog would carry one dead snapshot's data forever
     if (spark.catalog.tableExists(name) &&
-      spark.catalog.getTable(name).tableType != "VIEW")
+      spark.catalog.getTable(name).tableType != "VIEW") {
       spark.sql(s"DROP TABLE IF EXISTS $name")
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).toSeq
+          .filterNot(_.getPath.getName.startsWith("v="))
+          .foreach(st => fs.delete(st.getPath, true))
+    }
     val tblProps =
       if (props.isEmpty) ""
       else props.map { case (k, v) => s"'$k' = '$v'" }

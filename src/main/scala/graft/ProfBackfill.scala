@@ -1,5 +1,7 @@
 package graft
 
+import graft.Lineage.LineageCut
+
 import graft.chain._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -57,7 +59,7 @@ object ProfBackfill {
         tip.crossJoin(u).crossJoin(o).count()
       }
       time("q51 one-action (pin=localCheckpoint)") {
-        val t2 = BlockDerivation.derive(raw, pin = df => df.localCheckpoint(false))
+        val t2 = BlockDerivation.derive(raw, pin = df => df.cutLineage(eager = false))
         val tip = t2.blocks.agg(max("height").as("tipHeight"), max("maxBoxGix").as("maxBoxGix"))
         val u = UtxoQueries.utxos(t2).agg(count(lit(1)).as("utxoCount"))
         val o = t2.outputs.agg(count(lit(1)).as("boxCount"))

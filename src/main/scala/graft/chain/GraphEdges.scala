@@ -1,5 +1,7 @@
 package graft.chain
 
+import graft.Lineage.LineageCut
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -83,17 +85,17 @@ object GraphEdges {
     // Clustering.minLabelComponents).
     val edges = flows(t, dust = dust)
       .select(col("src"), col("dst"), col("totalValue").cast("double").as("w"))
-      .localCheckpoint(true)
-    val outw = edges.groupBy("src").agg(sum("w").as("ow")).localCheckpoint(true)
+      .cutLineage()
+    val outw = edges.groupBy("src").agg(sum("w").as("ow")).cutLineage()
     val eNorm = edges.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
-      .localCheckpoint(true)
+      .cutLineage()
     val nodes = t.outputs.select(col("ergoTreeHash").as("node")).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     val nTot = nodes.agg(count(lit(1)).cast("double").as("n"))
     var pr = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint(true)
+      .cutLineage()
     for (_ <- 1 to iters) {
       val dangling = pr
         .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
@@ -108,7 +110,7 @@ object GraphEdges {
         .select(col("node"),
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("cin"), lit(0.0)) + col("dm") / col("n"))).as("pr"))
-        .localCheckpoint(true)
+        .cutLineage()
     }
     pr.select(col("node").as("ergoTreeHash"), round(col("pr"), 6).as("pagerank"))
       .orderBy("ergoTreeHash")

@@ -1,5 +1,7 @@
 package graft.chain
 
+import graft.Lineage.LineageCut
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -260,7 +262,7 @@ object UtxoQueries {
     val star = inScripts.join(txMin, "txId")
       .filter(col("ergoTreeHash") =!= col("m"))
       .select(col("ergoTreeHash").as("a"), col("m").as("b")).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     val edges = star.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(star.select(col("b").as("src"), col("a").as("dst")))
     val labels = graft.functions.Clustering.minLabelComponents(edges)

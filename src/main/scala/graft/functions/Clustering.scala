@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.Lineage.LineageCut
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -35,7 +37,7 @@ private[graft] object Clustering {
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .cutLineage()
     val isNumeric = edges.schema("src").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def sumExpr = {
       val v = if (isNumeric) col("label").cast(DecimalType(38, 0))
@@ -52,7 +54,7 @@ private[graft] object Clustering {
         .select(col("dst").as("node"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .cutLineage()
       val nextSum = labelSum(next)
       if (nextSum.compareTo(prevSum) == 0) {
         // candidate fixpoint — confirm exactly (both sides checkpointed, so

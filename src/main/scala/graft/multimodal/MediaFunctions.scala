@@ -129,12 +129,20 @@ object MediaFunctions {
           val frame = reader.read(i)
           val (x, y, disposal) = gifFrameMeta(reader, i)
           if (canvas == null) {
-            // declared logical screen, grown if a frame overflows it (a
-            // malformed-but-decodable file must not throw out of bounds)
-            val (sw, sh) = gifLogicalScreen(reader)
-              .getOrElse((x + frame.getWidth, y + frame.getHeight))
-            canvas = new BufferedImage(math.max(sw, x + frame.getWidth),
-              math.max(sh, y + frame.getHeight), BufferedImage.TYPE_INT_RGB)
+            // declared logical screen, grown to cover EVERY frame's
+            // ImageDescriptor extent (r09 ADVICE: growing by frame 0 alone
+            // silently clipped a later frame overflowing the screen —
+            // malformed but decodable, and it must neither throw nor
+            // truncate). The pre-scan reads only descriptor metadata
+            // (getWidth/getHeight(i) — no raster decode).
+            val extents = (0 until n).map { j =>
+              val (fx, fy, _) = gifFrameMeta(reader, j)
+              (fx + reader.getWidth(j), fy + reader.getHeight(j))
+            }
+            val (sw, sh) = gifLogicalScreen(reader).getOrElse((0, 0))
+            canvas = new BufferedImage(
+              math.max(sw, extents.map(_._1).max),
+              math.max(sh, extents.map(_._2).max), BufferedImage.TYPE_INT_RGB)
           }
           val before =
             if (disposal == "restoreToPrevious") copyOf(canvas) else null

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Lineage.LineageCut
+
 import graft.chain._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -244,11 +246,11 @@ object ChainQueries extends QueryModule {
     // the edge table is referenced 2×/5× inside the traversal plans (mine,
     // hop1, hop2, target) — materialize it once, like the PageRank loop
     "q92_neighbours" -> ((s, _) => {
-      val e = GraphEdges.txEdges(tables(s), dust = 1000000L).localCheckpoint(true)
+      val e = GraphEdges.txEdges(tables(s), dust = 1000000L).cutLineage()
       GraphEdges.neighboursOf(e, busiestScript(e))
     }),
     "q93_two_hop" -> ((s, _) => {
-      val e = GraphEdges.txEdges(tables(s), dust = 1000000L).localCheckpoint(true)
+      val e = GraphEdges.txEdges(tables(s), dust = 1000000L).cutLineage()
       GraphEdges.twoHopOf(e, busiestScript(e))
     }),
 

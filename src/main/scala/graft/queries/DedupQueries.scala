@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Lineage.LineageCut
+
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
@@ -103,6 +105,21 @@ object DedupQueries extends QueryModule {
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     shingledDocs(s, dir).select(col("doc_id"), col("h0").as("hs"))
 
+  /** Per-doc-DISTINCT (doc_id, hs) relation for the CANDIDATE side of the
+    * exact set-similarity joins (q26/q120), exploded from the cached
+    * doc-array layout so the df counts, per-doc ranks, prefix cuts, and
+    * positional bounds all see the SAME distinct-set cardinalities as `n`
+    * and the set-based verify. With the raw shingle rows, an in-doc 60-bit
+    * hash collision would consume a prefix rank slot while `n` counts
+    * distinct hashes — which can evict the needed rarest shingle from the
+    * prefix and lose a qualifying pair the oracle's full join keeps
+    * (r09 ADVICE: the exact collision class the set-based r08 fix claims
+    * to close, now closed on both sides). Reads the cached array table —
+    * no extra shuffle.
+    */
+  private def distinctShingleHashes(s: SparkSession, dir: String): DataFrame =
+    shingleArrays(s, dir).select(col("doc_id"), explode(col("arr")).as("hs"))
+
   /** doc_id → (n, distinct shingle-hash ARRAY) — the verify-side layout
     * for the exact set-similarity operators (q26/q59/q120): one doc_id
     * shuffle builds both the size table and the per-doc array, and pair
@@ -162,7 +179,7 @@ object DedupQueries extends QueryModule {
     labelMemo.getOrElseUpdate((s, dir), {
       Memos.hook(s)
       val pairs = lshNearDupPairs(signatures(s, dir))
-        .select("a_id", "b_id").localCheckpoint(true)
+        .select("a_id", "b_id").cutLineage()
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       graft.functions.Clustering.minLabelComponents(edges)
@@ -226,7 +243,7 @@ object DedupQueries extends QueryModule {
     // candidate pairs.
     "q26_shingle_jaccard" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = shingleHashes(s, dir)
+      val sh = distinctShingleHashes(s, dir)
       val arrs = shingleArrays(s, dir)
       val sz = arrs.select("doc_id", "n")
       val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
@@ -291,7 +308,7 @@ object DedupQueries extends QueryModule {
     // threshold is the cross-multiplied 5·shared ≥ 4·n).
     "q120_containment" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = shingleHashes(s, dir)
+      val sh = distinctShingleHashes(s, dir)
       val arrs = shingleArrays(s, dir)
       val sz = arrs.select("doc_id", "n")
       val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Lineage.LineageCut
+
 import graft.Tables
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -213,6 +215,122 @@ object SimilarityQueries extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- q129 two-level IVF stages, factored (r09 VERDICT #2/#4): the
+  // PlanSpec pin inspects the UNCUT candidate pipeline via the pluggable
+  // `cut`, and the persistent ANN index (AnnIndex) trains ONCE through
+  // ivf2TrainCoarse/ivf2TrainFine and serves many queries through
+  // ivf2VecProbes + ivf2FinalAssign against the stored centroid tables. ----
+
+  private[graft] def ivf2Corpus(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select("vec_id", "v")
+
+  /** Adaptive cluster counts: fine K keeps expected cluster size constant,
+    * coarse G = ⌈√K⌉ groups keep every stage at n·√K flops.
+    */
+  private[graft] def ivf2KG(e: DataFrame): (Long, Long) = {
+    val k = math.max(KMeansK.toLong, e.count() / NearDupClusterSize)
+    (k, math.ceil(math.sqrt(k.toDouble)).toLong)
+  }
+
+  /** COARSE quantizer (q113 trains fine centroids with a FULL n·K Lloyd
+    * pass — the very stage q129 exists to remove, so even training is
+    * group-restricted): first-G seed, one Lloyd step over the corpus —
+    * n·G flops, compiled. The ONLY compiled-kernel collects on the q129
+    * path are this table's G = √K rows.
+    */
+  private[graft] def ivf2TrainCoarse(e: DataFrame, g: Long,
+    cut: DataFrame => DataFrame): DataFrame = {
+    val coarse0 = e.filter(col("vec_id") < g)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    cut(centroidsOf(lloydAssign(e, coarse0)))
+  }
+
+  /** Every vector's CoarseProbes nearest groups — n·G flops. Cut: it feeds
+    * both restricted assigns, and its lineage holds a corpus pass.
+    */
+  private[graft] def ivf2VecProbes(e: DataFrame, coarse: DataFrame,
+    cut: DataFrame => DataFrame): DataFrame =
+    cut(assignCompiled(e, coarse, CoarseProbes)
+      .select(col("vec_id"), col("v"), col("c_id").as("g_id"))
+      .withColumn("vv", dotNative(col("v"), col("v"))))
+
+  /** Centroid-side table for the restricted assigns: each centroid →
+    * its coarse group, folded to ONE array row per group. The K rows stay
+    * DISTRIBUTED — grouped and equi-joined on g_id (Spark auto-broadcasts
+    * while the group table is small and falls back to a shuffle join
+    * beyond the threshold — the size-adaptive behavior a 100 TB corpus
+    * needs).
+    */
+  private def ivf2Grouped(cents: DataFrame, coarse: DataFrame): DataFrame =
+    assignCompiled(cents, coarse, 1)
+      .select(col("c_id").as("g_id"), col("vec_id").as("c_id"), col("v").as("cv"))
+      .withColumn("cc", dotNative(col("cv"), col("cv")))
+      .groupBy("g_id")
+      .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as("cents"))
+
+  /** Group-RESTRICTED argmin: each vector against only the centroids in
+    * its probed groups (n·CoarseProbes·K/G ≈ n·√K dot products; the
+    * per-element dispatch is interpreted but each dot is the native
+    * codegen'd expression), ranked by the same (HALF_UP-6dp d2, c_id)
+    * order as assignCompiled — struct sort matches it exactly.
+    */
+  private def ivf2TopPicks(vecProbes: DataFrame, cents: DataFrame,
+    nPicks: Int): DataFrame =
+    vecProbes.join(cents, "g_id")
+      .select(col("vec_id"), col("v"),
+        slice(array_sort(transform(col("cents"), c =>
+          struct(round(col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv"))
+            + c.getField("cc"), 6).as("rd2"),
+            c.getField("c_id").as("c_id")))), 1, nPicks).as("picks"))
+      // global top across probed groups = top of the per-group tops
+      // (each group's candidates are disjoint); v rides along via
+      // first() — identical across a vector's probe rows
+      .groupBy("vec_id")
+      .agg(slice(array_sort(flatten(collect_list(col("picks")))),
+        1, nPicks).as("picks"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), explode(col("picks")).as("p"))
+      .select(col("vec_id"), col("v"), col("p.c_id").as("c_id"))
+
+  /** One RESTRICTED fine Lloyd step over the first-K seeds → the trained
+    * fine centroid table (c_id, cv).
+    */
+  private[graft] def ivf2TrainFine(e: DataFrame, k: Long, coarse: DataFrame,
+    vecProbes: DataFrame, cut: DataFrame => DataFrame): DataFrame = {
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("vec_id"), col("v"))
+    cut(centroidsOf(ivf2TopPicks(vecProbes, ivf2Grouped(seeds, coarse), 1)))
+  }
+
+  /** Final restricted assign against the TRAINED fine centroids — the
+    * (vec_id, v, n, c_id) layout the shared q113 pair kernel consumes.
+    */
+  private[graft] def ivf2FinalAssign(vecProbes: DataFrame, coarse: DataFrame,
+    fine: DataFrame, cut: DataFrame => DataFrame): DataFrame =
+    cut(ivf2TopPicks(vecProbes,
+      ivf2Grouped(fine.select(col("c_id").as("vec_id"), col("cv").as("v")), coarse),
+      NearDupProbes)
+      .withColumn("n", l2NormNative(col("v")))
+      .select("vec_id", "v", "n", "c_id"))
+
+  /** The full q129 assignment pipeline (train + assign in one lineage —
+    * the ad-hoc form; AnnIndex is the train-once/serve-many form).
+    */
+  private[graft] def ivf2Assigned(s: SparkSession, dir: String,
+    cut: DataFrame => DataFrame = graft.Lineage.cut(_)): DataFrame = {
+    val e = ivf2Corpus(s, dir)
+    val (k, g) = ivf2KG(e)
+    val coarse1 = ivf2TrainCoarse(e, g, cut)
+    val vecProbes = ivf2VecProbes(e, coarse1, cut)
+    val fine = ivf2TrainFine(e, k, coarse1, vecProbes, cut)
+    ivf2FinalAssign(vecProbes, coarse1, fine, cut)
+  }
+
+  /** Within-cluster pairs from a stored/served assignment — q129's pair
+    * tail exposed for AnnIndex.
+    */
+  private[graft] def ivf2Pairs(assigned: DataFrame): DataFrame =
+    neardupPairs(assigned)
+
   /** Rank candidate (q_id, nbr_id, cos) triples and keep the top-k per query.
     * Ranking uses cosine rounded to 6 dp with nbr_id tie-break so the order
     * is reproducible across engines.
@@ -317,7 +435,7 @@ object SimilarityQueries extends QueryModule {
       val assigned = lloydAssign(e, cent1)
         .withColumn("n", l2NormNative(col("v")))
         .select("vec_id", "v", "n", "c_id")
-        .localCheckpoint(true)
+        .cutLineage()
       val dups = assigned.as("a")
         .join(assigned.as("b"),
           col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
@@ -357,7 +475,7 @@ object SimilarityQueries extends QueryModule {
       val assigned = probeAssign(e, cent1, NearDupProbes)
         .withColumn("n", l2NormNative(col("v")))
         .select("vec_id", "v", "n", "c_id")
-        .localCheckpoint(true)
+        .cutLineage()
       neardupPairs(assigned)
     }),
 
@@ -379,69 +497,7 @@ object SimilarityQueries extends QueryModule {
     // corpus needs). Same fine probe width, threshold, and pair semantics
     // as q113; PipelineSpec pins recall ≥ 0.95 against q113 on a corpus
     // where the coarse stage genuinely restricts.
-    "q129_ivf2_neardup" -> ((s, dir) => {
-      val e = corpus(s, dir).select("vec_id", "v")
-      val k = math.max(KMeansK.toLong, e.count() / NearDupClusterSize)
-      val g = math.ceil(math.sqrt(k.toDouble)).toLong
-      // COARSE level first (q113 trains fine centroids with a FULL n·K
-      // Lloyd pass — the very stage this query exists to remove, so here
-      // even training is group-restricted): first-G seed, one Lloyd step
-      // over the corpus — n·G flops, compiled.
-      val coarse0 = e.filter(col("vec_id") < g)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val coarse1 = centroidsOf(lloydAssign(e, coarse0)).localCheckpoint(true)
-      // every vector's CoarseProbes nearest groups — n·G flops; the ONLY
-      // compiled-kernel collects in the query are coarse0/coarse1: G = √K
-      // rows each. Checkpointed: it feeds BOTH restricted assigns below,
-      // and its lineage holds a corpus pass.
-      val vecProbes = assignCompiled(e, coarse1, CoarseProbes)
-        .select(col("vec_id"), col("v"), col("c_id").as("g_id"))
-        .withColumn("vv", dotNative(col("v"), col("v")))
-        .localCheckpoint(true)
-      // fine SEEDS (first K vectors) → their coarse group, folded to one
-      // array row per group. The K seeds stay DISTRIBUTED — grouped and
-      // equi-joined on g_id (Spark auto-broadcasts while the group table
-      // is small and falls back to a shuffle join beyond the threshold —
-      // the size-adaptive behavior a 100 TB corpus needs).
-      val seeds = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("vec_id"), col("v"))
-      def grouped(cents: DataFrame): DataFrame =
-        assignCompiled(cents, coarse1, 1)
-          .select(col("c_id").as("g_id"), col("vec_id").as("c_id"), col("v").as("cv"))
-          .withColumn("cc", dotNative(col("cv"), col("cv")))
-          .groupBy("g_id")
-          .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as("cents"))
-      // one RESTRICTED fine Lloyd step: each vector against only the seeds
-      // in its probed groups (n·CoarseProbes·K/G ≈ n·√K dot products; the
-      // per-element dispatch is interpreted but each dot is the native
-      // codegen'd expression), ranked by the same (HALF_UP-6dp d2, c_id)
-      // order as assignCompiled — struct sort matches it exactly.
-      def topPicks(cents: DataFrame, nPicks: Int): DataFrame =
-        vecProbes.join(cents, "g_id")
-          .select(col("vec_id"), col("v"),
-            slice(array_sort(transform(col("cents"), c =>
-              struct(round(col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv"))
-                + c.getField("cc"), 6).as("rd2"),
-                c.getField("c_id").as("c_id")))), 1, nPicks).as("picks"))
-          // global top across probed groups = top of the per-group tops
-          // (each group's candidates are disjoint); v rides along via
-          // first() — identical across a vector's probe rows
-          .groupBy("vec_id")
-          .agg(slice(array_sort(flatten(collect_list(col("picks")))),
-            1, nPicks).as("picks"), first(col("v")).as("v"))
-          .select(col("vec_id"), col("v"), explode(col("picks")).as("p"))
-          .select(col("vec_id"), col("v"), col("p.c_id").as("c_id"))
-      val cent1 = centroidsOf(topPicks(grouped(seeds), 1)).localCheckpoint(true)
-      // final restricted assign against the TRAINED fine centroids, same
-      // shape, top-NearDupProbes — then the shared q113 pair kernel
-      val assigned = topPicks(
-        grouped(cent1.select(col("c_id").as("vec_id"), col("cv").as("v"))),
-        NearDupProbes)
-        .withColumn("n", l2NormNative(col("v")))
-        .select("vec_id", "v", "n", "c_id")
-        .localCheckpoint(true)
-      neardupPairs(assigned)
-    }),
+    "q129_ivf2_neardup" -> ((s, dir) => neardupPairs(ivf2Assigned(s, dir))),
 
     // Hard-negative mining (the contrastive-training data op — DPR/SBERT
     // style): for every query vector, the top-k most-similar vectors with a

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Lineage.LineageCut
+
 import graft.chain._
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -96,7 +98,7 @@ class ChainIngest(
     * fork path on replay).
     */
   private def withPinned[A](f: (DataFrame => DataFrame) => A): A =
-    f(df => df.localCheckpoint(false))
+    f(df => df.cutLineage(eager = false))
 
   /** Fan independent entity-table writes out concurrently. The 8 sinks
     * share nothing below the pinned derivation cores (materialized before
@@ -367,7 +369,7 @@ class ChainIngest(
     val staleDeltas = hotDeltaVs().filter(_ <= baseV) // crashed pre-GC leftovers
     val liveDeltas = hotDeltaVs().filter(_ > baseV)
     if (liveDeltas.size >= compactEvery) {
-      val merged = hotCountsView(spark).get.localCheckpoint(true) // pin pre-delete
+      val merged = hotCountsView(spark).get.cutLineage() // pin pre-delete
       writeHot(merged, "base", v + 1) // the commit point
       (liveDeltas ++ staleDeltas).foreach(d => rm(p(s"hot_keys/delta/v=$d")))
       hotBaseVs().dropRight(1).foreach(b => rm(p(s"hot_keys/base/v=$b")))
@@ -379,7 +381,7 @@ class ChainIngest(
     * break when a later batch's consolidation GCs the versions it read.
     */
   def scriptOpCounts(spark: SparkSession): DataFrame =
-    hotCountsView(spark).map(_.localCheckpoint(true))
+    hotCountsView(spark).map(_.cutLineage())
       .getOrElse(spark.emptyDataFrame
         .select(lit("").as("ergoTreeHash"), lit(0L).as("ops")).limit(0))
 

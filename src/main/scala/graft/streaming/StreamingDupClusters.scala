@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Lineage.LineageCut
+
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -231,7 +233,7 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     val np = newPairs
       .select(least(col("aId"), col("bId")).as("a"),
         greatest(col("aId"), col("bId")).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage()
     if (np.isEmpty) return
     val manifest = readManifest()
 
@@ -239,7 +241,7 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     // through a partition-PRUNED read of only their doc-hash label buckets
     val touched = np.select(col("a").as("doc_id"))
       .unionByName(np.select(col("b").as("doc_id"))).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     val touchedDocBuckets = touched.select(cbOf(col("doc_id")).as("cb"))
       .distinct().collect().map(_.getLong(0)).toSet
     val touchedCids = touched
@@ -253,12 +255,12 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     // sharing a bucket re-label to their unchanged cid)
     val oldEdges = readBuckets(spark, "edges", manifest, edgeSchema,
       only = Some(affected))
-    val subEdges = oldEdges.unionByName(np).distinct().localCheckpoint(true)
+    val subEdges = oldEdges.unionByName(np).distinct().cutLineage()
     val doubled = subEdges
       .select(col("a").as("src"), col("b").as("dst"))
       .unionByName(subEdges.select(col("b").as("src"), col("a").as("dst")))
     val relabeled = graft.functions.Clustering.minLabelComponents(doubled)
-      .toDF("doc_id", "cid").localCheckpoint(true)
+      .toDF("doc_id", "cid").cutLineage()
     val edgesWithCid = subEdges.join(
       relabeled.select(col("doc_id").as("a"), col("cid").as("ecid")), "a")
 
@@ -271,7 +273,7 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
       only = Some(memberBuckets))
       .join(relabeled.select("doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(relabeled)
-      .localCheckpoint(true) // pin before the staged writes below
+      .cutLineage() // pin before the staged writes below
 
     // edge rewrites land inside the affected cid-bucket set (merged cids
     // are minima over affected members); write fresh immutable versions,

@@ -182,9 +182,58 @@ class EngineSpec extends AnyFunSuite {
     engine.ingest.processBatch(
       spark.createDataset(ChainFixture.generate(35).drop(30)), 2L)
     assert(engine.refreshCatalog("scat_"))
-    val vs = new java.io.File(s"$base/warehouse/_catalog/ergo_trees")
+    // r10: roots are prefix-scoped — two prefixes never share a v= chain
+    val vs = new java.io.File(s"$base/warehouse/_catalog/scat_ergo_trees")
       .list().toSeq.filter(_.startsWith("v=")).sorted
     assert(vs.size == 2, s"expected current+previous snapshot dirs, got $vs")
+  }
+
+  test("catalog registration survives an ingest commit landing mid-registration") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-catalog-race").toString
+    val engine = new GraftEngine(spark, s"$base/warehouse")
+    val all = ChainFixture.generate(40)
+    engine.ingest.processBatch(spark.createDataset(all.take(20)), 0L)
+
+    // scenario 1: ONE commit lands between the version pre-read and the
+    // snapshot writes — registration must detect the advance and re-run
+    // the pass, so the stamp matches the (post-commit) snapshot content
+    // and refreshCatalog sees a FRESH catalog, not an undetectably stale
+    // one (r09 VERDICT #5: a stamp read before materialization made the
+    // stamp an UPPER bound; refreshCatalog then refused to refresh until
+    // the commit after next).
+    var fired = false
+    engine.midRegistrationHook = () => if (!fired) {
+      fired = true
+      engine.ingest.processBatch(spark.createDataset(all.slice(20, 30)), 1L)
+    }
+    engine.registerCatalog(prefix = "rcat_")
+    engine.midRegistrationHook = () => ()
+    assert(fired, "the race hook must have interleaved a commit")
+    assert(engine.catalogVersion("rcat_") == engine.ingest.currentUtxoVersion(),
+      "stamp must match the warehouse version the snapshots were built at")
+    assert(!engine.refreshCatalog("rcat_"),
+      "registration re-ran against the interleaved commit — nothing stale")
+    // the snapshots really contain the mid-registration commit's data
+    assert(spark.sql("SELECT count(*) FROM rcat_ergo_trees").head.getLong(0) ==
+      engine.tables.ergoTrees.count())
+
+    // scenario 2: a commit lands on EVERY pass (continuous ingest) — the
+    // bounded retry bails with its pre-read stamp, a LOWER bound on the
+    // snapshot content, so refreshCatalog still DETECTS the staleness
+    // (one redundant refresh, never an undetected stale catalog).
+    var batch = 2L
+    var from = 30
+    engine.midRegistrationHook = () => if (from < 40) {
+      engine.ingest.processBatch(
+        spark.createDataset(all.slice(from, from + 3)), batch)
+      from += 3; batch += 1
+    }
+    engine.registerCatalog(prefix = "rcat_")
+    engine.midRegistrationHook = () => ()
+    assert(engine.refreshCatalog("rcat_"),
+      "a lower-bound stamp must still surface as refreshable staleness")
+    assert(!engine.refreshCatalog("rcat_"))
   }
 
   test("heal detects a crash between raw append and derivation and repairs it") {

@@ -93,6 +93,37 @@ class PlanSpec extends AnyFunSuite {
       s"q113's pair stage degenerated to an unkeyed join:\n$plan")
   }
 
+  test("two-level IVF candidates are g_id equi-joins; pair stage is one c_id exchange") {
+    // r09 VERDICT #2: pin q129's scale contract. The UNCUT stage plan
+    // (identity lineage cut) exposes the whole candidate pipeline: every
+    // join in it must be the g_id equi-join between the probed corpus and
+    // the per-group centroid arrays — never a cartesian or nested loop
+    // (which would mean the fine-centroid table stopped being
+    // group-restricted and degenerated to an all-pairs broadcast).
+    val stages = queries.SimilarityQueries
+      .ivf2Assigned(spark, sf0001, identity)
+    val plan = stages.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q129 candidate generation must never be a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q129 must not plan an unkeyed nested loop:\n$plan")
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && !l.contains("ReusedExchange")).toSeq
+    assert(joinLines.nonEmpty, s"expected g_id equi-joins in:\n$plan")
+    assert(joinLines.forall(_.contains("g_id")),
+      s"every candidate join must key on g_id, got:\n${joinLines.mkString("\n")}")
+    // the pair tail (after the assignment cut): the shared compiled kernel
+    // on ONE hash exchange over the cluster key — no joins at all; the
+    // only further exchanges are the distinct + presentation sort
+    val pair = planOf("q129_ivf2_neardup")
+    assert(!pair.contains("Join"), s"the pair stage must not join:\n$pair")
+    assert(pair.contains("MapGroups graft.queries.SimilarityQueries"),
+      s"pair stage must be the compiled kernel:\n$pair")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(pair).length
+    assert(hashEx <= 2, // kernel grouping + distinct
+      s"pair stage grew unexpected shuffles ($hashEx hash exchanges):\n$pair")
+  }
+
   test("BM25 broadcasts the query/term/stats sides; only tf shuffles") {
     val plan = planOf("q96_bm25")
     // the only nested-loop allowed is the 1-row corpus-stats crossJoin
