@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{GraftEngine, Lineage}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent two-level IVF index (r09 VERDICT #4).
+  *
+  * q32/q113/q129 re-train k-means on every invocation — the right shape for
+  * the oracle-checked ad-hoc form, the wrong one at 100 TB, where an index
+  * is trained ONCE and served many times. [[mount]] runs q129's training
+  * (coarse quantizer, G = ⌈√K⌉ rows; trained fine centroids, K rows) and
+  * materializes both tables as versioned catalog snapshots through the
+  * shared [[GraftEngine.swapSnapshotView]] machinery — atomic view swap,
+  * previous version retained one swap for in-flight readers, per-root
+  * serialization. [[servedPairs]] then answers near-dup queries with ZERO
+  * training stages: one coarse probe pass (n·G flops) + the
+  * group-restricted assign against the STORED centroids (n·√K) + the
+  * shared compiled pair kernel. Training and serving share the exact same
+  * restricted-assign arithmetic, so a served answer on an up-to-date index
+  * is row-identical to q129 — q130's driver oracle is literally q129's.
+  *
+  * Freshness model ([[GraftEngine.refreshCatalog]]'s, applied to a file
+  * corpus): the index carries the corpus parquet fingerprint
+  * ((file, length, mtime) digest) both as a view property and as a durable
+  * `_corpus_version` file next to the snapshots. [[refresh]] retrains only
+  * when the fingerprint advanced; a NEW application (empty in-memory
+  * catalog) whose fingerprint still matches the durable stamp re-registers
+  * the views over the existing snapshot files without retraining — the
+  * cross-application train-once contract.
+  */
+object AnnIndex {
+
+  val VersionProp = "graft.ann.corpus.version"
+
+  /** Mount/retrain invocations — the spec's "no second Lloyd pass" probe. */
+  private[graft] var trainCount = 0
+
+  /** Content fingerprint of the embeddings table's parquet files — the
+    * corpus analog of the chain warehouse's commit version: any rewrite,
+    * append, or replacement advances it.
+    */
+  def corpusVersion(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val sig =
+      if (!fs.exists(p)) "absent"
+      else if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .mkString(",")
+      else {
+        val st = fs.getFileStatus(p)
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Stable default location, like the corpus catalog's: under the session
+    * warehouse dir, scoped by prefix, so a durable catalog's view paths
+    * survive process restarts.
+    */
+  private def defaultRoot(s: SparkSession, prefix: String): String =
+    s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/_graft_ann_index/$prefix"
+
+  /** The corpus fingerprint the mounted index was trained at (None when
+    * never mounted in this application's catalog).
+    */
+  def indexVersion(s: SparkSession, prefix: String = "graft_ann_"): Option[String] =
+    if (!s.catalog.tableExists(prefix + "fine")) None
+    else s.sql(s"SHOW TBLPROPERTIES ${prefix}fine")
+      .filter(col("key") === VersionProp)
+      .collect().headOption.map(_.getString(1))
+
+  private def fs(s: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  /** The durable (cross-application) fingerprint stamp. */
+  private def storedVersion(s: SparkSession, root: String): Option[String] = {
+    val (f, p) = fs(s, s"$root/_corpus_version")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def latestSnapshot(s: SparkSession, root: String): Option[String] = {
+    val (f, p) = fs(s, root)
+    if (!f.exists(p)) None
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).flatMap(_.drop(2).toLongOption)
+      .sorted.lastOption.map(v => s"$root/v=$v")
+  }
+
+  private def registerOver(s: SparkSession, name: String, path: String,
+    ver: String): Unit =
+    s.sql(s"CREATE OR REPLACE VIEW $name " +
+      s"TBLPROPERTIES ('$VersionProp' = '$ver') " +
+      s"AS SELECT * FROM parquet.`$path`")
+
+  /** Train ONCE and snapshot: coarse + fine centroid tables land under
+    * `root/{coarse,fine}/v=<k>` with the catalog views swapped atomically,
+    * and the durable fingerprint stamp is written last (a crash before it
+    * just retrains on the next mount — never serves a torn index).
+    */
+  def mount(s: SparkSession, dir: String, prefix: String = "graft_ann_",
+    snapshotDir: String = null): Unit = s.synchronized {
+    import SimilarityQueries._
+    val root = Option(snapshotDir).getOrElse(defaultRoot(s, prefix))
+    val ver = corpusVersion(s, dir)
+    val cut: DataFrame => DataFrame = Lineage.cut(_)
+    val e = ivf2Corpus(s, dir)
+    val (k, g) = ivf2KG(e)
+    val coarse = ivf2TrainCoarse(e, g, cut)
+    val vecProbes = ivf2VecProbes(e, coarse, cut)
+    val fine = ivf2TrainFine(e, k, coarse, vecProbes, cut)
+    GraftEngine.swapSnapshotView(s, prefix + "coarse", coarse,
+      s"$root/coarse", Map(VersionProp -> ver))
+    GraftEngine.swapSnapshotView(s, prefix + "fine", fine,
+      s"$root/fine", Map(VersionProp -> ver))
+    val (f, p) = fs(s, s"$root/_corpus_version")
+    val out = f.create(p, true)
+    try out.write(ver.getBytes("UTF-8")) finally out.close()
+    trainCount += 1
+  }
+
+  /** Retrain only when the corpus fingerprint advanced; re-register (no
+    * retrain) when a fresh application finds matching snapshots on disk.
+    * Returns whether a RETRAIN ran.
+    */
+  def refresh(s: SparkSession, dir: String, prefix: String = "graft_ann_",
+    snapshotDir: String = null): Boolean = s.synchronized {
+    val root = Option(snapshotDir).getOrElse(defaultRoot(s, prefix))
+    val cur = corpusVersion(s, dir)
+    if (indexVersion(s, prefix).contains(cur)) false
+    else if (storedVersion(s, root).contains(cur) &&
+      latestSnapshot(s, s"$root/coarse").isDefined &&
+      latestSnapshot(s, s"$root/fine").isDefined) {
+      // snapshots from a previous application are current — adopt them
+      registerOver(s, prefix + "coarse", latestSnapshot(s, s"$root/coarse").get, cur)
+      registerOver(s, prefix + "fine", latestSnapshot(s, s"$root/fine").get, cur)
+      false
+    } else { mount(s, dir, prefix, snapshotDir); true }
+  }
+
+  /** SERVE near-dup pairs from the stored index: no Lloyd pass, no seed
+    * training — probe + restricted assign against the snapshot tables +
+    * the shared pair kernel. Self-initializing: the first call on a new
+    * corpus (or a stale index) mounts; every later call reuses.
+    * `cut` is pluggable for plan inspection (PlanSpec/AnnIndexSpec pin
+    * that the served plan reads parquet snapshots and contains no
+    * centroid-update aggregation).
+    */
+  def servedPairs(s: SparkSession, dir: String, prefix: String = "graft_ann_",
+    snapshotDir: String = null,
+    cut: DataFrame => DataFrame = Lineage.cut(_)): DataFrame = {
+    import SimilarityQueries._
+    refresh(s, dir, prefix, snapshotDir)
+    val coarse = s.table(prefix + "coarse")
+    val fine = s.table(prefix + "fine")
+    val e = ivf2Corpus(s, dir)
+    val vecProbes = ivf2VecProbes(e, coarse, cut)
+    ivf2Pairs(ivf2FinalAssign(vecProbes, coarse, fine, cut))
+  }
+}

@@ -499,6 +499,15 @@ object SimilarityQueries extends QueryModule {
     // where the coarse stage genuinely restricts.
     "q129_ivf2_neardup" -> ((s, dir) => neardupPairs(ivf2Assigned(s, dir))),
 
+    // PERSISTENT-index serve (r09 VERDICT #4): identical pair semantics to
+    // q129, but the coarse/fine centroids come from the mounted AnnIndex
+    // catalog snapshots — training runs at MOST once per corpus fingerprint
+    // (the first call mounts, every later call and every later APPLICATION
+    // with matching snapshots is probe + restricted assign + pair kernel
+    // only). The stored centroids are exactly what q129's training derives,
+    // so this shares q129's oracle verbatim.
+    "q130_ann_serve" -> ((s, dir) => AnnIndex.servedPairs(s, dir)),
+
     // Hard-negative mining (the contrastive-training data op — DPR/SBERT
     // style): for every query vector, the top-k most-similar vectors with a
     // DIFFERENT label — maximally confusing negatives. Same broadcast-query
@@ -822,7 +831,18 @@ object SimilarityQueries extends QueryModule {
     // trained fine centroids, and the same pair tail as q113. The
     // multiply-referenced CTEs are MATERIALIZED — DuckDB re-inlines them
     // otherwise and the nested-window plan blows up exponentially.
-    "q129_ivf2_neardup" ->
+    "q129_ivf2_neardup" -> Ivf2OracleSql,
+
+    // q130 serves q129's training output from the persistent index — the
+    // ground truth is the same end-to-end derivation.
+    "q130_ann_serve" -> Ivf2OracleSql,
+  ) ++ moreOracles
+
+  /** q129/q130 shared ground truth: the full two-level derivation replayed
+    * in DuckDB (coarse training, probe pre-selection, restricted fine
+    * training, restricted final assign, pair tail).
+    */
+  private lazy val Ivf2OracleSql: String =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          coarse0 AS (SELECT vec_id AS g_id, v AS gv FROM e WHERE vec_id <
            (SELECT CAST(ceil(sqrt(
@@ -896,8 +916,9 @@ object SimilarityQueries extends QueryModule {
          FROM a2 a JOIN a2 b
            ON a.c_id = b.c_id AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $NearDupTau
-         ORDER BY a_id, b_id""",
+         ORDER BY a_id, b_id"""
 
+  private def moreOracles: Map[String, String] = Map(
     "q72_embedding_quantize" ->
       """SELECT label, count(*) AS n_vecs, round(avg(rmse), 6) AS avg_rmse,
            round(avg(maxabs), 6) AS avg_maxabs

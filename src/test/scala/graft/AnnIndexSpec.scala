@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Persistent ANN index contract (r09 VERDICT #4): train once, serve many —
+  * consecutive serves reuse the snapshot (no second Lloyd pass), the
+  * staleness stamp advances with the corpus, a fresh application adopts
+  * matching on-disk snapshots without retraining, and the served rows are
+  * identical to q129's ad-hoc train+serve.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.queries.AnnIndex
+
+  private def tuples(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("train once, serve many, adopt-on-restart, retrain on corpus change") {
+    val dir = Files.createTempDirectory("graft-ann-corpus").toString
+    Files.copy(Paths.get(sf0001, "embeddings.parquet"),
+      Paths.get(dir, "embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val snap = Files.createTempDirectory("graft-ann-snap").toString
+
+    // first serve mounts (exactly one training run) and matches q129
+    val t0 = AnnIndex.trainCount
+    val served1 = tuples(AnnIndex.servedPairs(spark, dir, "tann_", snap).collect())
+    assert(AnnIndex.trainCount == t0 + 1, "first serve must train the index")
+    val adhoc = tuples(
+      SparkEntry.queries("q129_ivf2_neardup")(spark, dir).collect())
+    assert(served1 == adhoc, "served pairs must equal q129's ad-hoc result")
+
+    // second serve: NO retraining, snapshot version chain untouched
+    val served2 = tuples(AnnIndex.servedPairs(spark, dir, "tann_", snap).collect())
+    assert(served2 == adhoc)
+    assert(AnnIndex.trainCount == t0 + 1, "second serve must reuse the index")
+    assert(!AnnIndex.refresh(spark, dir, "tann_", snap),
+      "an up-to-date index must not retrain")
+    val vs = new java.io.File(s"$snap/fine").list().toSeq
+      .filter(_.startsWith("v="))
+    assert(vs == Seq("v=0"), s"serving must not grow the version chain: $vs")
+
+    // the served plan really reads the parquet snapshots and contains no
+    // centroid-update aggregation (the Lloyd pass's avg) anywhere
+    val plan = AnnIndex.servedPairs(spark, dir, "tann_", snap, identity)
+      .queryExecution.executedPlan.toString
+    val snapName = new java.io.File(snap).getName
+    assert(plan.contains(snapName),
+      s"served centroids must come from the snapshot files:\n$plan")
+    assert(!plan.contains("avg("),
+      s"a served query must contain no centroid-training aggregate:\n$plan")
+
+    // a NEW application (empty catalog) with matching snapshots on disk
+    // adopts them — re-register, no retrain
+    spark.sql("DROP VIEW IF EXISTS tann_coarse")
+    spark.sql("DROP VIEW IF EXISTS tann_fine")
+    assert(AnnIndex.indexVersion(spark, "tann_").isEmpty)
+    assert(!AnnIndex.refresh(spark, dir, "tann_", snap),
+      "matching durable stamp must adopt snapshots without retraining")
+    assert(AnnIndex.trainCount == t0 + 1)
+    assert(AnnIndex.indexVersion(spark, "tann_")
+      .contains(AnnIndex.corpusVersion(spark, dir)))
+
+    // corpus change: the fingerprint advances, refresh retrains, the
+    // stamp follows
+    val v0 = AnnIndex.indexVersion(spark, "tann_").get
+    val f = new java.io.File(dir, "embeddings.parquet")
+    assert(f.setLastModified(f.lastModified() + 2000))
+    assert(AnnIndex.corpusVersion(spark, dir) != v0,
+      "a corpus rewrite must advance the fingerprint")
+    assert(AnnIndex.refresh(spark, dir, "tann_", snap),
+      "a stale index must retrain")
+    assert(AnnIndex.trainCount == t0 + 2)
+    assert(AnnIndex.indexVersion(spark, "tann_")
+      .contains(AnnIndex.corpusVersion(spark, dir)))
+    // retrained snapshots: current + previous dirs retained (GC contract)
+    val vs2 = new java.io.File(s"$snap/fine").list().toSeq
+      .filter(_.startsWith("v=")).sorted
+    assert(vs2 == Seq("v=0", "v=1"), s"expected current+previous, got $vs2")
+  }
+}
