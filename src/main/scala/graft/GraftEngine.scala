@@ -318,20 +318,50 @@ object GraftEngine {
     * dir mid-write, and GC a dir the other is about to register a view
     * over) — the same serialization CorpusSurface.mountCatalog gets from
     * `s.synchronized`, applied here at the root granularity so unrelated
-    * snapshots still refresh in parallel.
+    * snapshots still refresh in parallel. Keys are the FS-qualified root
+    * (r10 ADVICE: raw-string keys let `file:/x`, `/x` and `/x/` take
+    * different lock objects for the same directory).
     */
   private val snapshotLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** Claim `root/v=<next>` for an already-written temp snapshot dir by
+    * ATOMIC RENAME — the cross-process race arbiter (r10 ADVICE: JVM-local
+    * locks cannot serialize two applications sharing one snapshot root).
+    * Exactly one renamer wins; a loser (target already created, or the
+    * Hadoop local/HDFS "rename into existing dir" semantics nested our
+    * temp under it) deletes its own bytes and ADOPTS the winner's dir —
+    * both raced from the same source, so the winner's snapshot is the same
+    * refresh. Returns the dir to serve and whether this call won.
+    */
+  private[graft] def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+    rootPath: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+    next: Long): (org.apache.hadoop.fs.Path, Boolean) = {
+    val dest = new org.apache.hadoop.fs.Path(rootPath, s"v=$next")
+    val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+    val won = !fs.exists(dest) && fs.rename(tmp, dest) && !fs.exists(nested)
+    if (!won) {
+      // lost the race: drop our copy wherever it landed and adopt the
+      // newest complete version (the winner's — rename is all-or-nothing,
+      // so every v= dir here is a fully-written snapshot)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val latest = fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v=")).flatMap(_.drop(2).toLongOption).max
+      (new org.apache.hadoop.fs.Path(rootPath, s"v=$latest"), false)
+    } else (dest, true)
+  }
+
   private[graft] def swapSnapshotView(spark: SparkSession, name: String,
     df: DataFrame, root: String, props: Map[String, String] = Map.empty,
-    legacyRoot: Option[String] = None): Unit =
-    snapshotLocks.getOrElseUpdate(root, new Object).synchronized {
+    legacyRoot: Option[String] = None): Unit = {
     // Hadoop FS, not java.io — the snapshot root may be a `file:` URI (the
     // default corpus location derives from spark.sql.warehouse.dir) or, on
     // a real cluster, HDFS/S3A
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    snapshotLocks.getOrElseUpdate(rootPath.toString, new Object).synchronized {
     // one-time migration from the pre-r10 unprefixed layout: the whole v=
     // chain moves (one rename) under the first prefix that registers;
     // later prefixes find no legacy dir and start their own chain at v=0
@@ -348,8 +378,15 @@ object GraftEngine {
       else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("v=")).flatMap(_.drop(2).toLongOption).sorted
     val next = prevVs.lastOption.getOrElse(-1L) + 1
-    val path = s"$root/v=$next"
-    df.write.mode("overwrite").parquet(path)
+    // Write to a UNIQUE temp dir, then atomically rename into v=<next>:
+    // two applications sharing this root can race past each other's
+    // JVM-local locks, and overwrite-mode writes into one shared v= dir
+    // would interleave part-files into a torn snapshot (r10 ADVICE). The
+    // rename is the arbiter — see [[claimVersion]].
+    val tmp = new org.apache.hadoop.fs.Path(rootPath,
+      s".tmp-${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val (servePath, _) = claimVersion(fs, rootPath, tmp, next)
     // a legacy saveAsTable registration (pre-r09 build) blocks CREATE OR
     // REPLACE VIEW with a name conflict — drop it once on upgrade (the
     // one-time window this removes for every later refresh), and delete
@@ -369,8 +406,20 @@ object GraftEngine {
       else props.map { case (k, v) => s"'$k' = '$v'" }
         .mkString("TBLPROPERTIES (", ", ", ") ")
     spark.sql(s"CREATE OR REPLACE VIEW $name $tblProps" +
-      s"AS SELECT * FROM parquet.`$path`")
-    prevVs.dropRight(1).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true))
+      s"AS SELECT * FROM parquet.`$servePath`")
+    // GC: retain the served version and its immediate predecessor (the
+    // one-further-swap window for in-flight readers); sweep older v= dirs
+    // and any orphaned temp dir a crashed writer left behind (>1h old —
+    // never a LIVE temp, which its writer renames or deletes promptly).
+    val servedV = servePath.getName.drop(2).toLong
+    fs.listStatus(rootPath).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      val staleV = n.startsWith("v=") &&
+        n.drop(2).toLongOption.exists(_ < servedV - 1)
+      val staleTmp = n.startsWith(".tmp-") &&
+        st.getModificationTime < System.currentTimeMillis() - 3600L * 1000
+      if (staleV || staleTmp) fs.delete(st.getPath, true)
+    }
+  }
   }
 }

@@ -25,11 +25,31 @@ object Lineage {
     * `localCheckpoint` otherwise (local / single-JVM — no extra I/O).
     * `eager = false` keeps the cut lazy (computed at first action), for
     * pin-points inside derivations that may never be executed.
+    *
+    * Reliable checkpointing runs TWO jobs — the materializing action and
+    * the checkpoint-file write — and without a persist the second job
+    * recomputes the whole plan (r10 ADVICE). [[cut]] therefore persists
+    * the dataset first (the write job then reads the cached blocks — one
+    * compute total) and unpersists as soon as the eager checkpoint holds
+    * the data. Lazy cuts keep the persist until the context cleaner drops
+    * it with the dataset reference (there is no post-materialization hook
+    * to unpersist from; both lazy sites are session-lived pin-points).
+    *
+    * Checkpoint-file lifetime: Spark never deletes reliable checkpoint
+    * files by default. Long-lived serving sessions that cut inside loops
+    * should submit with `spark.cleaner.referenceTracking.cleanCheckpoints
+    * =true` (a SparkConf-at-launch setting — it cannot be flipped on a
+    * running context, so it is documented here and in README rather than
+    * set by the engine).
     */
   def cut[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] =
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      ds.checkpoint(eager)
-    else ds.localCheckpoint(eager)
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val persisted =
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cp = persisted.checkpoint(eager)
+      if (eager) persisted.unpersist(blocking = false)
+      cp
+    } else ds.localCheckpoint(eager)
 
   /** `.cutLineage()` — drop-in syntax for what used to be
     * `.localCheckpoint(true)` at every call site.

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   * catalog) whose fingerprint still matches the durable stamp re-registers
   * the views over the existing snapshot files without retraining — the
   * cross-application train-once contract.
+  *
+  * Cross-PROCESS refresh safety (r10 ADVICE): two applications sharing one
+  * snapshot root can race past each other's JVM-local locks. The shared
+  * swap machinery therefore writes each snapshot to a unique temp dir and
+  * claims `v=<next>` by ATOMIC RENAME ([[GraftEngine.claimVersion]]) — the
+  * loser adopts the winner's fully-written dir (training is deterministic
+  * for a given corpus fingerprint, so both racers derive identical
+  * centroids), and no v= dir is ever observable half-written.
   */
 object AnnIndex {
 
@@ -38,20 +46,28 @@ object AnnIndex {
 
   /** Content fingerprint of the embeddings table's parquet files — the
     * corpus analog of the chain warehouse's commit version: any rewrite,
-    * append, or replacement advances it.
+    * append, or replacement advances it. Walks the tree RECURSIVELY and
+    * digests every LEAF file's full path + length + mtime (r10 ADVICE: a
+    * direct-children-only listing misses an in-place leaf rewrite inside a
+    * partitioned layout — a dir's name/len never change and its mtime only
+    * moves when entries are added or removed).
     */
   def corpusVersion(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val sig =
       if (!fs.exists(p)) "absent"
-      else if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
-          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .mkString(",")
       else {
-        val st = fs.getFileStatus(p)
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        // listFiles(recursive = true) yields leaf FILES only (a plain-file
+        // corpus yields itself), so nested dir layers contribute nothing
+        // and every byte-bearing leaf contributes path:len:mtime
+        val it = fs.listFiles(p, true)
+        val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          leaves += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
+        leaves.sorted.mkString(",")
       }
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString

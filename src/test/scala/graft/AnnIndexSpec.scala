@@ -79,4 +79,23 @@ class AnnIndexSpec extends AnyFunSuite {
       .filter(_.startsWith("v=")).sorted
     assert(vs2 == Seq("v=0", "v=1"), s"expected current+previous, got $vs2")
   }
+
+  test("corpusVersion sees a leaf rewrite deep in a partitioned layout (r10 ADVICE)") {
+    // A partitioned corpus (embeddings.parquet/part=k/file) whose leaf is
+    // rewritten in place changes no direct child's name/length, and the
+    // partition dir's mtime only moves when entries are added/removed — a
+    // shallow listing would serve a stale index. The fingerprint must walk
+    // to the leaves.
+    val dir = Files.createTempDirectory("graft-ann-part").toString
+    val leafDir = Paths.get(dir, "embeddings.parquet", "part=0")
+    Files.createDirectories(leafDir)
+    val leaf = leafDir.resolve("chunk.parquet")
+    Files.write(leaf, Array[Byte](1, 2, 3))
+    val v0 = AnnIndex.corpusVersion(spark, dir)
+
+    // in-place rewrite: same name, same length, only the leaf mtime moves
+    assert(leaf.toFile.setLastModified(leaf.toFile.lastModified() + 5000))
+    assert(AnnIndex.corpusVersion(spark, dir) != v0,
+      "a leaf-only rewrite must advance the corpus fingerprint")
+  }
 }

@@ -257,4 +257,45 @@ class EngineSpec extends AnyFunSuite {
     val got = engine.utxos.select("boxId").collect().map(_.getString(0)).toSet
     assert(got == expected)
   }
+
+  test("claimVersion: atomic-rename arbiter — winner claims, loser adopts") {
+    // r10 ADVICE: two APPLICATIONS sharing one snapshot root race past
+    // JVM-local locks; the v= claim must be an atomic rename. This pins the
+    // arbiter's mechanics directly (an in-process race cannot reach the
+    // window — the per-root lock serializes it).
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("graft-claim").toString)
+    val fs = root.getFileSystem(hconf)
+
+    def writeDir(p: org.apache.hadoop.fs.Path, marker: String): Unit = {
+      fs.mkdirs(p)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, marker), true)
+      try out.write(1) finally out.close()
+    }
+
+    // winner path: temp renames into v=0, temp gone, content carried over
+    val tmp1 = new org.apache.hadoop.fs.Path(root, ".tmp-a")
+    writeDir(tmp1, "mine.parquet")
+    val (p1, won1) = GraftEngine.claimVersion(fs, root, tmp1, 0L)
+    assert(won1 && p1.getName == "v=0")
+    assert(!fs.exists(tmp1))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p1, "mine.parquet")))
+
+    // loser path: v=1 already exists (the other application won) — our
+    // temp is dropped wherever it landed, the WINNER's dir is adopted and
+    // its bytes are untouched
+    val winner = new org.apache.hadoop.fs.Path(root, "v=1")
+    writeDir(winner, "theirs.parquet")
+    val tmp2 = new org.apache.hadoop.fs.Path(root, ".tmp-b")
+    writeDir(tmp2, "mine2.parquet")
+    val (p2, won2) = GraftEngine.claimVersion(fs, root, tmp2, 1L)
+    assert(!won2 && p2.getName == "v=1")
+    assert(!fs.exists(tmp2), "the loser's temp must be cleaned up")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(winner, ".tmp-b")),
+      "a nested rename-into-existing-dir must be cleaned up")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(winner, "theirs.parquet")),
+      "the winner's snapshot must be untouched")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(winner, "mine2.parquet")))
+  }
 }

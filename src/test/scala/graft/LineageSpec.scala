@@ -36,4 +36,24 @@ class LineageSpec extends AnyFunSuite {
       assert(lazyCut.count() == 10)
     } finally spark.sparkContext.setCheckpointDir(null)
   }
+
+  test("reliable cut computes the plan ONCE (r10 ADVICE: persist feeds the write job)") {
+    // Dataset.checkpoint runs two jobs — materialize, then write the
+    // checkpoint files. Without cut's persist the write job would recompute
+    // the whole plan, doubling every cut stage; with it, the write job
+    // reads the cached blocks. The accumulator counts per-partition
+    // computes of the SOURCE plan.
+    val dir = Files.createTempDirectory("graft-ckpt-once").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val acc = spark.sparkContext.longAccumulator("partition-computes")
+      import spark.implicits._
+      val src = spark.range(0, 1000, 1, 4)
+        .mapPartitions { it => acc.add(1); it }
+      val cut = Lineage.cut(src.toDF)
+      assert(cut.count() == 1000)
+      assert(acc.value == 4,
+        s"each source partition must compute exactly once, got ${acc.value}")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }
