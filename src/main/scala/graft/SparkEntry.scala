@@ -17,7 +17,8 @@ object SparkEntry {
     SimilarityQueries,
     ChainQueries,
     MultimodalQueries,
-    TemporalQueries
+    TemporalQueries,
+    AssemblyQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

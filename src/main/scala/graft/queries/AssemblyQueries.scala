@@ -1,0 +1,251 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-ASSEMBLY operators — the stage after cleaning/dedup where a
+  * training-data pipeline turns a document corpus into model-ready token
+  * streams: context-window chunking, cross-document sequence packing,
+  * temperature-flattened mixture sampling, and per-domain frequency caps.
+  * (The reference engine stops at per-entity analytics; these are the
+  * beyond-reference LLM-pipeline operators the builder brief asks for,
+  * alongside DedupQueries/SimilarityQueries/TextQueries.)
+  *
+  * All four are pure built-in column pipelines (split/slice/sequence/
+  * window/hash) — no UDFs — so they stay inside WholeStageCodegen, and
+  * every shuffle is on an explicit bounded key (source, source×shard,
+  * source×lang). Oracle determinism follows the house rules: md5-derived
+  * hash64 for any sampling decision, integer arithmetic for bin math,
+  * and the q101-style sorted-fold whenever doubles cross rows.
+  */
+object AssemblyQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** q131: context-window length (tokens) and stride (overlap = len−stride). */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** q132: tokens per packed training sequence, and the doc-count shard
+    * width that bounds each packing window's sequential extent.
+    */
+  val PackBudget = 256L
+  val PackShardDocs = 4096L
+
+  /** q133: target token budget and the temperature exponent (α = 0.5 —
+    * sampling probability ∝ √tokens, the standard flattening that
+    * up-weights small sources without drowning large ones).
+    */
+  val MixBudget = 10000L
+  val MixSeed = 131
+
+  /** q134: max docs kept per (source, lang) domain. */
+  val DomainCap = 3
+  val CapSeed = 134
+
+  /** q136: output shard count for the balanced export manifest. */
+  val NumShards = 8
+  val ShardSeed = 136
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Context-window chunking with overlap: every doc becomes ⌈(n−L)/S⌉+1
+    // chunks of ≤ L tokens starting every S tokens (trailing chunk keeps
+    // the remainder; chunks overlap by L−S tokens so no span longer than
+    // the window is ever split mid-context). Narrow per-row transform —
+    // the only exchange is the presentation sort; the chunk table
+    // partitions exactly like its input at any scale.
+    "q131_context_chunks" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val d = docs(s, dir).select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
+      val nChunks = when(col("n") <= ChunkLen, lit(1L))
+        .otherwise(ceil((col("n") - ChunkLen).cast("double") / ChunkStride) + 1)
+      val start = (col("chunk_idx") * ChunkStride + 1).cast("int")
+      d.select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", slice(col("tk"), start, lit(ChunkLen))).as("chunk_text"),
+          size(slice(col("tk"), start, lit(ChunkLen))).cast("long").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Cross-document sequence packing (T5/GPT-style pretraining batches):
+    // concatenate each (source, shard)'s docs in doc_id order into one
+    // token stream and cut it every PackBudget tokens; emit the per-window
+    // pack manifest (docs starting in the window, the straddle count —
+    // docs crossing a window boundary — and their token mass). The
+    // running offset is ONE window function over (source, shard), and the
+    // shard key bounds each window's sequential extent to PackShardDocs
+    // docs, so a 100 TB corpus packs as thousands of independent
+    // partitions instead of one unbounded per-source scan.
+    "q132_sequence_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        floor(col("doc_id").cast("double") / PackShardDocs).cast("long").as("shard"),
+        size(toks(col("text"))).cast("long").as("nt"))
+      d.withColumn("cum", sum("nt").over(w))
+        .select(col("source"), col("shard"), col("doc_id"), col("nt"),
+          floor((col("cum") - col("nt")).cast("double") / PackBudget)
+            .cast("long").as("bin_id"),
+          floor((col("cum") - 1).cast("double") / PackBudget)
+            .cast("long").as("bin_end"))
+        .groupBy("source", "shard", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
+          sum((col("bin_end") > col("bin_id")).cast("long")).as("n_straddles"),
+          sum("nt").as("bin_doc_tokens"))
+        .orderBy("source", "shard", "bin_id")
+    }),
+
+    // Temperature-flattened mixture sampling (the GPT-3/Pile recipe):
+    // per-source weight ∝ tokens^α (α = 0.5), per-source keep-rate =
+    // min(1, budget·w/tokens), per-doc keep decided by the deterministic
+    // md5 hash — so the oracle replays the whole draw. The 20-row source
+    // stats broadcast; the corpus side is one scan + one map-side-combined
+    // source rollup. Cross-row double sums use the q101 sorted-fold so
+    // both engines add in the same order.
+    "q133_mixture_rates" -> ((s, dir) => {
+      val perDoc = docs(s, dir).select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("nt"))
+      val stats = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+      val tot = broadcast(stats.agg(
+        aggregate(sort_array(collect_list(struct(col("source"), col("sq")))),
+          lit(0.0), (a, x) => a + x.getField("sq")).as("tot")))
+      val rates = broadcast(stats.crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(least(lit(1.0),
+            lit(MixBudget) * col("sq") / col("tot") / col("n_tokens").cast("double")),
+            9).as("rate")))
+      val kept = hash64(col("doc_id").cast("string"), MixSeed) % 1000000L <
+        floor(col("rate") * 1000000)
+      perDoc.join(rates, "source")
+        .groupBy("source", "n_docs", "n_tokens", "rate")
+        .agg(sum(kept.cast("long")).as("n_kept"),
+          sum(when(kept, col("nt")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // Per-domain frequency caps (Common-Crawl-style URL/host capping,
+    // keyed here by source×lang): keep at most DomainCap docs per domain,
+    // chosen by deterministic hash order so the sample is stable across
+    // runs and replayable by the oracle. One shuffle on the domain key;
+    // at 100 TB a skewed domain serializes its own partition only — and
+    // since every row beyond rank Cap is dropped, the scale path is a
+    // per-input-partition pre-top-Cap (partial TakeOrdered) feeding this
+    // same window, which AQE's skew splitter already approximates.
+    "q134_domain_caps" -> ((s, dir) => {
+      val wd = Window.partitionBy("source", "lang")
+        .orderBy(col("h"), col("doc_id"))
+      docs(s, dir).select(col("source"), col("lang"), col("doc_id"),
+          (hash64(col("doc_id").cast("string"), CapSeed) % 1000000L).as("h"))
+        .withColumn("rn", row_number().over(wd).cast("long"))
+        .filter(col("rn") <= DomainCap)
+        .select(col("source"), col("lang"), col("doc_id"), col("rn"))
+        .orderBy("source", "lang", "rn")
+    }),
+
+    // Balanced shard export manifest: the final write of a curated corpus
+    // wants N output shards with near-equal doc/token mass AND source mix
+    // (so any shard subset is an unbiased corpus sample). Docs round-robin
+    // over shards in per-SOURCE deterministic hash order — per-source doc
+    // counts differ by ≤1 across shards by construction, and hash order
+    // makes token mass even out without a global sort: the only window
+    // partitions by source (each source's extent, never the whole corpus),
+    // and the manifest rollup is a map-side-combined NumShards-key agg.
+    "q136_balanced_shards" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      docs(s, dir).select(col("source"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("nt"),
+          (hash64(col("doc_id").cast("string"), ShardSeed) % 1000000L).as("h"))
+        .withColumn("shard", ((row_number().over(w) - 1) % NumShards).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("shard")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q131_context_chunks" ->
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+         c AS (SELECT doc_id, tk,
+             CASE WHEN len(tk) <= $ChunkLen THEN 1
+                  ELSE CAST(ceil(CAST(len(tk) - $ChunkLen AS DOUBLE) / $ChunkStride) AS BIGINT) + 1
+             END AS nc
+           FROM t),
+         x AS (SELECT doc_id, tk, unnest(generate_series(0, nc - 1)) AS i FROM c)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(tk, CAST(i*$ChunkStride+1 AS BIGINT),
+             CAST(i*$ChunkStride+$ChunkLen AS BIGINT)), ' ') AS chunk_text,
+           CAST(len(list_slice(tk, CAST(i*$ChunkStride+1 AS BIGINT),
+             CAST(i*$ChunkStride+$ChunkLen AS BIGINT))) AS BIGINT) AS chunk_tokens
+         FROM x ORDER BY doc_id, chunk_idx""",
+
+    "q132_sequence_pack" ->
+      raw"""WITH d AS (SELECT source, doc_id,
+             CAST(floor(CAST(doc_id AS DOUBLE) / $PackShardDocs) AS BIGINT) AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         c AS (SELECT source, shard, doc_id, nt,
+             sum(nt) OVER (PARTITION BY source, shard ORDER BY doc_id) AS cum
+           FROM d),
+         b AS (SELECT source, shard, doc_id, nt,
+             CAST(floor(CAST(cum - nt AS DOUBLE) / $PackBudget) AS BIGINT) AS bin_id,
+             CAST(floor(CAST(cum - 1 AS DOUBLE) / $PackBudget) AS BIGINT) AS bin_end
+           FROM c)
+         SELECT source, shard, bin_id, count(*) AS n_docs, min(doc_id) AS first_doc,
+           sum(CASE WHEN bin_end > bin_id THEN 1 ELSE 0 END) AS n_straddles,
+           sum(nt) AS bin_doc_tokens
+         FROM b GROUP BY source, shard, bin_id ORDER BY source, shard, bin_id""",
+
+    "q133_mixture_rates" -> {
+      val h = s"(${hash64Sql("CAST(doc_id AS VARCHAR)", MixSeed)}) % 1000000"
+      raw"""WITH d AS (SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         st AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+             sqrt(CAST(sum(nt) AS DOUBLE)) AS sq
+           FROM d GROUP BY source),
+         tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(sq ORDER BY source)), (a, x) -> a + x) AS tot FROM st),
+         r AS (SELECT source, n_docs, n_tokens,
+             round(least(1.0, $MixBudget * sq / tot / CAST(n_tokens AS DOUBLE)), 9) AS rate
+           FROM st CROSS JOIN tot)
+         SELECT r.source, r.n_docs, r.n_tokens, r.rate,
+           sum(CASE WHEN ($h) < floor(rate * 1000000) THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN ($h) < floor(rate * 1000000) THEN nt ELSE 0 END) AS kept_tokens
+         FROM r JOIN d ON r.source = d.source
+         GROUP BY r.source, r.n_docs, r.n_tokens, r.rate ORDER BY r.source"""
+    },
+
+    "q134_domain_caps" -> {
+      val h = s"(${hash64Sql("CAST(doc_id AS VARCHAR)", CapSeed)}) % 1000000"
+      raw"""WITH d AS (SELECT source, lang, doc_id, ($h) AS h FROM documents),
+         r AS (SELECT source, lang, doc_id,
+             row_number() OVER (PARTITION BY source, lang ORDER BY h, doc_id) AS rn
+           FROM d)
+         SELECT source, lang, doc_id, CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= $DomainCap ORDER BY source, lang, rn"""
+    },
+
+    "q136_balanced_shards" -> {
+      val h = s"(${hash64Sql("CAST(doc_id AS VARCHAR)", ShardSeed)}) % 1000000"
+      raw"""WITH d AS (SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+             ($h) AS h
+           FROM documents),
+         r AS (SELECT source, doc_id, nt,
+             CAST((row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1)
+               % $NumShards AS BIGINT) AS shard
+           FROM d)
+         SELECT shard, count(*) AS n_docs, sum(nt) AS n_tokens,
+           count(DISTINCT source) AS n_sources
+         FROM r GROUP BY shard ORDER BY shard"""
+    })
+}
