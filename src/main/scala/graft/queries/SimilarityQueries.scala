@@ -41,6 +41,22 @@ object SimilarityQueries extends QueryModule {
   // and only the G coarse centroids ever reach the driver.
   private val CoarseProbes = 3
   private val OutlierK = 5  // q104 least-prototypical vectors flagged per label
+  // q135 semantic decontamination: every DeconEvery-th vector is the held-out
+  // "benchmark" set; corpus vectors within DeconTau cosine of any benchmark
+  // vector are contamination and must be dropped before training. A filter
+  // whose job is catching leakage needs HIGH recall at a weak threshold
+  // (cos 0.3 ≈ 72°), where q50's single 6-bit band collides only ~20% of
+  // true pairs — so this path uses AND-OR banding (MinHash-LSH's scheme on
+  // hyperplane bits): DeconBands independent bands of DeconBandBits sign
+  // bits each; a pair is a candidate if ANY band matches (± one flipped
+  // bit). At p = 1 − θ/π ≈ 0.58 per bit that is ~90% recall, and the
+  // per-band bit width is the scale dial: candidate mass per eval vector is
+  // Bands·(Bits+1)·n/2^Bits, so a 100 TB corpus raises Bits (more, smaller
+  // buckets) while keeping Bands·recall fixed.
+  private val DeconEvery = 29
+  private val DeconTau = 0.30
+  private val DeconBands = 4
+  private val DeconBandBits = 4
   private val PqSubspaces = 4 // q107 product-quantization subspaces
   private val PqSubDim = 16   // dims per subspace (4 × 16 = 64)
   private val PqK = 4         // codebook size per subspace
@@ -618,25 +634,11 @@ object SimilarityQueries extends QueryModule {
     // ~(NumPlanes+1)/2^NumPlanes of the corpus. PipelineSpec additionally
     // measures recall vs the exact q31.
     "q50_hyperplane_lsh_topk" -> ((s, dir) => {
-      val e = corpus(s, dir)
-      val dim = 64
-      // plane components in [-0.5, 0.5): md5-derived per (plane, dim)
-      val planes = broadcast(s.range(NumPlanes).toDF("plane").select(
-        col("plane"),
-        array((0 until dim).map(d =>
-          (conv(substring(md5(concat(lit(s"pl:$d:"), col("plane"))), 1, 8), 16, 10)
-            .cast("long").cast("double") / 4294967296.0) - 0.5): _*).as("pv")))
-      val coded = e.crossJoin(planes)
-        .withColumn("bit",
-          when(dotNative(col("v"), col("pv")) >= 0,
-            expr("shiftleft(1L, cast(plane as int))")).otherwise(0L))
-        .groupBy("vec_id").agg(sum("bit").as("code"))
-      val codedE = e.join(coded, "vec_id")
+      val codedE = lshCoded(s, corpus(s, dir))
       // queries probe their code and every 1-bit flip of it
       val q = codedE.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"), col("code"))
-        .withColumn("probe", explode(array(
-          col("code") +: (0 until NumPlanes).map(b => col("code").bitwiseXOR(lit(1L << b))): _*)))
+        .withColumn("probe", explode(lshProbes(col("code"))))
         .drop("code")
       val cand = codedE.join(broadcast(q), col("code") === col("probe"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -644,8 +646,111 @@ object SimilarityQueries extends QueryModule {
           (dotNative(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
         .distinct()
       topK(cand)
+    }),
+
+    // Semantic decontamination (embedding-space eval-set leakage): the
+    // held-out benchmark vectors (every DeconEvery-th vec_id) are what a
+    // training corpus must not contain near-copies of; any corpus vector
+    // within DeconTau cosine of ANY benchmark vector is flagged with its
+    // closest benchmark match. The n-gram twins (q67/q99) catch verbatim
+    // leakage; this catches paraphrases the lexical forms miss. Scale
+    // shape: the benchmark set is small by definition → broadcast after
+    // band × multi-probe expansion; candidate generation is an equi-join
+    // on (band, code) — md5-derived planes, deterministic on a cluster,
+    // replayed exactly by the oracle; the best-match window partitions on
+    // vec_id, so no stage ever shuffles more than the candidate mass
+    // (Bands·(Bits+1)·|eval|·n/2^Bits pairs). PipelineSpec pins recall
+    // ≥ 0.7 against the brute-force threshold set.
+    "q135_semantic_decon" -> ((s, dir) => {
+      val codedE = deconCoded(s, corpus(s, dir))
+      val eval = codedE.filter(col("vec_id") % DeconEvery === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+          col("n").as("en"), col("band"), col("code"))
+        .withColumn("probe", explode(array(
+          col("code") +: (0 until DeconBandBits)
+            .map(b => col("code").bitwiseXOR(lit(1L << b))): _*)))
+        .drop("code")
+      val cand = codedE.filter(col("vec_id") % DeconEvery =!= 0)
+        .join(broadcast(eval),
+          codedE("band") === eval("band") && col("code") === col("probe"))
+        .select(col("vec_id"), col("eval_id"),
+          (dotNative(col("ev"), col("v")) / (col("en") * col("n"))).as("cos"))
+        .distinct()
+        .filter(round(col("cos"), 4) >= DeconTau)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(round(col("cos"), 6).desc, col("eval_id").asc)
+      cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("vec_id"), col("eval_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("vec_id")
+    }),
+
+    // ANN index quality monitor: recall@k of the LSH ANN (q50) against the
+    // exact top-k (q31) per query — the eval loop every production ANN
+    // deployment runs after (re)building an index. Composes the two
+    // existing pipelines unchanged (same plans, same broadcasts) and adds
+    // only a left-semi membership probe + a per-query count; output is
+    // |queries| rows, so the join tail is trivially broadcastable at any
+    // corpus scale (the cost IS the two component pipelines).
+    "q137_ann_recall" -> ((s, dir) => {
+      val exact = queries("q31_cosine_topk")(s, dir).select("q_id", "nbr_id")
+      val lsh = queries("q50_hyperplane_lsh_topk")(s, dir).select("q_id", "nbr_id")
+      val m = exact.join(lsh, Seq("q_id", "nbr_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_matched"))
+      exact.select("q_id").distinct()
+        .join(m, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          round(coalesce(col("n_matched"), lit(0L)) / TopK.toDouble, 4)
+            .as("recall_at_k"))
+        .orderBy("q_id")
     })
   )
+
+  /** Hyperplane-LSH coding shared by q50 (top-k ANN) and q135 (semantic
+    * decontamination): code = NumPlanes sign bits of md5-derived
+    * pseudo-random hyperplane dot products — deterministic (no shared RNG
+    * state on a cluster) and exactly reproducible by the DuckDB oracle.
+    */
+  private def lshCoded(s: SparkSession, e: DataFrame): DataFrame = {
+    val dim = 64
+    // plane components in [-0.5, 0.5): md5-derived per (plane, dim)
+    val planes = broadcast(s.range(NumPlanes).toDF("plane").select(
+      col("plane"),
+      array((0 until dim).map(d =>
+        (conv(substring(md5(concat(lit(s"pl:$d:"), col("plane"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0) - 0.5): _*).as("pv")))
+    val coded = e.crossJoin(planes)
+      .withColumn("bit",
+        when(dotNative(col("v"), col("pv")) >= 0,
+          expr("shiftleft(1L, cast(plane as int))")).otherwise(0L))
+      .groupBy("vec_id").agg(sum("bit").as("code"))
+    e.join(coded, "vec_id")
+  }
+
+  /** A code plus all its 1-bit flips — the multi-probe set. */
+  private def lshProbes(code: Column): Column =
+    array(code +: (0 until NumPlanes).map(b => code.bitwiseXOR(lit(1L << b))): _*)
+
+  /** AND-OR banded hyperplane coding for q135: one row per (vector, band),
+    * code = the band's DeconBandBits sign bits. Same md5 plane family as
+    * `lshCoded` (planes 0 until Bands·Bits), one extra `band` group key.
+    */
+  private def deconCoded(s: SparkSession, e: DataFrame): DataFrame = {
+    val dim = 64
+    val total = DeconBands * DeconBandBits
+    val planes = broadcast(s.range(total).toDF("plane").select(
+      col("plane"),
+      array((0 until dim).map(d =>
+        (conv(substring(md5(concat(lit(s"pl:$d:"), col("plane"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0) - 0.5): _*).as("pv")))
+    val coded = e.crossJoin(planes)
+      .withColumn("band", (col("plane") / DeconBandBits).cast("long"))
+      .withColumn("bit",
+        when(dotNative(col("v"), col("pv")) >= 0,
+          expr(s"shiftleft(1L, cast(plane % $DeconBandBits as int))")).otherwise(0L))
+      .groupBy("vec_id", "band").agg(sum("bit").as("code"))
+    e.join(coded, "vec_id")
+  }
 
   /** Shared top-k tail of the oracle SQL (rank by rounded cosine, nbr tie). */
   private def topKSql(candCte: String): String =
@@ -661,12 +766,17 @@ object SimilarityQueries extends QueryModule {
   private def planeComp(d: Int): String =
     s"CAST(('0x' || substr(md5('pl:$d:' || plane), 1, 8)) AS BIGINT)/4294967296.0 - 0.5"
 
+  /** Exact brute-force top-k SQL — referenced standalone (q31) and nested as
+    * the ground-truth side of the recall eval (q137).
+    */
+  private def q31Sql: String = topKSql(
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       cand AS (SELECT q.vec_id q_id, e.vec_id nbr_id,
+               list_cosine_similarity(q.v, e.v) cos
+             FROM e q, e WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)""")
+
   val oracles: Map[String, String] = Map(
-    "q31_cosine_topk" -> topKSql(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         cand AS (SELECT q.vec_id q_id, e.vec_id nbr_id,
-                 list_cosine_similarity(q.v, e.v) cos
-               FROM e q, e WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)"""),
+    "q31_cosine_topk" -> q31Sql,
 
     "q32_ivf_topk" -> topKSql(
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -933,22 +1043,77 @@ object SimilarityQueries extends QueryModule {
                WHERE maxabs > 0)
          GROUP BY label ORDER BY label""",
 
-    "q50_hyperplane_lsh_topk" -> topKSql(
+    "q50_hyperplane_lsh_topk" -> q50Sql,
+
+    // Semantic decontamination: AND-OR banded hyperplane codes (one row per
+    // vector × band), candidate if any band matches ± one flipped bit, a
+    // threshold filter in place of the top-k, best-benchmark-match per
+    // flagged corpus vector.
+    "q135_semantic_decon" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          planes AS (SELECT plane,
                       list_value(${(0 until 64).map(planeComp).mkString(", ")}) AS pv
-                    FROM range(0, $NumPlanes) t(plane)),
-         coded AS (SELECT e.vec_id,
+                    FROM range(0, ${DeconBands * DeconBandBits}) t(plane)),
+         coded AS (SELECT e.vec_id, CAST(p.plane // $DeconBandBits AS BIGINT) AS band,
                      CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-                       THEN CAST(1 AS BIGINT) << CAST(p.plane AS INT) ELSE 0 END) AS BIGINT) AS code
-                   FROM e CROSS JOIN planes p GROUP BY e.vec_id),
-         ce AS (SELECT e.vec_id, e.v, c.code FROM e JOIN coded c USING (vec_id)),
-         q AS (SELECT vec_id AS q_id, v AS qv,
-                 unnest(list_value(code, ${(0 until NumPlanes)
+                       THEN CAST(1 AS BIGINT) << CAST(p.plane % $DeconBandBits AS INT)
+                       ELSE 0 END) AS BIGINT) AS code
+                   FROM e CROSS JOIN planes p
+                   GROUP BY e.vec_id, p.plane // $DeconBandBits),
+         ce AS (SELECT e.vec_id, e.v, c.band, c.code
+                FROM e JOIN coded c USING (vec_id)),
+         q AS (SELECT vec_id AS eval_id, v AS ev, band,
+                 unnest(list_value(code, ${(0 until DeconBandBits)
                    .map(b => s"xor(code, ${1L << b})").mkString(", ")})) AS probe
-               FROM ce WHERE vec_id < $NumQueries),
-         cand AS (SELECT DISTINCT q.q_id, ce.vec_id AS nbr_id,
-                    list_cosine_similarity(q.qv, ce.v) AS cos
-                  FROM ce JOIN q ON ce.code = q.probe WHERE ce.vec_id <> q.q_id)""")
+               FROM ce WHERE vec_id % $DeconEvery = 0),
+         cand AS (SELECT DISTINCT ce.vec_id, q.eval_id,
+                    list_cosine_similarity(q.ev, ce.v) AS cos
+                  FROM ce JOIN q ON ce.band = q.band AND ce.code = q.probe
+                  WHERE ce.vec_id % $DeconEvery <> 0),
+         f AS (SELECT vec_id, eval_id, cos, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY round(cos, 6) DESC, eval_id) AS rn
+               FROM cand WHERE round(cos, 4) >= $DeconTau)
+         SELECT vec_id, eval_id, round(cos, 4) AS cos_sim
+         FROM f WHERE rn = 1 ORDER BY vec_id""",
+
+    // Recall@k of the LSH ANN vs the exact top-k: both component pipelines
+    // nested verbatim, joined on (q_id, nbr_id) membership.
+    "q137_ann_recall" ->
+      s"""WITH exact AS ($q31Sql),
+         lsh AS ($q50Sql),
+         m AS (SELECT e.q_id, count(l.nbr_id) AS n_matched
+               FROM exact e LEFT JOIN lsh l
+                 ON e.q_id = l.q_id AND e.nbr_id = l.nbr_id
+               GROUP BY e.q_id)
+         SELECT q_id, CAST(n_matched AS BIGINT) AS n_matched,
+           round(n_matched / $TopK.0, 4) AS recall_at_k
+         FROM m ORDER BY q_id"""
   )
+
+  /** The shared LSH CTE chain (corpus → planes → codes), nested by q50 and
+    * q135 — one SQL rendering of `lshCoded` to keep in sync, not two.
+    */
+  private def lshCteSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       planes AS (SELECT plane,
+                    list_value(${(0 until 64).map(planeComp).mkString(", ")}) AS pv
+                  FROM range(0, $NumPlanes) t(plane)),
+       coded AS (SELECT e.vec_id,
+                   CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                     THEN CAST(1 AS BIGINT) << CAST(p.plane AS INT) ELSE 0 END) AS BIGINT) AS code
+                 FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+       ce AS (SELECT e.vec_id, e.v, c.code FROM e JOIN coded c USING (vec_id))"""
+
+  /** LSH top-k SQL — referenced standalone (q50) and nested as the
+    * approximate side of the recall eval (q137).
+    */
+  private def q50Sql: String = topKSql(
+    s"""$lshCteSql,
+       q AS (SELECT vec_id AS q_id, v AS qv,
+               unnest(list_value(code, ${(0 until NumPlanes)
+                 .map(b => s"xor(code, ${1L << b})").mkString(", ")})) AS probe
+             FROM ce WHERE vec_id < $NumQueries),
+       cand AS (SELECT DISTINCT q.q_id, ce.vec_id AS nbr_id,
+                  list_cosine_similarity(q.qv, ce.v) AS cos
+                FROM ce JOIN q ON ce.code = q.probe WHERE ce.vec_id <> q.q_id)""")
 }

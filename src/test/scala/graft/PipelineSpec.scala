@@ -51,6 +51,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"hyperplane LSH recall $recall below floor")
   }
 
+  test("semantic decon: perfect precision vs brute force, never flags eval, bounded recall") {
+    // exact ground truth recomputed in Scala — affordable only on the test
+    // corpus; the operator itself must stay LSH-bucketed (PlanSpec-style law)
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val evalIds = vecs.keys.filter(_ % 29 == 0).toSeq // DeconEvery = 29
+    assert(evalIds.nonEmpty)
+    val exactFlagged = vecs.keys.filter(id => id % 29 != 0 &&
+      evalIds.exists(ev => r4(cos(vecs(id), vecs(ev))) >= 0.30)).toSet // DeconTau
+    assert(exactFlagged.nonEmpty, "fixture must contain planted contamination")
+
+    val got = SparkEntry.queries("q135_semantic_decon")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (vid, eid, c) =>
+      assert(vid % 29 != 0, s"$vid: eval vectors must never be flagged")
+      assert(eid % 29 == 0, s"$eid: the match must be an eval vector")
+      assert(exactFlagged(vid), s"$vid: flagged below the true threshold")
+      assert(math.abs(c - r4(cos(vecs(vid), vecs(eid)))) < 1e-9,
+        s"$vid/$eid: reported cosine must be the true cosine")
+    }
+    val recall = got.map(_._1).toSet.size.toDouble / exactFlagged.size
+    assert(recall >= 0.7, s"decon recall $recall < 0.7 " +
+      s"(exact=${exactFlagged.size}, flagged=${got.length})")
+  }
+
+  test("ann recall eval equals a direct recompute from its two component queries") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf001)
+        .select("q_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q31_cosine_topk")
+    val lsh = pairs("q50_hyperplane_lsh_topk")
+    val got = SparkEntry.queries("q137_ann_recall")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == exact.map(_._1),
+      "one recall row per exact-side query")
+    got.foreach { case (q, n, rec) =>
+      val want = (exact & lsh).count(_._1 == q)
+      assert(n == want, s"q$q: n_matched $n != recomputed $want")
+      assert(math.abs(rec - n / 10.0) < 1e-9, s"q$q: recall must be n/k")
+    }
+  }
+
   test("learned-cluster near-dup reports only true pairs and covers the exact pair set") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.functions._
