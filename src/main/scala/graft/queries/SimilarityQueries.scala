@@ -53,7 +53,14 @@ object SimilarityQueries extends QueryModule {
   // per-band bit width is the scale dial: candidate mass per eval vector is
   // Bands·(Bits+1)·n/2^Bits, so a 100 TB corpus raises Bits (more, smaller
   // buckets) while keeping Bands·recall fixed.
+  // The benchmark set is FIXED as the corpus grows — every DeconEvery-th
+  // vec_id within the first DeconEvalMax ids (an eval suite doesn't grow
+  // with the crawl) — so candidate mass is strictly linear in corpus size:
+  // |eval|·Bands·(Bits+1)·n/2^Bits. An unbounded `% DeconEvery` eval set
+  // measured 10.9×/decade at sf1 (both sides growing ⇒ quadratic mass);
+  // the cap restores the deployment shape and the linear plan.
   private val DeconEvery = 29
+  private val DeconEvalMax = 2000
   private val DeconTau = 0.30
   private val DeconBands = 4
   private val DeconBandBits = 4
@@ -663,14 +670,16 @@ object SimilarityQueries extends QueryModule {
     // ≥ 0.7 against the brute-force threshold set.
     "q135_semantic_decon" -> ((s, dir) => {
       val codedE = deconCoded(s, corpus(s, dir))
-      val eval = codedE.filter(col("vec_id") % DeconEvery === 0)
+      val eval = codedE
+        .filter(col("vec_id") % DeconEvery === 0 && col("vec_id") < DeconEvalMax)
         .select(col("vec_id").as("eval_id"), col("v").as("ev"),
           col("n").as("en"), col("band"), col("code"))
         .withColumn("probe", explode(array(
           col("code") +: (0 until DeconBandBits)
             .map(b => col("code").bitwiseXOR(lit(1L << b))): _*)))
         .drop("code")
-      val cand = codedE.filter(col("vec_id") % DeconEvery =!= 0)
+      val cand = codedE
+        .filter(col("vec_id") % DeconEvery =!= 0 || col("vec_id") >= DeconEvalMax)
         .join(broadcast(eval),
           codedE("band") === eval("band") && col("code") === col("probe"))
         .select(col("vec_id"), col("eval_id"),
@@ -1065,11 +1074,11 @@ object SimilarityQueries extends QueryModule {
          q AS (SELECT vec_id AS eval_id, v AS ev, band,
                  unnest(list_value(code, ${(0 until DeconBandBits)
                    .map(b => s"xor(code, ${1L << b})").mkString(", ")})) AS probe
-               FROM ce WHERE vec_id % $DeconEvery = 0),
+               FROM ce WHERE vec_id % $DeconEvery = 0 AND vec_id < $DeconEvalMax),
          cand AS (SELECT DISTINCT ce.vec_id, q.eval_id,
                     list_cosine_similarity(q.ev, ce.v) AS cos
                   FROM ce JOIN q ON ce.band = q.band AND ce.code = q.probe
-                  WHERE ce.vec_id % $DeconEvery <> 0),
+                  WHERE ce.vec_id % $DeconEvery <> 0 OR ce.vec_id >= $DeconEvalMax),
          f AS (SELECT vec_id, eval_id, cos, row_number() OVER (
                  PARTITION BY vec_id ORDER BY round(cos, 6) DESC, eval_id) AS rn
                FROM cand WHERE round(cos, 4) >= $DeconTau)

@@ -64,9 +64,10 @@ class PipelineSpec extends AnyFunSuite {
     }
     def r4(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-    val evalIds = vecs.keys.filter(_ % 29 == 0).toSeq // DeconEvery = 29
+    // DeconEvery = 29, DeconEvalMax = 2000 (every sf0.01 id is < 2000)
+    val evalIds = vecs.keys.filter(id => id % 29 == 0 && id < 2000).toSeq
     assert(evalIds.nonEmpty)
-    val exactFlagged = vecs.keys.filter(id => id % 29 != 0 &&
+    val exactFlagged = vecs.keys.filter(id => (id % 29 != 0 || id >= 2000) &&
       evalIds.exists(ev => r4(cos(vecs(id), vecs(ev))) >= 0.30)).toSet // DeconTau
     assert(exactFlagged.nonEmpty, "fixture must contain planted contamination")
 

@@ -124,6 +124,29 @@ class PlanSpec extends AnyFunSuite {
       s"pair stage grew unexpected shuffles ($hashEx hash exchanges):\n$pair")
   }
 
+  test("semantic decon probes by (band, code) broadcast equi-join — never SMJ or cartesian") {
+    val plan = planOf("q135_semantic_decon")
+    assert(!plan.contains("CartesianProduct"),
+      s"q135 candidates must come from the banded-code equi-join:\n$plan")
+    // allowed nested loops: only the 16-row plane-table broadcasts (one per
+    // coding pass); the eval probe join itself must be a broadcast HASH join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q135 must broadcast the probe-expanded eval side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q135 must never shuffle the corpus against the tiny eval side:\n$plan")
+  }
+
+  test("ann recall eval adds only broadcastable joins over its component pipelines") {
+    val plan = planOf("q137_ann_recall")
+    assert(!plan.contains("CartesianProduct"),
+      s"q137's membership probe must stay keyed:\n$plan")
+    // the exact side's one intentional BNLJ (q31's broadcast brute force)
+    // may appear twice (matched + distinct-q_id branches); the recall join
+    // tail itself must be hash-keyed
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"q137 recall tail must join on (q_id, nbr_id):\n$plan")
+  }
+
   test("BM25 broadcasts the query/term/stats sides; only tf shuffles") {
     val plan = planOf("q96_bm25")
     // the only nested-loop allowed is the 1-row corpus-stats crossJoin
