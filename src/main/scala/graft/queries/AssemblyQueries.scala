@@ -61,15 +61,7 @@ object AssemblyQueries extends QueryModule {
     // partitions exactly like its input at any scale.
     "q131_context_chunks" -> ((s, dir) => {
       val tk = toks(col("text"))
-      val d = docs(s, dir).select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
-      val nChunks = when(col("n") <= ChunkLen, lit(1L))
-        .otherwise(ceil((col("n") - ChunkLen).cast("double") / ChunkStride) + 1)
-      val start = (col("chunk_idx") * ChunkStride + 1).cast("int")
-      d.select(col("doc_id"), col("tk"),
-          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-          concat_ws(" ", slice(col("tk"), start, lit(ChunkLen))).as("chunk_text"),
-          size(slice(col("tk"), start, lit(ChunkLen))).cast("long").as("chunk_tokens"))
+      chunkify(docs(s, dir).select(col("doc_id"), tk.as("tk")))
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -168,6 +160,25 @@ object AssemblyQueries extends QueryModule {
           countDistinct("source").as("n_sources"))
         .orderBy("shard")
     }))
+
+  /** The q131 chunk geometry over any (doc_id, tk, …extras) frame: every
+    * row becomes ⌈(n−L)/S⌉+1 chunks of ≤ ChunkLen tokens starting every
+    * ChunkStride (trailing chunk keeps the remainder). Extra columns pass
+    * through untouched — CorpusBuild carries source/lang/split/shard
+    * alongside the chunks. Strictly narrow: no exchange of any kind.
+    */
+  def chunkify(d: DataFrame): DataFrame = {
+    val extras = d.columns.filter(c => c != "doc_id" && c != "tk").map(col)
+    val nChunks = when(size(col("tk")) <= ChunkLen, lit(1L))
+      .otherwise(ceil((size(col("tk")) - ChunkLen).cast("double") / ChunkStride) + 1)
+    val start = (col("chunk_idx") * ChunkStride + 1).cast("int")
+    d.select(col("doc_id") +: col("tk") +:
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx") +: extras: _*)
+      .select(col("doc_id") +: col("chunk_idx") +:
+        concat_ws(" ", slice(col("tk"), start, lit(ChunkLen))).as("chunk_text") +:
+        size(slice(col("tk"), start, lit(ChunkLen))).cast("long").as("chunk_tokens") +:
+        extras: _*)
+  }
 
   val oracles: Map[String, String] = Map(
 

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The terminal MATERIALIZER: compose the pipeline's oracle-checked
+  * verdicts into an actual on-disk training corpus a trainer mounts
+  * directly — what every query up to here exists to feed.
+  *
+  *   1. keep verdicts (q108: exact dedup ∘ near-dup components ∘
+  *      blocklist ∘ quality floor) pick the surviving documents;
+  *   2. leakage-free split routing (q126: docs route by their dup-cluster
+  *      representative, so no near-dup family straddles train/val/test);
+  *   3. balanced shard assignment within each (split, source) — the q136
+  *      law applied per split: round-robin in deterministic hash order,
+  *      so shard doc counts per source differ by ≤ 1 and every shard is
+  *      an unbiased sample of the split's source mix;
+  *   4. context-window chunking (q131's exact geometry) of each kept doc;
+  *   5. one partitioned parquet write: `out/split=…/shard=…/…` — readers
+  *      (and the trainer's data loader) prune to a split or a shard at
+  *      the directory level — plus a `_manifest` parquet of per-shard
+  *      doc/chunk/token/source counts (`_`-prefixed: invisible to a
+  *      plain read of `out`).
+  *
+  * Scale shape: the verdict/split/doc joins are doc_id equi-joins; the
+  * only new exchange is the per-(split, source) round-robin window (each
+  * source's extent, never the corpus) and the write's own partitioning.
+  * Chunking is strictly narrow. Nothing here adds a corpus-wide sort or
+  * an unkeyed join to the already-bounded component plans.
+  */
+object CorpusBuild {
+
+  /** Deterministic shard draw — q136's seed family, offset so the
+    * per-split draw is independent of the corpus-wide q136 assignment.
+    */
+  val BuildShardSeed = 1360
+
+  /** Build the corpus at `out` and return the manifest (split, shard,
+    * n_docs, n_chunks, n_tokens, n_sources), which is also written to
+    * `out/_manifest`.
+    */
+  def run(s: SparkSession, dir: String, out: String,
+    numShards: Int = AssemblyQueries.NumShards): DataFrame = {
+    val kept = DedupQueries.queries("q108_clean_export")(s, dir)
+      .filter(col("reason") === "kept").select("doc_id")
+    val splits = DedupQueries.queries("q126_cluster_split")(s, dir)
+      .select("doc_id", "split")
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), toks(col("text")).as("tk"))
+      .join(kept, "doc_id")
+      .join(splits, "doc_id")
+    val w = Window.partitionBy("split", "source").orderBy(col("h"), col("doc_id"))
+    val sharded = d
+      .withColumn("h", hash64(col("doc_id").cast("string"), BuildShardSeed) % 1000000L)
+      .withColumn("shard", ((row_number().over(w) - 1) % numShards).cast("long"))
+      .drop("h")
+    val chunks = AssemblyQueries.chunkify(
+      sharded.select(col("doc_id"), col("tk"),
+        col("source"), col("lang"), col("split"), col("shard")))
+    chunks.write.mode(SaveMode.Overwrite)
+      .partitionBy("split", "shard").parquet(out)
+
+    // manifest derived from what was WRITTEN, not from the plan — the
+    // consistency readers rely on is between these files and this summary
+    val manifest = s.read.parquet(out)
+      // partition-column type inference reads `shard=N` back as int —
+      // pin the manifest schema to the long the writer assigned
+      .groupBy(col("split"), col("shard").cast("long").as("shard"))
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("chunk_tokens").as("n_tokens"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("split", "shard")
+    manifest.write.mode(SaveMode.Overwrite).parquet(s"$out/_manifest")
+    manifest
+  }
+}
