@@ -116,6 +116,50 @@ object GraphEdges {
       .orderBy("ergoTreeHash")
   }
 
+  /** Proportional (haircut) taint propagation from a seed script — the
+    * AML-style "where did this value go" traversal over the q82 flow
+    * graph. Each superstep, every tainted node WITH out-flows forwards
+    * its entire taint proportionally to out-edge value (Σp = 1 per
+    * source, so total taint is conserved at exactly 1.0); sinks (no
+    * out-flows) retain theirs. The seed is the biggest spender (max
+    * out-flow value, tie by hash) picked as a 1-row table inside the
+    * plan — like q92/q93's target, never a driver lookup. `hops` is
+    * fixed and small (taint dilutes geometrically past a few hops);
+    * every superstep is keyed joins + one hash aggregation, the same
+    * cutLineage discipline as [[pageRank]], so the plan stays O(1)
+    * lineage and each step shuffles only currently-tainted rows — at
+    * warehouse scale that is the reachable frontier, not the graph.
+    */
+  def taintFlow(t: ChainTables, hops: Int = 3,
+    dust: Long = ChainConst.DustThreshold): DataFrame = {
+    val edges = flows(t, dust = dust)
+      .select(col("src"), col("dst"), col("totalValue").cast("double").as("w"))
+      .cutLineage()
+    val outw = edges.groupBy("src").agg(sum("w").as("ow")).cutLineage()
+    val eNorm = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .cutLineage()
+    val seed = outw.orderBy(col("ow").desc, col("src")).limit(1)
+      .select(col("src").as("node"))
+    var taint = seed.withColumn("tn", lit(1.0)).cutLineage()
+    for (_ <- 1 to hops) {
+      val fwd = eNorm
+        .join(taint.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("tn")).as("tn"))
+      val retained = taint
+        .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+        .select("node", "tn")
+      taint = fwd.unionByName(retained)
+        .groupBy("node").agg(sum("tn").as("tn"))
+        .cutLineage()
+    }
+    taint
+      .filter(round(col("tn"), 6) > 0)
+      .select(col("node").as("ergoTreeHash"), round(col("tn"), 6).as("taint"))
+      .orderBy("ergoTreeHash")
+  }
+
   /** 1-hop neighbourhood: every counterparty script sharing a tx with the
     * target (address→tx→address traversal, one self-join). `target` is a
     * 1-row (target) DataFrame so the whole plan stays distributed — no

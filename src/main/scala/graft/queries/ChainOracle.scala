@@ -546,6 +546,47 @@ object ChainOracle {
           FROM pr3 ORDER BY ergoTreeHash"""
     },
 
+    // Taint propagation re-derived with UNROLLED supersteps (3 CTE
+    // rounds) over the same independent flow-edge recomputation as q91:
+    // forwarded mass = Σ p·taint into each dst, sinks retain, rounds sum.
+    "q138_taint_flow" -> {
+      val stepCtes = (1 to 3).map { i =>
+        val prev = s"t${i - 1}"
+        s"""f$i AS (SELECT en.dst AS node, sum(en.p * $prev.tn) AS tn
+                    FROM en JOIN $prev ON en.src = $prev.node GROUP BY 1),
+            r$i AS (SELECT node, tn FROM $prev
+                    WHERE node NOT IN (SELECT src FROM outw)),
+            t$i AS (SELECT node, sum(tn) AS tn FROM
+                      (SELECT * FROM f$i UNION ALL SELECT * FROM r$i)
+                    GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH in_scripts AS (
+            SELECT i.txId, o.ergoTreeHash, sum(o.ergValue) AS value
+            FROM read_parquet('${p("inputs")}') i
+            JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId
+            GROUP BY i.txId, o.ergoTreeHash),
+          out_scripts AS (
+            SELECT txId, ergoTreeHash, sum(ergValue) AS value
+            FROM read_parquet('${p("outputs")}')
+            GROUP BY txId, ergoTreeHash),
+          from_e AS (SELECT * FROM in_scripts WHERE value >= 1000000),
+          to_e AS (SELECT o.* FROM out_scripts o
+            WHERE NOT EXISTS (SELECT 1 FROM in_scripts i
+                              WHERE i.txId = o.txId
+                                AND i.ergoTreeHash = o.ergoTreeHash)
+              AND o.value >= 1000000),
+          fl AS (SELECT f.ergoTreeHash AS src, t.ergoTreeHash AS dst,
+                   CAST(sum(t.value) AS DOUBLE) AS w
+                 FROM from_e f JOIN to_e t ON f.txId = t.txId GROUP BY 1, 2),
+          outw AS (SELECT src, sum(w) AS ow FROM fl GROUP BY 1),
+          en AS (SELECT src, dst, w / ow AS p FROM fl JOIN outw USING (src)),
+          t0 AS (SELECT src AS node, 1.0 AS tn FROM outw
+                 ORDER BY ow DESC, src LIMIT 1),
+          $stepCtes
+          SELECT node AS ergoTreeHash, round(tn, 6) AS taint
+          FROM t3 WHERE round(tn, 6) > 0 ORDER BY ergoTreeHash"""
+    },
+
     // The warehouse's base+delta UTXO view, row-level, against the plain
     // relational anti-join — verifies the MVCC versioning (compacted base +
     // live deltas) reconstructs exactly the unspent set.

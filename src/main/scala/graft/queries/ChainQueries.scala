@@ -245,6 +245,12 @@ object ChainQueries extends QueryModule {
     // hash) — target picked by a 1-row broadcast, never a driver lookup.
     // the edge table is referenced 2×/5× inside the traversal plans (mine,
     // hop1, hop2, target) — materialize it once, like the PageRank loop
+    // Proportional taint from the biggest spender, 3 supersteps over the
+    // q82 flow graph — the AML "where did this value go" analysis. Oracle
+    // unrolls the supersteps as CTE rounds off the SAME independent edge
+    // recomputation as q82/q91.
+    "q138_taint_flow" -> ((s, _) =>
+      GraphEdges.taintFlow(tables(s), hops = 3, dust = 1000000L)),
     "q92_neighbours" -> ((s, _) => {
       val e = GraphEdges.txEdges(tables(s), dust = 1000000L).cutLineage()
       GraphEdges.neighboursOf(e, busiestScript(e))

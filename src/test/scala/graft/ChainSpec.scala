@@ -28,6 +28,38 @@ class ChainSpec extends AnyFunSuite {
     assert(overlap == 0)
   }
 
+  test("taint propagation conserves mass, seeds at the biggest spender, matches a Scala replay") {
+    val got = GraphEdges.taintFlow(tables, hops = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(t => t > 0 && t <= 1.0), s"taint in (0,1]: $got")
+
+    // independent Scala replay off the flow edges
+    val fl = GraphEdges.flows(tables).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(r.fieldIndex("totalValue")).toDouble))
+    val ow = fl.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val seed = ow.toSeq.sortBy { case (s, w) => (-w, s) }.head._1
+    var taint = Map(seed -> 1.0)
+    for (_ <- 1 to 3) {
+      val fwd = fl.filter(e => taint.contains(e._1))
+        .map(e => e._2 -> taint(e._1) * e._3 / ow(e._1))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+      val retained = taint.filter { case (n, _) => !ow.contains(n) }
+      taint = (fwd.keySet ++ retained.keySet).map(n =>
+        n -> (fwd.getOrElse(n, 0.0) + retained.getOrElse(n, 0.0))).toMap
+    }
+    assert(math.abs(taint.values.sum - 1.0) < 1e-9,
+      "proportional forwarding + sink retention must conserve total taint")
+    val want = taint.view.mapValues(t =>
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .filter(_._2 > 0).toMap
+    assert(got.keySet == want.keySet, "taint support must match the replay")
+    got.foreach { case (n, t) =>
+      assert(math.abs(t - want(n)) <= 1e-6, s"$n: $t vs ${want(n)}")
+    }
+  }
+
   test("value conservation: every non-coinbase tx spends exactly what it creates") {
     val inSums = UtxoQueries.resolvedInputs(tables)
       .groupBy("txId").agg(sum("ergValue").as("inValue"))
