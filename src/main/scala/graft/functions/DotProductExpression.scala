@@ -56,12 +56,14 @@ object DotProductExpression {
     acc
   }
 
+  private[functions] def functionDescription = (
+    new FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[DotProductExpression].getName, "vec_dot"),
+    (children: Seq[Expression]) => DotProductExpression(children(0), children(1)): Expression)
+
   def register(spark: SparkSession): Unit = {
-    val id = new FunctionIdentifier("vec_dot")
+    val (id, info, builder) = functionDescription
     if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[DotProductExpression].getName, "vec_dot"),
-        (children: Seq[Expression]) => DotProductExpression(children(0), children(1)))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

@@ -64,10 +64,10 @@ object TokenCountExpression {
     count
   }
 
-  private val functionDescription = (
+  private[functions] def functionDescription = (
     new FunctionIdentifier("token_count"),
     new ExpressionInfo(classOf[TokenCountExpression].getName, "token_count"),
-    (children: Seq[Expression]) => TokenCountExpression(children.head))
+    (children: Seq[Expression]) => TokenCountExpression(children.head): Expression)
 
   /** Register on an existing session (tests / library users without
     * extension config).
@@ -79,12 +79,32 @@ object TokenCountExpression {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` — the
   * SparkSessionExtensions hook (SURVEY.md §7 / builder brief custom-operator
-  * tier (c)).
+  * tier (c)): config-time injection of EVERY native graft expression, so a
+  * cluster user gets the full SQL surface (`token_count`, `vec_dot`,
+  * `word_shingles`) with zero library calls. The per-expression
+  * `register(spark)` helpers install the SAME descriptions at runtime —
+  * one list, two install paths (ExpressionSpec pins the equivalence).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      new FunctionIdentifier("token_count"),
-      new ExpressionInfo(classOf[TokenCountExpression].getName, "token_count"),
-      (children: Seq[Expression]) => TokenCountExpression(children.head)))
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** Every native expression's (identifier, info, builder) triple — the
+    * single source for both install paths.
+    */
+  def injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(TokenCountExpression.functionDescription,
+      DotProductExpression.functionDescription,
+      WordShinglesExpression.functionDescription)
+
+  /** Install everything on an existing session (the runtime twin of the
+    * `spark.sql.extensions` config path).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    TokenCountExpression.register(spark)
+    DotProductExpression.register(spark)
+    WordShinglesExpression.register(spark)
+  }
 }

@@ -77,12 +77,14 @@ object WordShinglesExpression {
     new GenericArrayData(seen.toArray(new Array[Object](seen.size)))
   }
 
+  private[functions] def functionDescription = (
+    new FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
+    (children: Seq[Expression]) => WordShinglesExpression(children(0), children(1)): Expression)
+
   def register(spark: SparkSession): Unit = {
-    val id = new FunctionIdentifier("word_shingles")
+    val (id, info, builder) = functionDescription
     if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
-        (children: Seq[Expression]) => WordShinglesExpression(children(0), children(1)))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
