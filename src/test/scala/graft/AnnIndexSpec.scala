@@ -42,14 +42,21 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(vs == Seq("v=0"), s"serving must not grow the version chain: $vs")
 
     // the served plan really reads the parquet snapshots and contains no
-    // centroid-update aggregation (the Lloyd pass's avg) anywhere
+    // centroid-update aggregation (the Lloyd pass's avg) anywhere; with
+    // the stored inverted lists the serve must not even TOUCH the
+    // centroid tables — one corpus scan, one assign-snapshot join, the
+    // pair kernel, zero probe/assign flops
     val plan = AnnIndex.servedPairs(spark, dir, "tann_", snap, identity)
       .queryExecution.executedPlan.toString
     val snapName = new java.io.File(snap).getName
     assert(plan.contains(snapName),
-      s"served centroids must come from the snapshot files:\n$plan")
+      s"served pairs must come from the snapshot files:\n$plan")
     assert(!plan.contains("avg("),
       s"a served query must contain no centroid-training aggregate:\n$plan")
+    assert(plan.contains("/assign/"),
+      s"a serve must read the stored inverted lists:\n$plan")
+    assert(!plan.contains("/coarse/") && !plan.contains("/fine/"),
+      s"a fast-path serve must not re-derive assignments from centroids:\n$plan")
 
     // a NEW application (empty catalog) with matching snapshots on disk
     // adopts them — re-register, no retrain
