@@ -52,25 +52,45 @@ object AnnIndex {
     * partitioned layout — a dir's name/len never change and its mtime only
     * moves when entries are added or removed).
     */
-  def corpusVersion(s: SparkSession, dir: String): String = {
+  def corpusVersion(s: SparkSession, dir: String): String =
+    md5Hex(leafSigs(s, dir).mkString(","))
+
+  /** Sorted per-leaf signatures (`path:len:mtime`) — the fingerprint's raw
+    * material, and the append-vs-rewrite discriminator for
+    * [[refreshIncremental]].
+    */
+  private[graft] def leafSigs(s: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val sig =
-      if (!fs.exists(p)) "absent"
-      else {
-        // listFiles(recursive = true) yields leaf FILES only (a plain-file
-        // corpus yields itself), so nested dir layers contribute nothing
-        // and every byte-bearing leaf contributes path:len:mtime
-        val it = fs.listFiles(p, true)
-        val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val st = it.next()
-          leaves += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
-        }
-        leaves.sorted.mkString(",")
+    if (!fs.exists(p)) Seq("absent")
+    else {
+      // listFiles(recursive = true) yields leaf FILES only (a plain-file
+      // corpus yields itself), so nested dir layers contribute nothing
+      // and every byte-bearing leaf contributes path:len:mtime
+      val it = fs.listFiles(p, true)
+      val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        leaves += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
       }
+      leaves.sorted.toSeq
+    }
+  }
+
+  private def md5Hex(sig: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def leafPath(sig: String): String = {
+    // path:len:mtime — len and mtime are digit runs after the LAST two
+    // colons (paths may themselves contain ':')
+    val a = sig.lastIndexOf(':')
+    sig.substring(0, sig.lastIndexOf(':', a - 1))
+  }
+
+  private def leafLen(sig: String): Long = {
+    val a = sig.lastIndexOf(':')
+    sig.substring(sig.lastIndexOf(':', a - 1) + 1, a).toLong
   }
 
   /** Stable default location, like the corpus catalog's: under the session
@@ -96,14 +116,36 @@ object AnnIndex {
   }
 
   /** The durable (cross-application) fingerprint stamp. */
-  private def storedVersion(s: SparkSession, root: String): Option[String] = {
-    val (f, p) = fs(s, s"$root/_corpus_version")
+  private def storedVersion(s: SparkSession, root: String): Option[String] =
+    readMeta(s, s"$root/_corpus_version").map(_.trim)
+
+  /** The durable leaf manifest the index was built over (newline-joined
+    * [[leafSigs]]) — what lets [[refreshIncremental]] tell an APPEND from
+    * a rewrite.
+    */
+  private def storedLeaves(s: SparkSession, root: String): Option[Seq[String]] =
+    readMeta(s, s"$root/_corpus_files").map(_.trim.split("\n").toSeq)
+
+  private def readMeta(s: SparkSession, path: String): Option[String] = {
+    val (f, p) = fs(s, path)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      try Some(new String(in.readAllBytes(), "UTF-8"))
       finally in.close()
     }
+  }
+
+  private def writeMeta(s: SparkSession, root: String, ver: String,
+    leaves: Seq[String]): Unit = {
+    val (f, pf) = fs(s, s"$root/_corpus_files")
+    val o1 = f.create(pf, true)
+    try o1.write(leaves.mkString("\n").getBytes("UTF-8")) finally o1.close()
+    // the version stamp is written LAST: a crash in between leaves a stale
+    // stamp and the next refresh simply retrains — never a torn adopt
+    val (g, pv) = fs(s, s"$root/_corpus_version")
+    val o2 = g.create(pv, true)
+    try o2.write(ver.getBytes("UTF-8")) finally o2.close()
   }
 
   private def latestSnapshot(s: SparkSession, root: String): Option[String] = {
@@ -129,7 +171,10 @@ object AnnIndex {
     snapshotDir: String = null): Unit = s.synchronized {
     import SimilarityQueries._
     val root = Option(snapshotDir).getOrElse(defaultRoot(s, prefix))
-    val ver = corpusVersion(s, dir)
+    // one listing: the manifest and the stamp must describe the SAME
+    // corpus state even if files land mid-mount
+    val leaves = leafSigs(s, dir)
+    val ver = md5Hex(leaves.mkString(","))
     val cut: DataFrame => DataFrame = Lineage.cut(_)
     val e = ivf2Corpus(s, dir)
     val (k, g) = ivf2KG(e)
@@ -147,9 +192,7 @@ object AnnIndex {
     GraftEngine.swapSnapshotView(s, prefix + "assign",
       ivf2FinalAssign(vecProbes, coarse, fine, cut).select("vec_id", "c_id"),
       s"$root/assign", Map(VersionProp -> ver))
-    val (f, p) = fs(s, s"$root/_corpus_version")
-    val out = f.create(p, true)
-    try out.write(ver.getBytes("UTF-8")) finally out.close()
+    writeMeta(s, root, ver, leaves)
     trainCount += 1
   }
 
@@ -174,6 +217,102 @@ object AnnIndex {
         registerOver(s, prefix + "assign", p, cur))
       false
     } else { mount(s, dir, prefix, snapshotDir); true }
+  }
+
+  /** Outcome of [[refreshIncremental]]. */
+  sealed trait Maintenance
+  object Maintenance {
+    /** Index already matches the corpus. */
+    case object NoChange extends Maintenance
+    /** Append-only growth: `nNewVectors` routed through the STORED
+      * centroids and merged into the inverted lists — no retraining.
+      */
+    final case class Appended(nNewVectors: Long) extends Maintenance
+    /** A rewrite, a missing manifest, or growth past the drift bound —
+      * full retrain ran.
+      */
+    case object Retrained extends Maintenance
+  }
+
+  /** Day-2 index maintenance: an append-only corpus (old parquet leaves
+    * byte-identical, new leaves added — the ingest shape) EXTENDS the
+    * index instead of retraining it. New vectors route through the stored
+    * centroids with the exact serving arithmetic (the same kernel the
+    * streaming router uses), the inverted lists are rewritten as
+    * old ∪ new (lists are two longs per probe — ~1% of corpus bytes; a
+    * delta-chain is the documented plug point past that), and every view
+    * re-stamps to the new corpus fingerprint, so [[servedPairs]] keeps
+    * its fast path with zero Lloyd stages end to end.
+    *
+    * Drift bound: appended vectors join EXISTING clusters, so cluster
+    * sizes grow with the corpus while K stays fixed — past `maxGrowth`
+    * (new bytes / indexed bytes) the adaptive-K contract is violated and
+    * a full retrain is the right spend. Any non-append change (an old
+    * leaf rewritten or removed) retrains unconditionally: assignments
+    * derived from vanished bytes can't be trusted incrementally.
+    */
+  def refreshIncremental(s: SparkSession, dir: String,
+    prefix: String = "graft_ann_", snapshotDir: String = null,
+    maxGrowth: Double = 0.5): Maintenance = s.synchronized {
+    import SimilarityQueries._
+    val root = Option(snapshotDir).getOrElse(defaultRoot(s, prefix))
+    val curLeaves = leafSigs(s, dir)
+    val cur = md5Hex(curLeaves.mkString(","))
+    if (indexVersion(s, prefix).contains(cur)) Maintenance.NoChange
+    else {
+      val old = storedLeaves(s, root)
+      val oldVer = old.map(ls => md5Hex(ls.mkString(",")))
+      val append = old.isDefined &&
+        storedVersion(s, root) == oldVer &&
+        old.get.toSet.subsetOf(curLeaves.toSet) &&
+        old.get.toSet != curLeaves.toSet
+      val withinDrift = append && {
+        val grown = (curLeaves.toSet -- old.get.toSet).toSeq.map(leafLen).sum
+        grown.toDouble <= maxGrowth * math.max(1L, old.get.map(leafLen).sum)
+      }
+      if (!withinDrift) {
+        if (refresh(s, dir, prefix, snapshotDir)) Maintenance.Retrained
+        else Maintenance.NoChange
+      } else {
+        // make sure the OLD-version index is mounted (fresh application:
+        // adopt the snapshots before extending them)
+        if (!indexVersion(s, prefix).exists(oldVer.contains(_))) {
+          registerOver(s, prefix + "coarse",
+            latestSnapshot(s, s"$root/coarse").get, oldVer.get)
+          registerOver(s, prefix + "fine",
+            latestSnapshot(s, s"$root/fine").get, oldVer.get)
+          latestSnapshot(s, s"$root/assign").foreach(p =>
+            registerOver(s, prefix + "assign", p, oldVer.get))
+        }
+        if (storedAssign(s, prefix).isEmpty) {
+          // centroid-only legacy root: nothing to extend — retrain
+          mount(s, dir, prefix, snapshotDir); Maintenance.Retrained
+        } else {
+          graft.functions.DotProductExpression.register(s)
+          val newPaths = (curLeaves.toSet -- old.get.toSet).toSeq
+            .map(leafPath).sorted
+          val e = s.read.parquet(newPaths: _*)
+            .select(col("vec_id"),
+              graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+          val n = e.count()
+          val cut: DataFrame => DataFrame = Lineage.cut(_)
+          val coarse = s.table(prefix + "coarse")
+          val fine = s.table(prefix + "fine")
+          val newAssign = ivf2FinalAssign(
+            ivf2VecProbes(e, coarse, cut), coarse, fine, cut)
+            .select("vec_id", "c_id")
+          val unioned = s.table(prefix + "assign").unionByName(newAssign)
+          GraftEngine.swapSnapshotView(s, prefix + "assign", unioned,
+            s"$root/assign", Map(VersionProp -> cur))
+          registerOver(s, prefix + "coarse",
+            latestSnapshot(s, s"$root/coarse").get, cur)
+          registerOver(s, prefix + "fine",
+            latestSnapshot(s, s"$root/fine").get, cur)
+          writeMeta(s, root, cur, curLeaves)
+          Maintenance.Appended(n)
+        }
+      }
+    }
   }
 
   /** The stored inverted lists, when mounted AND stamped with the current

@@ -87,6 +87,65 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(vs2 == Seq("v=0", "v=1"), s"expected current+previous, got $vs2")
   }
 
+  test("append-only growth extends the lists without retraining; rewrites retrain") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.AnnIndex.Maintenance
+    // corpus as a DIRECTORY of parquet leaves so the ingest shape (files
+    // appended over time) is the real thing under test
+    val dir = Files.createTempDirectory("graft-iann-corpus").toString
+    val embDir = Paths.get(dir, "embeddings.parquet")
+    Files.createDirectory(embDir)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val mid = e.agg(max("vec_id")).head.getLong(0) / 2
+    def stage(pred: org.apache.spark.sql.Column, name: String): Long = {
+      val tmp = Files.createTempDirectory(s"graft-iann-$name").toString
+      val part = e.filter(pred).coalesce(1)
+      part.write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, embDir.resolve(s"$name.parquet"))
+      part.count()
+    }
+    val n0 = stage(col("vec_id") < mid, "half0")
+    val snap = Files.createTempDirectory("graft-iann-snap").toString
+
+    val t0 = AnnIndex.trainCount
+    AnnIndex.servedPairs(spark, dir, "iann_", snap).collect()
+    assert(AnnIndex.trainCount == t0 + 1)
+    val before = spark.table("iann_assign").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the second half lands as a NEW leaf — extend, don't retrain
+    val n1 = stage(col("vec_id") >= mid, "half1")
+    val out = AnnIndex.refreshIncremental(spark, dir, "iann_", snap,
+      maxGrowth = 2.0)
+    assert(out == Maintenance.Appended(n1), s"expected append, got $out")
+    assert(AnnIndex.trainCount == t0 + 1, "an append must never retrain")
+    val after = spark.table("iann_assign").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.subsetOf(after), "old assignments must be untouched")
+    // the appended rows are exactly the stored-centroid routing of the
+    // new vectors (the streaming router's kernel over the same snapshots)
+    val expected = graft.streaming.StreamingAnnServe.assignBatch(
+      spark, e.filter(col("vec_id") >= mid), "iann_").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after -- before == expected,
+      "appended lists must equal stored-centroid routing of the new vectors")
+    // idempotent
+    assert(AnnIndex.refreshIncremental(spark, dir, "iann_", snap, 2.0) ==
+      Maintenance.NoChange)
+    // a serve on the grown index stays train-free
+    AnnIndex.servedPairs(spark, dir, "iann_", snap).collect()
+    assert(AnnIndex.trainCount == t0 + 1)
+
+    // rewriting an OLD leaf is not an append — full retrain
+    val h0 = embDir.resolve("half0.parquet").toFile
+    assert(h0.setLastModified(h0.lastModified() + 2000))
+    assert(AnnIndex.refreshIncremental(spark, dir, "iann_", snap, 2.0) ==
+      Maintenance.Retrained)
+    assert(AnnIndex.trainCount == t0 + 2)
+  }
+
   test("corpusVersion sees a leaf rewrite deep in a partitioned layout (r10 ADVICE)") {
     // A partitioned corpus (embeddings.parquet/part=k/file) whose leaf is
     // rewritten in place changes no direct child's name/length, and the
