@@ -69,7 +69,47 @@ object TextQueries extends QueryModule {
   private def markerCount(tk: Column, word: String): Column =
     size(filter(tk, t => t === word))
 
+  /** q139 feature-hash embedder: dimensions, bucket seed, sign seed. */
+  val EmbedDim = 64
+  val EmbedBucketSeed = 1391
+  val EmbedSignSeed = 1392
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic feature-hash embedder (the "hashing trick"): every doc
+    // → an L2-normalized EmbedDim vector of signed token-bucket counts —
+    // the embedding-free bootstrap that connects the document tier to the
+    // whole vector stack (q135 decon, q31/q50 search, q129 near-dup) when
+    // no model embeddings exist yet. Bucket sums are INTEGERS, so every
+    // stage is order-independent exact and only the final normalize
+    // touches doubles (rounded 6 dp, the house convention). One token
+    // shuffle on (doc_id, bucket) — the same mass q80's tf stage moves —
+    // then per-doc map densification; emitted exploded (doc_id, pos,
+    // comp) so the oracle pins every component and its position.
+    "q139_hash_embed" -> ((s, dir) => {
+      val toksE = docs(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      val comp = toksE.select(col("doc_id"),
+          (hash64(col("t"), EmbedBucketSeed) % EmbedDim).as("pos"),
+          when(hash64(col("t"), EmbedSignSeed) % 2 === 0, 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "pos").agg(sum("sgn").as("c"))
+      val dense = comp.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), lit(EmbedDim - 1L)),
+            d => coalesce(element_at(col("m"), d), lit(0L))).as("vi"))
+      dense
+        .withColumn("nrm", sqrt(aggregate(col("vi"), lit(0.0),
+          (a, x) => a + (x * x).cast("double"))))
+        .filter(col("nrm") > 0)
+        .select(col("doc_id"),
+          posexplode(transform(col("vi"),
+            x => round(x.cast("double") / col("nrm"), 6))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("comp"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Token counting per language (corpus-stats roll-up).
     "q21_token_stats" -> ((s, dir) => {
       docs(s, dir)
@@ -965,6 +1005,25 @@ object TextQueries extends QueryModule {
     Seq("slow", "drop", "slow fast", "table value", "big table")
 
   val oracles: Map[String, String] = Map(
+    "q139_hash_embed" -> {
+      val bucket = s"(${hash64Sql("t", EmbedBucketSeed)}) % $EmbedDim"
+      val sgn = s"CASE WHEN (${hash64Sql("t", EmbedSignSeed)}) % 2 = 0 THEN 1 ELSE -1 END"
+      raw"""WITH tk AS (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS t
+             FROM documents),
+         c AS (SELECT doc_id, $bucket AS pos, CAST(sum($sgn) AS BIGINT) AS c
+               FROM tk GROUP BY doc_id, $bucket),
+         d AS (SELECT ids.doc_id, ds.pos, coalesce(c.c, 0) AS c
+               FROM (SELECT DISTINCT doc_id FROM tk) ids
+               CROSS JOIN range(0, $EmbedDim) ds(pos)
+               LEFT JOIN c ON c.doc_id = ids.doc_id AND c.pos = ds.pos),
+         n AS (SELECT doc_id, sqrt(CAST(sum(c*c) AS DOUBLE)) AS nrm
+               FROM d GROUP BY doc_id)
+         SELECT d.doc_id, CAST(d.pos AS BIGINT) AS pos,
+           round(CAST(d.c AS DOUBLE) / n.nrm, 6) AS comp
+         FROM d JOIN n USING (doc_id) WHERE n.nrm > 0
+         ORDER BY d.doc_id, d.pos"""
+    },
     "q63_bpe_tokens" ->
       raw"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)'))) AS BIGINT) AS sum_bpe,

@@ -85,6 +85,42 @@ class PipelineSpec extends AnyFunSuite {
       s"(exact=${exactFlagged.size}, flagged=${got.length})")
   }
 
+  test("hash embeddings are unit-norm and match an independent Scala recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q139_hash_embed")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, v) =>
+      assert(v.size == 64, s"doc $id: 64 components")
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-4, s"doc $id: unit norm, got $n2")
+    }
+    // independent Scala recompute on a sample: same md5 bucket/sign
+    // hashing, integer bucket sums, L2 normalize, HALF_UP 6 dp — must
+    // match the engine bit for bit (pure function of the token bag)
+    def h(seed: Int, t: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$t".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val sample = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).take(20)
+    sample.foreach { case (id, text) =>
+      val v = new Array[Long](64)
+      text.trim.split("\\s+").foreach { t =>
+        val sgn = if (h(1392, t) % 2 == 0) 1L else -1L // EmbedSignSeed
+        v((h(1391, t) % 64).toInt) += sgn              // EmbedBucketSeed
+      }
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val want = v.map(x => BigDecimal(x / nrm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+      assert(byDoc(id) == want, s"doc $id: engine vs Scala recompute")
+    }
+  }
+
   test("ann recall eval equals a direct recompute from its two component queries") {
     def pairs(name: String) =
       SparkEntry.queries(name)(spark, sf001)
