@@ -38,9 +38,27 @@ object CorpusBuild {
     */
   val BuildShardSeed = 1360
 
-  /** Build the corpus at `out` and return the manifest (split, shard,
-    * n_docs, n_chunks, n_tokens, n_sources), which is also written to
-    * `out/_manifest`.
+  /** Newest fully-published corpus version under `out` (None before the
+    * first successful [[run]]). Every `v=` dir is complete by
+    * construction — versions are claimed by atomic rename, and half-built
+    * `_tmp_*` dirs are never eligible.
+    */
+  def latest(s: SparkSession, out: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).flatMap(_.drop(2).toLongOption)
+      .sorted.lastOption.map(v => s"$out/v=$v")
+  }
+
+  /** Build the corpus and PUBLISH it as `out/v=<k>` — the same
+    * crash/concurrency discipline as the catalog snapshots: the whole
+    * partitioned tree (and its `_manifest`) is written to a unique
+    * `_tmp_*` dir first and claimed by ATOMIC RENAME, so a reader of
+    * [[latest]] never sees a torn corpus and a crashed build leaves only
+    * an invisible temp dir. Returns the manifest (split, shard, n_docs,
+    * n_chunks, n_tokens, n_sources) read from the published version.
     */
   def run(s: SparkSession, dir: String, out: String,
     numShards: Int = AssemblyQueries.NumShards): DataFrame = {
@@ -60,12 +78,18 @@ object CorpusBuild {
     val chunks = AssemblyQueries.chunkify(
       sharded.select(col("doc_id"), col("tk"),
         col("source"), col("lang"), col("split"), col("shard")))
+
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(outPath)
+    val tmp = new org.apache.hadoop.fs.Path(outPath,
+      s"_tmp_${java.util.UUID.randomUUID()}")
     chunks.write.mode(SaveMode.Overwrite)
-      .partitionBy("split", "shard").parquet(out)
+      .partitionBy("split", "shard").parquet(tmp.toString)
 
     // manifest derived from what was WRITTEN, not from the plan — the
     // consistency readers rely on is between these files and this summary
-    val manifest = s.read.parquet(out)
+    def manifestOf(path: String): DataFrame = s.read.parquet(path)
       // partition-column type inference reads `shard=N` back as int —
       // pin the manifest schema to the long the writer assigned
       .groupBy(col("split"), col("shard").cast("long").as("shard"))
@@ -74,7 +98,14 @@ object CorpusBuild {
         sum("chunk_tokens").as("n_tokens"),
         countDistinct("source").as("n_sources"))
       .orderBy("split", "shard")
-    manifest.write.mode(SaveMode.Overwrite).parquet(s"$out/_manifest")
-    manifest
+    manifestOf(tmp.toString).write.mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/_manifest")
+
+    val next = latest(s, out)
+      .flatMap(_.split("=").last.toLongOption).map(_ + 1).getOrElse(0L)
+    // lost race ⇒ adopt the winner's fully-written version (builds are
+    // deterministic per corpus, same contract as the snapshot swap)
+    val (dest, _) = graft.GraftEngine.claimVersion(fs, outPath, tmp, next)
+    s.read.parquet(s"$dest/_manifest")
   }
 }

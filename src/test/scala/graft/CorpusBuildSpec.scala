@@ -14,11 +14,12 @@ import java.nio.file.Files
 class CorpusBuildSpec extends AnyFunSuite {
   import TestSpark._
 
-  private lazy val out = {
+  private lazy val root = {
     val dir = Files.createTempDirectory("graft-cbuild").toString + "/corpus"
     CorpusBuild.run(spark, sf0001, dir)
     dir
   }
+  private lazy val out = CorpusBuild.latest(spark, root).get
 
   test("written docs = q108 kept ∩ their q126 splits; partition pruning works") {
     val written = spark.read.parquet(out)
@@ -81,5 +82,25 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(manifest == recomputed, "manifest must match the files")
     assert(manifest.nonEmpty && manifest.keys.map(_._1).toSet.size >= 2,
       "at least two splits must materialize at sf0.001")
+  }
+
+  test("publishes are versioned and atomic: torn temp dirs never surface") {
+    assert(out.endsWith("/v=0"), s"first publish must claim v=0: $out")
+    // a crashed build = a stray _tmp_ dir with partial bytes — invisible
+    // to latest() and to any reader of the published version
+    val junk = Files.createDirectories(
+      java.nio.file.Paths.get(root, "_tmp_crashed"))
+    Files.writeString(junk.resolve("part-00000.parquet"), "torn bytes")
+    assert(CorpusBuild.latest(spark, root).get == out,
+      "a torn temp dir must not become the latest version")
+    // a second build publishes v=1 without disturbing v=0's files
+    val m0 = spark.read.parquet(s"$out/_manifest").collect().toSet
+    CorpusBuild.run(spark, sf0001, root)
+    val out1 = CorpusBuild.latest(spark, root).get
+    assert(out1.endsWith("/v=1"), s"second publish must claim v=1: $out1")
+    assert(spark.read.parquet(s"$out/_manifest").collect().toSet == m0,
+      "an earlier version must be immutable under later publishes")
+    assert(spark.read.parquet(s"$out1/_manifest").collect().toSet == m0,
+      "deterministic builds: same corpus, same manifest")
   }
 }
