@@ -75,11 +75,31 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       warmUpFailed = warmUpFailed.orElse(Some(s"q127 warm: $e"))
       System.err.println(s"[bench] q127 warm-up failed: $e") }
+    // Shuffle-discipline evidence: per-stage shuffle-write and spill bytes,
+    // attributed to queries POST-HOC by stage SUBMISSION time (queries run
+    // sequentially, so their wall-clock windows partition the stages) —
+    // robust to the listener bus posting events after an action returns,
+    // with one drain sleep before the final mapping instead of a per-run
+    // wait. A min-of-2 re-run overwrites the query's window: same plan,
+    // same bytes, and the recorded figure is the re-measured one.
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) stageLog.add((
+          sc.stageInfo.submissionTime.getOrElse(0L),
+          m.shuffleWriteMetrics.bytesWritten,
+          m.diskBytesSpilled + m.memoryBytesSpilled))
+      }
+    })
+    val windows = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     // A failed query must be VISIBLE in the bench record, not disguised as a
     // fast run: its entry is -1 (never a plausible duration), its message
     // lands in the "errors" object, and stderr flags it for a local eye.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case scala.util.control.NonFatal(e) =>
@@ -88,6 +108,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $msg")
           false
       }
+      windows(name) = (w0, System.currentTimeMillis())
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val firstPass = SparkEntry.queries.map { case (name, fn) => name -> timed(name, fn) }
@@ -114,8 +135,27 @@ object Bench {
         if (t2 >= 0) math.min(t1, t2) else { errors.remove(name); t1 }
       } else t1)
     }
+    // drain the async listener bus once, then attribute stages to windows
+    Thread.sleep(2000)
+    val stages = {
+      val it = stageLog.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      while (it.hasNext) b += it.next()
+      b.toSeq
+    }
+    val shuffleMb = windows.map { case (name, (w0, w1)) =>
+      val in = stages.filter(s => s._1 >= w0 && s._1 < w1)
+      name -> (in.map(_._2).sum / 1e6, in.map(_._3).sum / 1e6)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val shufJson = shuffleMb.map { case (k, (sh, _)) =>
+      "\"" + k + "\":" + f"$sh%.2f" }.mkString("{", ",", "}")
+    val spills = shuffleMb.filter(_._2._2 > 0)
+    val spillJson =
+      if (spills.isEmpty) ""
+      else spills.map { case (k, (_, sp)) => "\"" + k + "\":" + f"$sp%.2f" }
+        .mkString(""","spill_mb":{""", ",", "}")
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
     val errJson =
       if (errors.isEmpty) ""
@@ -157,8 +197,11 @@ object Bench {
     val warmJson = warmUpFailed.map(m => s""","warm_up_failed":${jstr(m)}""").getOrElse("")
     val extra = blocksPerS.map(b => s""","backfill_blocks_per_s":$b""").getOrElse("") +
       mainnetPerS.map(b => s""","mainnet_blocks_per_s":$b""").getOrElse("") + warmJson
+    val shufTotal = f"${shuffleMb.values.map(_._1).sum}%.1f"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra$errJson,"sf":$sfNum}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+        s""","shuffle_mb":$shufJson,"shuffle_mb_total":$shufTotal$spillJson""" +
+        s"""$extra$errJson,"sf":$sfNum}"""
     // The driver keeps only the LAST 2000 chars of stdout and json-parses the
     // final line. 82 full query names overflow that window (BENCH_r01/r02:
     // parsed=null), so: full-precision record line first, then a compact
