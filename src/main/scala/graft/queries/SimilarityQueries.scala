@@ -64,6 +64,11 @@ object SimilarityQueries extends QueryModule {
   private val DeconTau = 0.30
   private val DeconBands = 4
   private val DeconBandBits = 4
+  // q140 semantic source matrix: pair threshold over the q139 hash
+  // embeddings (unit vectors ⇒ cosine = dot). 0.9 = near-identical
+  // content; at 0.5 the synthetic corpus lights up every source pair
+  // (measured 70k pairs vs 47 — topical correlation, not provenance).
+  private val SemSrcTau = 0.9
   private val PqSubspaces = 4 // q107 product-quantization subspaces
   private val PqSubDim = 16   // dims per subspace (4 × 16 = 64)
   private val PqK = 4         // codebook size per subspace
@@ -693,6 +698,39 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // Semantic source-overlap matrix — the embedding twin of q106's
+    // lexical provenance matrix, and the end-to-end proof that the q139
+    // hash embedder feeds the vector dedup stack with NO model
+    // embeddings anywhere: docs → hash embeddings → AND-OR banded codes
+    // (q135's scheme, self-joined) → exact-cosine threshold → per
+    // source-pair counts. Scale shape: candidate generation is a
+    // (band, code) self equi-join — Bands·n²/2^Bits expected candidate
+    // mass, the standard banded-LSH bound with Bits as the dial — and
+    // the matrix rollup collapses to |sources|² rows.
+    "q140_semantic_src_matrix" -> ((s, dir) => {
+      graft.functions.DotProductExpression.register(s)
+      val e = TextQueries.hashEmbedDense(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source"), col("v"))
+        .withColumn("n", l2NormNative(col("v")))
+      val coded = deconCoded(s, e)
+      val a = coded.select(col("vec_id").as("a_id"), col("source").as("src_a"),
+        col("v").as("va"), col("n").as("na"), col("band"), col("code"))
+      val b = coded.select(col("vec_id").as("b_id"), col("source").as("src_b"),
+        col("v").as("vb"), col("n").as("nb"),
+        col("band").as("band_b"), col("code").as("code_b"))
+      val cand = a.join(b,
+          col("band") === col("band_b") && col("code") === col("code_b") &&
+            col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("src_a"), col("src_b"),
+          (dotNative(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .distinct()
+        .filter(round(col("cos"), 4) >= SemSrcTau)
+      cand.groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // ANN index quality monitor: recall@k of the LSH ANN (q50) against the
     // exact top-k (q31) per query — the eval loop every production ANN
     // deployment runs after (re)building an index. Composes the two
@@ -1084,6 +1122,32 @@ object SimilarityQueries extends QueryModule {
                FROM cand WHERE round(cos, 4) >= $DeconTau)
          SELECT vec_id, eval_id, round(cos, 4) AS cos_sim
          FROM f WHERE rn = 1 ORDER BY vec_id""",
+
+    // Semantic source matrix: the shared embedder CTE chain (ONE SQL
+    // rendering, TextQueries.hashEmbedCteSql), banded coding over the
+    // embedding lists, self-join, threshold, matrix rollup.
+    "q140_semantic_src_matrix" ->
+      s"""WITH ${TextQueries.hashEmbedCteSql},
+         planes AS (SELECT plane,
+                      list_value(${(0 until 64).map(planeComp).mkString(", ")}) AS pv
+                    FROM range(0, ${DeconBands * DeconBandBits}) t(plane)),
+         coded AS (SELECT e.doc_id, CAST(p.plane // $DeconBandBits AS BIGINT) AS band,
+                     CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                       THEN CAST(1 AS BIGINT) << CAST(p.plane % $DeconBandBits AS INT)
+                       ELSE 0 END) AS BIGINT) AS code
+                   FROM hemb e CROSS JOIN planes p
+                   GROUP BY e.doc_id, p.plane // $DeconBandBits),
+         ce AS (SELECT e.doc_id, e.source, e.v, c.band, c.code
+                FROM hemb e JOIN coded c USING (doc_id)),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.source AS src_a, b.source AS src_b,
+                    list_cosine_similarity(a.v, b.v) AS cos
+                  FROM ce a JOIN ce b
+                    ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id)
+         SELECT least(src_a, src_b) AS source_a,
+           greatest(src_a, src_b) AS source_b, count(*) AS n_pairs
+         FROM cand WHERE round(cos, 4) >= $SemSrcTau
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Recall@k of the LSH ANN vs the exact top-k: both component pipelines
     // nested verbatim, joined on (q_id, nbr_id) membership.

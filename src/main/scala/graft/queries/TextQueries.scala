@@ -74,6 +74,32 @@ object TextQueries extends QueryModule {
   val EmbedBucketSeed = 1391
   val EmbedSignSeed = 1392
 
+  /** The q139 embedder's dense form — (doc_id, source, v: EmbedDim array
+    * of 6-dp components, unit norm up to rounding) — shared by q139's
+    * exploded oracle surface and the downstream vector consumers (q140's
+    * semantic source matrix).
+    */
+  private[queries] def hashEmbedDense(s: SparkSession, dir: String): DataFrame = {
+    val toksE = docs(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val comp = toksE.select(col("doc_id"),
+        (hash64(col("t"), EmbedBucketSeed) % EmbedDim).as("pos"),
+        when(hash64(col("t"), EmbedSignSeed) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "pos").agg(sum("sgn").as("c"))
+    comp.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(EmbedDim - 1L)),
+          d => coalesce(element_at(col("m"), d), lit(0L))).as("vi"))
+      .withColumn("nrm", sqrt(aggregate(col("vi"), lit(0.0),
+        (a, x) => a + (x * x).cast("double"))))
+      .filter(col("nrm") > 0)
+      .select(col("doc_id"),
+        transform(col("vi"), x => round(x.cast("double") / col("nrm"), 6)).as("v"))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic feature-hash embedder (the "hashing trick"): every doc
     // → an L2-normalized EmbedDim vector of signed token-bucket counts —
@@ -85,30 +111,12 @@ object TextQueries extends QueryModule {
     // shuffle on (doc_id, bucket) — the same mass q80's tf stage moves —
     // then per-doc map densification; emitted exploded (doc_id, pos,
     // comp) so the oracle pins every component and its position.
-    "q139_hash_embed" -> ((s, dir) => {
-      val toksE = docs(s, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      val comp = toksE.select(col("doc_id"),
-          (hash64(col("t"), EmbedBucketSeed) % EmbedDim).as("pos"),
-          when(hash64(col("t"), EmbedSignSeed) % 2 === 0, 1L)
-            .otherwise(-1L).as("sgn"))
-        .groupBy("doc_id", "pos").agg(sum("sgn").as("c"))
-      val dense = comp.groupBy("doc_id")
-        .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("m"))
-        .select(col("doc_id"),
-          transform(sequence(lit(0L), lit(EmbedDim - 1L)),
-            d => coalesce(element_at(col("m"), d), lit(0L))).as("vi"))
-      dense
-        .withColumn("nrm", sqrt(aggregate(col("vi"), lit(0.0),
-          (a, x) => a + (x * x).cast("double"))))
-        .filter(col("nrm") > 0)
-        .select(col("doc_id"),
-          posexplode(transform(col("vi"),
-            x => round(x.cast("double") / col("nrm"), 6))))
+    "q139_hash_embed" -> ((s, dir) =>
+      hashEmbedDense(s, dir)
+        .select(col("doc_id"), posexplode(col("v")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("comp"))
-        .orderBy("doc_id", "pos")
-    }),
+        .orderBy("doc_id", "pos")),
 
     // Token counting per language (corpus-stats roll-up).
     "q21_token_stats" -> ((s, dir) => {
@@ -1004,26 +1012,38 @@ object TextQueries extends QueryModule {
   private[graft] val Blocklist: Seq[String] =
     Seq("slow", "drop", "slow fast", "table value", "big table")
 
+  /** SQL rendering of [[hashEmbedDense]] — a CTE chain ending in
+    * `hemb(doc_id, source, v)` with v the dense 6-dp component list.
+    * Shared by the q139 oracle and the downstream vector-consumer oracles
+    * (q140) so both engines keep ONE embedding definition.
+    */
+  private[queries] def hashEmbedCteSql: String = {
+    val bucket = s"(${hash64Sql("t", EmbedBucketSeed)}) % $EmbedDim"
+    val sgn = s"CASE WHEN (${hash64Sql("t", EmbedSignSeed)}) % 2 = 0 THEN 1 ELSE -1 END"
+    raw"""he_tk AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS t
+           FROM documents),
+       he_c AS (SELECT doc_id, $bucket AS pos, CAST(sum($sgn) AS BIGINT) AS c
+             FROM he_tk GROUP BY doc_id, $bucket),
+       he_d AS (SELECT ids.doc_id, ds.pos, coalesce(he_c.c, 0) AS c
+             FROM (SELECT DISTINCT doc_id FROM he_tk) ids
+             CROSS JOIN range(0, $EmbedDim) ds(pos)
+             LEFT JOIN he_c ON he_c.doc_id = ids.doc_id AND he_c.pos = ds.pos),
+       he_n AS (SELECT doc_id, sqrt(CAST(sum(c*c) AS DOUBLE)) AS nrm
+             FROM he_d GROUP BY doc_id),
+       hemb AS (SELECT d.doc_id, docs.source,
+               list(round(CAST(d.c AS DOUBLE) / n.nrm, 6) ORDER BY d.pos) AS v
+             FROM he_d d JOIN he_n n USING (doc_id)
+             JOIN documents docs USING (doc_id)
+             WHERE n.nrm > 0 GROUP BY d.doc_id, docs.source)"""
+  }
+
   val oracles: Map[String, String] = Map(
-    "q139_hash_embed" -> {
-      val bucket = s"(${hash64Sql("t", EmbedBucketSeed)}) % $EmbedDim"
-      val sgn = s"CASE WHEN (${hash64Sql("t", EmbedSignSeed)}) % 2 = 0 THEN 1 ELSE -1 END"
-      raw"""WITH tk AS (SELECT doc_id,
-               unnest(string_split_regex(trim(text), '\s+')) AS t
-             FROM documents),
-         c AS (SELECT doc_id, $bucket AS pos, CAST(sum($sgn) AS BIGINT) AS c
-               FROM tk GROUP BY doc_id, $bucket),
-         d AS (SELECT ids.doc_id, ds.pos, coalesce(c.c, 0) AS c
-               FROM (SELECT DISTINCT doc_id FROM tk) ids
-               CROSS JOIN range(0, $EmbedDim) ds(pos)
-               LEFT JOIN c ON c.doc_id = ids.doc_id AND c.pos = ds.pos),
-         n AS (SELECT doc_id, sqrt(CAST(sum(c*c) AS DOUBLE)) AS nrm
-               FROM d GROUP BY doc_id)
-         SELECT d.doc_id, CAST(d.pos AS BIGINT) AS pos,
-           round(CAST(d.c AS DOUBLE) / n.nrm, 6) AS comp
-         FROM d JOIN n USING (doc_id) WHERE n.nrm > 0
-         ORDER BY d.doc_id, d.pos"""
-    },
+    "q139_hash_embed" ->
+      s"""WITH $hashEmbedCteSql
+         SELECT doc_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+           unnest(v) AS comp
+         FROM hemb ORDER BY doc_id, pos""",
     "q63_bpe_tokens" ->
       raw"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)'))) AS BIGINT) AS sum_bpe,

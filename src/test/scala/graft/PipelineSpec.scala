@@ -121,6 +121,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic source matrix: canonical keys, only true pairs, banded recall >= 0.8") {
+    // brute-force ground truth over the q139 embeddings (tiny corpus only)
+    val emb = SparkEntry.queries("q139_hash_embed")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    val src = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val ids = emb.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if r4(cos(emb(ids(i)), emb(ids(j)))) >= 0.9 // SemSrcTau
+    } yield (ids(i), ids(j))).toSet
+    assert(exact.nonEmpty, "fixture must contain semantic source overlap")
+    val exactMatrix = exact.toSeq
+      .map { case (a, b) =>
+        val (s1, s2) = (src(a), src(b))
+        (if (s1 <= s2) s1 else s2, if (s1 <= s2) s2 else s1)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val got = SparkEntry.queries("q140_semantic_src_matrix")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.keys.foreach { case (a, b) => assert(a <= b, s"canonical order: ($a, $b)") }
+    // precision: the banded candidates are exact-cosine verified, so no
+    // cell may exceed its brute-force count
+    got.foreach { case (k, n) =>
+      assert(n <= exactMatrix.getOrElse(k, 0L), s"$k: $n phantom pairs")
+    }
+    val recall = got.values.sum.toDouble / exact.size
+    assert(recall >= 0.8, s"banded recall $recall < 0.8 " +
+      s"(exact=${exact.size}, got=${got.values.sum})")
+  }
+
   test("ann recall eval equals a direct recompute from its two component queries") {
     def pairs(name: String) =
       SparkEntry.queries(name)(spark, sf001)
