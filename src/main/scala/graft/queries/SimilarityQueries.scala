@@ -68,7 +68,15 @@ object SimilarityQueries extends QueryModule {
   // embeddings (unit vectors ⇒ cosine = dot). 0.9 = near-identical
   // content; at 0.5 the synthetic corpus lights up every source pair
   // (measured 70k pairs vs 47 — topical correlation, not provenance).
+  // Codes are computed over MEAN-CENTERED vectors: correlated corpora
+  // concentrate raw sign patterns (measured: one bucket held 26% of
+  // sf0.1 — quadratic mass under growth); centering restores near-
+  // uniform buckets (max 160/5000, candidate mass ÷8) at the cost of
+  // unstable signs for docs near the mean — recovered by running
+  // SemSrcBands=8 bands instead of q135's 4 (measured recall 0.81 at 4
+  // centered bands, ≥0.9 at 8; spec floor 0.8).
   private val SemSrcTau = 0.9
+  private val SemSrcBands = 8
   private val PqSubspaces = 4 // q107 product-quantization subspaces
   private val PqSubDim = 16   // dims per subspace (4 × 16 = 64)
   private val PqK = 4         // codebook size per subspace
@@ -709,10 +717,29 @@ object SimilarityQueries extends QueryModule {
     // the matrix rollup collapses to |sources|² rows.
     "q140_semantic_src_matrix" -> ((s, dir) => {
       graft.functions.DotProductExpression.register(s)
+      // cut: the embedder (two md5 kernels per token) feeds the mean,
+      // the coding, AND the cosine verify — one compute, not three
       val e = TextQueries.hashEmbedDense(s, dir)
         .select(col("doc_id").as("vec_id"), col("source"), col("v"))
         .withColumn("n", l2NormNative(col("v")))
-      val coded = deconCoded(s, e)
+        .cutLineage()
+      // adaptive band width: ~64-doc buckets at any corpus size (one
+      // bounded metadata count on the driver, q113's ivf2KG precedent)
+      val bits = adaptiveBandBits(graft.Tables.load(s, dir, "documents").count())
+      // codes over mean-centered vectors (see SemSrcBands note); the
+      // cosine itself stays in the ORIGINAL space
+      val mean = broadcast(e.select(posexplode(col("v")))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(round(avg("col"), 9).as("m"))
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("mm"))
+        .select(transform(sequence(lit(0L), lit(63L)),
+          d => element_at(col("mm"), d)).as("mv")))
+      // cut: the interpreted zip_with would otherwise re-evaluate per
+      // plane row inside the coding crossJoin (bands·bits× per doc)
+      val ec = e.crossJoin(mean)
+        .withColumn("vc", zip_with(col("v"), col("mv"), (a, b) => a - b))
+        .cutLineage()
+      val coded = deconCoded(s, ec, bits, SemSrcBands, "vc")
       val a = coded.select(col("vec_id").as("a_id"), col("source").as("src_a"),
         col("v").as("va"), col("n").as("na"), col("band"), col("code"))
       val b = coded.select(col("vec_id").as("b_id"), col("source").as("src_b"),
@@ -778,25 +805,45 @@ object SimilarityQueries extends QueryModule {
   private def lshProbes(code: Column): Column =
     array(code +: (0 until NumPlanes).map(b => code.bitwiseXOR(lit(1L << b))): _*)
 
-  /** AND-OR banded hyperplane coding for q135: one row per (vector, band),
-    * code = the band's DeconBandBits sign bits. Same md5 plane family as
-    * `lshCoded` (planes 0 until Bands·Bits), one extra `band` group key.
+  /** AND-OR banded hyperplane coding (q135/q140): one row per
+    * (vector, band), code = the band's `bits` sign bits over `codeCol`.
+    * Same md5 plane family as `lshCoded` (planes 0 until bands·bits),
+    * one extra `band` group key.
     */
-  private def deconCoded(s: SparkSession, e: DataFrame): DataFrame = {
+  private def deconCoded(s: SparkSession, e: DataFrame,
+    bits: Int = DeconBandBits, bands: Int = DeconBands,
+    codeCol: String = "v"): DataFrame = {
     val dim = 64
-    val total = DeconBands * DeconBandBits
+    val total = bands * bits
     val planes = broadcast(s.range(total).toDF("plane").select(
       col("plane"),
       array((0 until dim).map(d =>
         (conv(substring(md5(concat(lit(s"pl:$d:"), col("plane"))), 1, 8), 16, 10)
           .cast("long").cast("double") / 4294967296.0) - 0.5): _*).as("pv")))
     val coded = e.crossJoin(planes)
-      .withColumn("band", (col("plane") / DeconBandBits).cast("long"))
+      .withColumn("band", (col("plane") / bits).cast("long"))
       .withColumn("bit",
-        when(dotNative(col("v"), col("pv")) >= 0,
-          expr(s"shiftleft(1L, cast(plane % $DeconBandBits as int))")).otherwise(0L))
+        when(dotNative(col(codeCol), col("pv")) >= 0,
+          expr(s"shiftleft(1L, cast(plane % $bits as int))")).otherwise(0L))
       .groupBy("vec_id", "band").agg(sum("bit").as("code"))
     e.join(coded, "vec_id")
+  }
+
+  /** Adaptive band width for the banded SELF-joins (q140): the smallest
+    * bit count keeping the expected (band, code) bucket at ≤ ~64 vectors,
+    * so candidate mass stays Bands·n·bucket — LINEAR in corpus size where
+    * fixed bits would be n²/2^Bits (measured: fixed 4 bits cost 7.9 s at
+    * sf0.1 and a projected quadratic blow-up a decade up). Exact integer
+    * arithmetic (bit width of ⌈n/64⌉−1 via binary-string length) — no
+    * float log2 whose boundary rounding could diverge between engines.
+    * The recall trade is documented at the call site: per-band collision
+    * falls as bits grow, so deployments holding recall fixed raise Bands
+    * alongside (the committed Bands=4 pins spec recall at the oracle
+    * scale, where bits stays at the 4-bit floor).
+    */
+  private[queries] def adaptiveBandBits(nDocs: Long): Int = {
+    val m = math.max(1L, (nDocs + 63) / 64 - 1)
+    math.max(DeconBandBits, java.lang.Long.toBinaryString(m).length)
   }
 
   /** Shared top-k tail of the oracle SQL (rank by rounded cosine, nbr tie). */
@@ -1128,15 +1175,30 @@ object SimilarityQueries extends QueryModule {
     // embedding lists, self-join, threshold, matrix rollup.
     "q140_semantic_src_matrix" ->
       s"""WITH ${TextQueries.hashEmbedCteSql},
+         nb AS (SELECT GREATEST($DeconBandBits, length(format('{:b}',
+                  GREATEST(1, (count(*) + 63) // 64 - 1)))) AS bits
+                FROM documents),
          planes AS (SELECT plane,
                       list_value(${(0 until 64).map(planeComp).mkString(", ")}) AS pv
-                    FROM range(0, ${DeconBands * DeconBandBits}) t(plane)),
-         coded AS (SELECT e.doc_id, CAST(p.plane // $DeconBandBits AS BIGINT) AS band,
-                     CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-                       THEN CAST(1 AS BIGINT) << CAST(p.plane % $DeconBandBits AS INT)
-                       ELSE 0 END) AS BIGINT) AS code
-                   FROM hemb e CROSS JOIN planes p
-                   GROUP BY e.doc_id, p.plane // $DeconBandBits),
+                    FROM range(0, ${SemSrcBands * 16}) t(plane)
+                    WHERE plane < (SELECT $SemSrcBands * bits FROM nb)),
+         hmean AS (SELECT list(m ORDER BY pos) AS mv FROM (
+                     SELECT pos, round(avg(x), 9) AS m
+                     FROM (SELECT generate_subscripts(v, 1) AS pos,
+                             unnest(v) AS x FROM hemb)
+                     GROUP BY pos) t),
+         hembc AS (SELECT h.doc_id,
+                     list_transform(range(1, 65), i -> h.v[i] - m.mv[i]) AS vc
+                   FROM hemb h CROSS JOIN hmean m),
+         codedraw AS (SELECT e.doc_id,
+                        CAST(p.plane // b.bits AS BIGINT) AS band,
+                        CAST(p.plane % b.bits AS INT) AS bp,
+                        list_dot_product(e.vc, p.pv) AS dp
+                      FROM hembc e CROSS JOIN planes p CROSS JOIN nb b),
+         coded AS (SELECT doc_id, band,
+                     CAST(sum(CASE WHEN dp >= 0
+                       THEN CAST(1 AS BIGINT) << bp ELSE 0 END) AS BIGINT) AS code
+                   FROM codedraw GROUP BY doc_id, band),
          ce AS (SELECT e.doc_id, e.source, e.v, c.band, c.code
                 FROM hemb e JOIN coded c USING (doc_id)),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
