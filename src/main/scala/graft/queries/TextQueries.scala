@@ -74,12 +74,13 @@ object TextQueries extends QueryModule {
   val EmbedBucketSeed = 1391
   val EmbedSignSeed = 1392
 
-  /** The q139 embedder's dense form — (doc_id, source, v: EmbedDim array
-    * of 6-dp components, unit norm up to rounding) — shared by q139's
-    * exploded oracle surface and the downstream vector consumers (q140's
-    * semantic source matrix).
+  /** The embedder's internal form — (doc_id, vi: integer bucket sums,
+    * nrm: L2 norm), zero-norm docs filtered. Callers finish with
+    * [[unitComps]] IN THEIR OWN final projection: routing the normalized
+    * array through a named intermediate column defeats the projection
+    * collapse into q139's generator (measured 1.1 s → 7.0 s at sf0.1).
     */
-  private[queries] def hashEmbedDense(s: SparkSession, dir: String): DataFrame = {
+  private def hashEmbedCore(s: SparkSession, dir: String): DataFrame = {
     val toksE = docs(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val comp = toksE.select(col("doc_id"),
@@ -95,10 +96,22 @@ object TextQueries extends QueryModule {
       .withColumn("nrm", sqrt(aggregate(col("vi"), lit(0.0),
         (a, x) => a + (x * x).cast("double"))))
       .filter(col("nrm") > 0)
-      .select(col("doc_id"),
-        transform(col("vi"), x => round(x.cast("double") / col("nrm"), 6)).as("v"))
-      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
   }
+
+  /** The normalized 6-dp component array over [[hashEmbedCore]]'s
+    * (vi, nrm) — the ONE arithmetic definition both surfaces share.
+    */
+  private def unitComps: Column =
+    transform(col("vi"), x => round(x.cast("double") / col("nrm"), 6))
+
+  /** The q139 embedder's dense form — (doc_id, source, v: EmbedDim array
+    * of 6-dp components, unit norm up to rounding) — for the downstream
+    * vector consumers (q140's semantic source matrix).
+    */
+  private[queries] def hashEmbedDense(s: SparkSession, dir: String): DataFrame =
+    hashEmbedCore(s, dir)
+      .select(col("doc_id"), unitComps.as("v"))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic feature-hash embedder (the "hashing trick"): every doc
@@ -112,8 +125,8 @@ object TextQueries extends QueryModule {
     // then per-doc map densification; emitted exploded (doc_id, pos,
     // comp) so the oracle pins every component and its position.
     "q139_hash_embed" -> ((s, dir) =>
-      hashEmbedDense(s, dir)
-        .select(col("doc_id"), posexplode(col("v")))
+      hashEmbedCore(s, dir)
+        .select(col("doc_id"), posexplode(unitComps))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("comp"))
         .orderBy("doc_id", "pos")),
