@@ -347,7 +347,17 @@ object GraftEngine {
       if (fs.exists(nested)) fs.delete(nested, true)
       if (fs.exists(tmp)) fs.delete(tmp, true)
       val latest = fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("v=")).flatMap(_.drop(2).toLongOption).max
+        .filter(_.startsWith("v=")).flatMap(_.drop(2).toLongOption)
+        .maxOption.getOrElse(
+          // no published version to adopt: the rename failed for some
+          // reason OTHER than losing the race (transient FS error) — fail
+          // loudly instead of an opaque empty-max UnsupportedOperation
+          // (r11 ADVICE); the caller's snapshot write would otherwise be
+          // lost silently
+          throw new java.io.IOException(
+            s"claimVersion: rename of $tmp to $dest failed but no v= " +
+              s"version exists under $rootPath to adopt — transient " +
+              "filesystem error, not a lost race; retry the refresh"))
       (new org.apache.hadoop.fs.Path(rootPath, s"v=$latest"), false)
     } else (dest, true)
   }

@@ -289,8 +289,19 @@ object AnnIndex {
           mount(s, dir, prefix, snapshotDir); Maintenance.Retrained
         } else {
           graft.functions.DotProductExpression.register(s)
+          // The manifest stores scheme-stripped paths (stable fingerprint
+          // material); a READ must re-qualify them against the corpus
+          // dir's OWN filesystem, or on a non-default FS (s3a://…, a
+          // second hdfs://…) the strings would resolve against
+          // fs.defaultFS and read the wrong location (r11 ADVICE)
+          val corpusFs = {
+            val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+            p.getFileSystem(s.sessionState.newHadoopConf())
+          }
           val newPaths = (curLeaves.toSet -- old.get.toSet).toSeq
             .map(leafPath).sorted
+            .map(p => corpusFs.makeQualified(
+              new org.apache.hadoop.fs.Path(p)).toString)
           val e = s.read.parquet(newPaths: _*)
             .select(col("vec_id"),
               graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))

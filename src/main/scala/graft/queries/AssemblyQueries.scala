@@ -77,7 +77,7 @@ object AssemblyQueries extends QueryModule {
     "q132_sequence_pack" -> ((s, dir) => {
       val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       val d = docs(s, dir).select(col("source"), col("doc_id"),
-        floor(col("doc_id").cast("double") / PackShardDocs).cast("long").as("shard"),
+        shardOf("doc_id").as("shard"),
         size(toks(col("text"))).cast("long").as("nt"))
       d.withColumn("cum", sum("nt").over(w))
         .select(col("source"), col("shard"), col("doc_id"), col("nt"),
@@ -161,6 +161,15 @@ object AssemblyQueries extends QueryModule {
         .orderBy("shard")
     }))
 
+  /** q132's shard assignment — integer floorDiv, the SAME arithmetic as
+    * StreamingPacking.assignBins' math.floorDiv (AssemblySpec pins the
+    * agreement on boundary ids). A double floor loses exactness past 2^53;
+    * here pmod keeps floor semantics for negative ids and `div` on the
+    * exactly-divisible numerator is exact at any long.
+    */
+  def shardOf(idCol: String): org.apache.spark.sql.Column =
+    expr(s"($idCol - pmod($idCol, ${PackShardDocs}L)) div ${PackShardDocs}L")
+
   /** The q131 chunk geometry over any (doc_id, tk, …extras) frame: every
     * row becomes ⌈(n−L)/S⌉+1 chunks of ≤ ChunkLen tokens starting every
     * ChunkStride (trailing chunk keeps the remainder). Extra columns pass
@@ -200,7 +209,8 @@ object AssemblyQueries extends QueryModule {
 
     "q132_sequence_pack" ->
       raw"""WITH d AS (SELECT source, doc_id,
-             CAST(floor(CAST(doc_id AS DOUBLE) / $PackShardDocs) AS BIGINT) AS shard,
+             CAST((doc_id - ((doc_id % $PackShardDocs + $PackShardDocs) % $PackShardDocs))
+               // $PackShardDocs AS BIGINT) AS shard,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
            FROM documents),
          c AS (SELECT source, shard, doc_id, nt,
@@ -211,8 +221,8 @@ object AssemblyQueries extends QueryModule {
              CAST(floor(CAST(cum - 1 AS DOUBLE) / $PackBudget) AS BIGINT) AS bin_end
            FROM c)
          SELECT source, shard, bin_id, count(*) AS n_docs, min(doc_id) AS first_doc,
-           sum(CASE WHEN bin_end > bin_id THEN 1 ELSE 0 END) AS n_straddles,
-           sum(nt) AS bin_doc_tokens
+           CAST(sum(CASE WHEN bin_end > bin_id THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles,
+           CAST(sum(nt) AS BIGINT) AS bin_doc_tokens
          FROM b GROUP BY source, shard, bin_id ORDER BY source, shard, bin_id""",
 
     "q133_mixture_rates" -> {
@@ -220,7 +230,7 @@ object AssemblyQueries extends QueryModule {
       raw"""WITH d AS (SELECT source, doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
            FROM documents),
-         st AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+         st AS (SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
              sqrt(CAST(sum(nt) AS DOUBLE)) AS sq
            FROM d GROUP BY source),
          tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -229,8 +239,8 @@ object AssemblyQueries extends QueryModule {
              round(least(1.0, $MixBudget * sq / tot / CAST(n_tokens AS DOUBLE)), 9) AS rate
            FROM st CROSS JOIN tot)
          SELECT r.source, r.n_docs, r.n_tokens, r.rate,
-           sum(CASE WHEN ($h) < floor(rate * 1000000) THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN ($h) < floor(rate * 1000000) THEN nt ELSE 0 END) AS kept_tokens
+           CAST(sum(CASE WHEN ($h) < floor(rate * 1000000) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN ($h) < floor(rate * 1000000) THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens
          FROM r JOIN d ON r.source = d.source
          GROUP BY r.source, r.n_docs, r.n_tokens, r.rate ORDER BY r.source"""
     },
@@ -255,7 +265,7 @@ object AssemblyQueries extends QueryModule {
              CAST((row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1)
                % $NumShards AS BIGINT) AS shard
            FROM d)
-         SELECT shard, count(*) AS n_docs, sum(nt) AS n_tokens,
+         SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
            count(DISTINCT source) AS n_sources
          FROM r GROUP BY shard ORDER BY shard"""
     })

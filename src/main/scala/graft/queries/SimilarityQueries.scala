@@ -728,9 +728,20 @@ object SimilarityQueries extends QueryModule {
       val bits = adaptiveBandBits(graft.Tables.load(s, dir, "documents").count())
       // codes over mean-centered vectors (see SemSrcBands note); the
       // cosine itself stays in the ORIGINAL space
+      // per-dimension mean via a QUANTIZED INTEGER sum (floor to a 1e-9
+      // grid, sum longs, divide once): a plain avg() is an order-dependent
+      // cross-row double sum — a last-ulp difference from a different
+      // partitioning can flip the 9-dp rounding, flip sign bits for docs
+      // near the mean, and change n_pairs run-to-run (r11 ADVICE). The
+      // integer sum is exact and order-independent at any partitioning,
+      // and — unlike a sorted collect_list fold — never materializes n
+      // values per dimension, so it holds at 100 TB. The oracle quantizes
+      // identically (hmean CTE).
       val mean = broadcast(e.select(posexplode(col("v")))
         .groupBy(col("pos").cast("long").as("pos"))
-        .agg(round(avg("col"), 9).as("m"))
+        .agg(round(
+          sum(floor(col("col") * 1e9).cast("long")).cast("double")
+            / 1e9 / count(lit(1)), 9).as("m"))
         .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("mm"))
         .select(transform(sequence(lit(0L), lit(63L)),
           d => element_at(col("mm"), d)).as("mv")))
@@ -840,10 +851,16 @@ object SimilarityQueries extends QueryModule {
     * falls as bits grow, so deployments holding recall fixed raise Bands
     * alongside (the committed Bands=4 pins spec recall at the oracle
     * scale, where bits stays at the 4-bit floor).
+    *
+    * CEILING: 16 bits, matching the oracle's plane family
+    * (range(0, Bands·16)) — past ~4.2M docs (64·2^16) buckets grow past
+    * 64 again rather than the two engines silently using different plane
+    * sets (r11 ADVICE). A deployment that big raises the ceiling and the
+    * oracle's range bound TOGETHER.
     */
-  private[queries] def adaptiveBandBits(nDocs: Long): Int = {
+  private[graft] def adaptiveBandBits(nDocs: Long): Int = {
     val m = math.max(1L, (nDocs + 63) / 64 - 1)
-    math.max(DeconBandBits, java.lang.Long.toBinaryString(m).length)
+    math.min(16, math.max(DeconBandBits, java.lang.Long.toBinaryString(m).length))
   }
 
   /** Shared top-k tail of the oracle SQL (rank by rounded cosine, nbr tie). */
@@ -1175,15 +1192,16 @@ object SimilarityQueries extends QueryModule {
     // embedding lists, self-join, threshold, matrix rollup.
     "q140_semantic_src_matrix" ->
       s"""WITH ${TextQueries.hashEmbedCteSql},
-         nb AS (SELECT GREATEST($DeconBandBits, length(format('{:b}',
-                  GREATEST(1, (count(*) + 63) // 64 - 1)))) AS bits
+         nb AS (SELECT LEAST(16, GREATEST($DeconBandBits, length(format('{:b}',
+                  GREATEST(1, (count(*) + 63) // 64 - 1))))) AS bits
                 FROM documents),
          planes AS (SELECT plane,
                       list_value(${(0 until 64).map(planeComp).mkString(", ")}) AS pv
                     FROM range(0, ${SemSrcBands * 16}) t(plane)
                     WHERE plane < (SELECT $SemSrcBands * bits FROM nb)),
          hmean AS (SELECT list(m ORDER BY pos) AS mv FROM (
-                     SELECT pos, round(avg(x), 9) AS m
+                     SELECT pos, round(CAST(sum(CAST(floor(x * 1000000000.0)
+                         AS BIGINT)) AS DOUBLE) / 1000000000.0 / count(*), 9) AS m
                      FROM (SELECT generate_subscripts(v, 1) AS pos,
                              unnest(v) AS x FROM hemb)
                      GROUP BY pos) t),

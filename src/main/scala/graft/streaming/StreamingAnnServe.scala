@@ -46,11 +46,25 @@ object StreamingAnnServe {
       .select(col("vec_id"), col("c_id"))
   }
 
+  /** One micro-batch's routed output, written IDEMPOTENTLY: each batch
+    * owns `outDir/batch=<batchId>` and overwrites it whole, so the
+    * at-least-once replay foreachBatch gives after a crash/restart lands
+    * on the same dir instead of appending duplicate (vec_id, c_id) rows
+    * (r11 ADVICE). Readers of `outDir` see the usual partition-discovery
+    * layout — (vec_id, c_id, batch) — with exactly-once route rows.
+    */
+  private[graft] def writeRouted(s: SparkSession, batch: DataFrame,
+    batchId: Long, outDir: String, prefix: String): Unit =
+    assignBatch(s, batch, prefix)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
   /** Start the router: watch `srcDir` for embedding parquet files, route
-    * every batch through the stored index, append (vec_id, c_id) to
-    * `outDir`. Mounts/refreshes the index ONCE at start — a corpus change
-    * mid-stream is picked up by the next `AnnIndex.refresh` call, not by
-    * the router (serving and retraining are deliberately decoupled).
+    * every batch through the stored index, write (vec_id, c_id) under
+    * `outDir/batch=<batchId>` (idempotent under foreachBatch's
+    * at-least-once replay — see [[writeRouted]]). Mounts/refreshes the
+    * index ONCE at start — a corpus change mid-stream is picked up by the
+    * next `AnnIndex.refresh` call, not by the router (serving and
+    * retraining are deliberately decoupled).
     */
   def route(s: SparkSession, srcDir: String, corpusDir: String,
     outDir: String, checkpointDir: String, prefix: String = "graft_ann_",
@@ -66,10 +80,8 @@ object StreamingAnnServe {
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
     bounded.parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        assignBatch(s, batch, prefix)
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeRouted(s, batch, batchId, outDir, prefix)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -55,6 +55,18 @@ class AnnServeSpec extends AnyFunSuite {
     assert(streamed == batch,
       "streamed routes must equal the ad-hoc batch assignment")
 
+    // at-least-once replay safety: foreachBatch may re-deliver a batch
+    // after a crash — re-writing the SAME batchId (same content) must not
+    // duplicate routes (each batch owns and overwrites outDir/batch=<id>)
+    val batch0Ids = spark.read.parquet(s"$out/batch=0")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    StreamingAnnServe.writeRouted(spark,
+      e.filter(col("vec_id").isInCollection(batch0Ids)), 0L, out, "sann_")
+    val replayed = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == streamed,
+      "replaying a batchId must leave the routed output unchanged")
+
     // batching-independence, stated directly: per-half batch kernels
     // union to the full assignment (a vector's cell depends only on the
     // stored centroids, never on its batch cohort)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.AssemblyQueries
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Structural invariants of the corpus-assembly operators (q131–q134) —
@@ -118,6 +119,24 @@ class AssemblySpec extends AnyFunSuite {
       s"shard doc counts ${counts.toSeq} unbalanced beyond the ±1-per-source law")
     if (docs.groupBy(_._1).values.map(_.size).min >= AssemblyQueries.NumShards)
       assert(shards.forall(_._4 == nSources), "every shard mixes every source")
+  }
+
+  test("q132 shard arithmetic == StreamingPacking's math.floorDiv on boundary ids") {
+    // The batch query and the streaming packer MUST agree on shard keys at
+    // any id range — including negatives and past 2^53 where the old
+    // double-floor form went inexact (round-11 verdict item 6).
+    val n = AssemblyQueries.PackShardDocs
+    val ids = Seq(Long.MinValue, Long.MinValue + 1, -n - 1, -n, -n + 1, -1L,
+      0L, 1L, n - 1, n, n + 1, (1L << 53) - 1, 1L << 53, (1L << 53) + 1,
+      (1L << 53) + n + 1, Long.MaxValue - 1, Long.MaxValue)
+    import spark.implicits._
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), AssemblyQueries.shardOf("doc_id").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == math.floorDiv(id, n),
+        s"shardOf($id) must equal floorDiv($id, $n)")
+    }
   }
 
   test("plan shapes: no unkeyed joins; q133's dim joins broadcast") {

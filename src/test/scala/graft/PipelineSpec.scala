@@ -161,6 +161,22 @@ class PipelineSpec extends AnyFunSuite {
       s"(exact=${exact.size}, got=${got.values.sum})")
   }
 
+  test("adaptive band bits: 4-bit floor, ~64-doc buckets, 16-bit oracle ceiling") {
+    import graft.queries.SimilarityQueries.adaptiveBandBits
+    assert(adaptiveBandBits(1) == 4 && adaptiveBandBits(1024) == 4,
+      "small corpora stay at the DeconBandBits floor")
+    // bucket law: 64 · 2^bits must cover n (until the ceiling)
+    Seq(100000L, 1000000L, 4000000L).foreach { n =>
+      val b = adaptiveBandBits(n)
+      assert(64L * (1L << b) >= n, s"n=$n bits=$b: expected bucket ≤ ~64")
+    }
+    // the oracle's plane family is range(0, Bands·16) — the Spark side
+    // must never band with more bits than the oracle has planes for
+    Seq(5000000L, 100000000L, Long.MaxValue / 128).foreach { n =>
+      assert(adaptiveBandBits(n) <= 16, s"n=$n: bits past the oracle's planes")
+    }
+  }
+
   test("ann recall eval equals a direct recompute from its two component queries") {
     def pairs(name: String) =
       SparkEntry.queries(name)(spark, sf001)

@@ -8,6 +8,13 @@ matching oracle SQL from oracle_sql.json in DuckDB over the same sf tables,
 sorts columns by name and rows by all columns, and compares values exactly
 (floats to 15 significant digits). Dev tool only — the engine itself is pure
 Scala/Spark.
+
+TYPE-STRICT (round-12): besides values, compares DuckDB's DECLARED result
+type of every oracle column against the type DuckDB assigns the Spark parquet
+dump. Round 11 shipped three oracles whose bare integer sum() DuckDB typed
+HUGEINT while Spark emitted BIGINT — values identical, so the old pandas
+normalization passed locally, but the driver's type-aware hash failed. Any
+declared-type mismatch is now [FAIL-type] even when all values match.
 """
 import json, math, sys, glob, os
 import duckdb
@@ -22,6 +29,24 @@ def norm(v):
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return str(v)
+
+def decl_types(con, sql):
+    """Column -> DuckDB-declared type for a query, via DESCRIBE (no execution)."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+# The driver's hash renders TINYINT..BIGINT identically (python ints), so
+# width differences inside the 64-bit integer family are benign — r11 had 19
+# green queries with INTEGER-vs-BIGINT declared types. What it CANNOT absorb
+# is a family change: HUGEINT (pandas object), DECIMAL (Decimal), FLOAT
+# (float32 precision) against BIGINT/DOUBLE. Compare type FAMILIES.
+def type_family(t):
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT64"
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    return t  # HUGEINT, UBIGINT, DOUBLE, FLOAT, VARCHAR, DATE, ... distinct
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -42,6 +67,15 @@ def main(sf_dir, out_dir):
         gcols, ecols = sorted(got.columns), sorted(exp.columns)
         if gcols != ecols:
             print(f"[FAIL-schema] {name}: spark={gcols} duck={ecols}")
+            n_fail += 1
+            continue
+        gt = decl_types(con, f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        et = decl_types(con, oracle[name])
+        bad_t = [(c, gt[c], et[c]) for c in gcols
+                 if type_family(gt[c]) != type_family(et[c])]
+        if bad_t:
+            print(f"[FAIL-type] {name}: " + ", ".join(
+                f"{c}: spark={a} duck={b}" for c, a, b in bad_t))
             n_fail += 1
             continue
         g = [tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False)]
