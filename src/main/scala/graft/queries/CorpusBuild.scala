@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   *   2. leakage-free split routing (q126: docs route by their dup-cluster
   *      representative, so no near-dup family straddles train/val/test);
   *   3. balanced shard assignment within each (split, source) — the q136
-  *      law applied per split: round-robin in deterministic hash order,
-  *      so shard doc counts per source differ by ≤ 1 and every shard is
-  *      an unbiased sample of the split's source mix;
+  *      ±1 law applied per split: round-robin in doc_id order, so shard
+  *      doc counts per source differ by ≤ 1 and every shard is an
+  *      unbiased sample of the split's source mix. doc_id order (not
+  *      q136's hash order) is deliberate: it makes the assignment a
+  *      MONOTONE FRONTIER — rank only ever appends — so the streaming
+  *      twin ([[graft.streaming.StreamingCorpusBuild]]) can extend a
+  *      published corpus incrementally with the StreamingPacking
+  *      late-flag contract, where a hash-ordered rank would reshuffle
+  *      every already-written doc on each arrival;
   *   4. context-window chunking (q131's exact geometry) of each kept doc;
   *   5. one partitioned parquet write: `out/split=…/shard=…/…` — readers
   *      (and the trainer's data loader) prune to a split or a shard at
@@ -33,10 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object CorpusBuild {
 
-  /** Deterministic shard draw — q136's seed family, offset so the
-    * per-split draw is independent of the corpus-wide q136 assignment.
+  /** Chunk-row column order shared by [[run]]'s write and the streaming
+    * appender — the two materializers must emit identical tables.
     */
-  val BuildShardSeed = 1360
+  private[graft] val ChunkCols =
+    Seq("doc_id", "chunk_idx", "chunk_text", "chunk_tokens",
+      "source", "lang", "split", "shard")
 
   /** Newest fully-published corpus version under `out` (None before the
     * first successful [[run]]). Every `v=` dir is complete by
@@ -70,11 +78,9 @@ object CorpusBuild {
       .select(col("doc_id"), col("source"), col("lang"), toks(col("text")).as("tk"))
       .join(kept, "doc_id")
       .join(splits, "doc_id")
-    val w = Window.partitionBy("split", "source").orderBy(col("h"), col("doc_id"))
+    val w = Window.partitionBy("split", "source").orderBy(col("doc_id"))
     val sharded = d
-      .withColumn("h", hash64(col("doc_id").cast("string"), BuildShardSeed) % 1000000L)
       .withColumn("shard", ((row_number().over(w) - 1) % numShards).cast("long"))
-      .drop("h")
     val chunks = AssemblyQueries.chunkify(
       sharded.select(col("doc_id"), col("tk"),
         col("source"), col("lang"), col("split"), col("shard")))
