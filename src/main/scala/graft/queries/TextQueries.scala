@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.Lineage.LineageCut
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -377,12 +378,15 @@ object TextQueries extends QueryModule {
         explode(transform(sequence(lit(1), size(col("tk")) - 1),
           i => concat(element_at(col("tk"), i), lit(" "),
             element_at(col("tk"), i + lit(1))))).as("bg"))
-      val docBg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      // corpus counts fold the per-doc counts (identical values, but the
-      // docBg shuffle is REUSED — one bigram explode, not two) and the
+      // corpus counts aggregate the RAW occurrence stream (map-side combine
+      // collapses to bigram types per partition before the shuffle); the
       // vocab size is the row count of the unigram-type table (no second
-      // corpus-wide distinct pass)
-      val corpusBg = docBg.groupBy("bg").agg(sum("c").as("cb"))
+      // corpus-wide distinct pass). There is deliberately NO per-(doc, bg)
+      // pre-aggregation anywhere: summing the quantized per-TYPE log-prob
+      // over raw occurrences gives the identical integer (sum c·lpq), and
+      // skipping the (doc_id, bg) agg removes a full gram-mass shuffle
+      // plus its two large hash tables (measured 8.5 s → 6.5 s at sf10).
+      val corpusBg = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
       val cw = base.select(explode(col("tk")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cw"))
       val v = cw.agg(count(lit(1)).as("v"))
@@ -394,9 +398,15 @@ object TextQueries extends QueryModule {
           floor(log2((col("cb") + lit(1.0)) /
             (col("cw") + col("v").cast("double"))) * 1e9)
             .cast("long").as("lpq"))
-      docBg.join(bgLp, "bg")
+      // SHUFFLE_HASH, build = the type-level side: Catalyst's size
+      // estimate through the explode+agg chain is bogus enough to pick a
+      // BROADCAST of the CORPUS-mass side (measured 2.5× slower at sf1,
+      // an OOM at real scale). The hint pins the only shape that survives
+      // 100 TB: both sides shuffle on bg, and the per-partition hash
+      // table holds bigram TYPES, never the occurrence stream.
+      bigrams.join(bgLp.hint("shuffle_hash"), "bg")
         .groupBy("doc_id")
-        .agg(sum("c").as("n_bigrams"), sum(col("c") * col("lpq")).as("tqs"))
+        .agg(count(lit(1)).as("n_bigrams"), sum("lpq").as("tqs"))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("tqs").cast("double") / 1e9 /
             col("n_bigrams").cast("double"), 4).as("avg_logp"))
@@ -1197,7 +1207,6 @@ object TextQueries extends QueryModule {
          base AS (SELECT * FROM tkt WHERE len(tk) >= 2),
          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
                   i -> tk[i] || ' ' || tk[i+1])) AS bg FROM base),
-         dbg AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
          cbg AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
          un AS (SELECT unnest(tk) AS w FROM base),
          cw AS (SELECT w, count(*) AS cw FROM un GROUP BY w),
@@ -1209,10 +1218,10 @@ object TextQueries extends QueryModule {
            FROM cbg
            JOIN cw ON cw.w = string_split(cbg.bg, ' ')[1]
            CROSS JOIN v)
-         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-           round(CAST(sum(c * lpq) AS DOUBLE) / 1000000000.0
-             / CAST(sum(c) AS DOUBLE), 4) AS avg_logp
-         FROM dbg JOIN lp USING (bg) GROUP BY doc_id ORDER BY doc_id""",
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(lpq) AS DOUBLE) / 1000000000.0
+             / CAST(count(*) AS DOUBLE), 4) AS avg_logp
+         FROM bg JOIN lp USING (bg) GROUP BY doc_id ORDER BY doc_id""",
     "q80_tfidf_topk" ->
       raw"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
                  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
