@@ -51,6 +51,12 @@ object AssemblyQueries extends QueryModule {
   val NumShards = 8
   val ShardSeed = 136
 
+  /** q141: total token budget for the epoch plan — deliberately LARGER than
+    * the corpus so small sources up-sample past one epoch (the LLaMA/Pile
+    * "epochs per source" regime q133's capped-rate form can't express).
+    */
+  val EpochBudget = 100000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Context-window chunking with overlap: every doc becomes ⌈(n−L)/S⌉+1
@@ -159,6 +165,38 @@ object AssemblyQueries extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
           countDistinct("source").as("n_sources"))
         .orderBy("shard")
+    }),
+
+    // Token-budget EPOCH PLAN (the LLaMA/Pile "epochs per source" table):
+    // q133 samples DOWN (rate capped at 1); this plans the UP-sampling a
+    // temperature mixture implies when the budget exceeds the corpus —
+    // per-source target tokens = budget·√tokens/Σ√tokens, expressed as
+    // whole epochs (integer repeats of the source) plus a fractional
+    // remainder keep-rate for the final partial pass. The corpus collapses
+    // to one ~20-row source dimension in a single map-side-combined agg;
+    // everything after is broadcast-sized. Σ√tokens crosses rows as a
+    // double, so it uses the q101 sorted fold; target_tokens is a floor of
+    // deterministic IEEE ops (same operands ⇒ same value on both engines).
+    "q141_epoch_plan" -> ((s, dir) => {
+      val perDoc = docs(s, dir).select(col("source"),
+        size(toks(col("text"))).cast("long").as("nt"))
+      val stats = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+      val tot = broadcast(stats.agg(
+        aggregate(sort_array(collect_list(struct(col("source"), col("sq")))),
+          lit(0.0), (a, x) => a + x.getField("sq")).as("tot")))
+      stats.crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          floor(lit(EpochBudget) * col("sq") / col("tot")).cast("long")
+            .as("target_tokens"))
+        .withColumn("n_epochs", expr("target_tokens div n_tokens"))
+        .withColumn("rem_rate",
+          round((col("target_tokens") - col("n_epochs") * col("n_tokens"))
+            .cast("double") / col("n_tokens").cast("double"), 9))
+        .select("source", "n_docs", "n_tokens", "target_tokens",
+          "n_epochs", "rem_rate")
+        .orderBy("source")
     }))
 
   /** q132's shard assignment — integer floorDiv, the SAME arithmetic as
@@ -268,5 +306,23 @@ object AssemblyQueries extends QueryModule {
          SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
            count(DISTINCT source) AS n_sources
          FROM r GROUP BY shard ORDER BY shard"""
-    })
+    },
+
+    "q141_epoch_plan" ->
+      raw"""WITH d AS (SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         st AS (SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+             sqrt(CAST(sum(nt) AS DOUBLE)) AS sq
+           FROM d GROUP BY source),
+         tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(sq ORDER BY source)), (a, x) -> a + x) AS tot FROM st),
+         t AS (SELECT source, n_docs, n_tokens,
+             CAST(floor($EpochBudget * sq / tot) AS BIGINT) AS target_tokens
+           FROM st CROSS JOIN tot)
+         SELECT source, n_docs, n_tokens, target_tokens,
+           CAST(target_tokens // n_tokens AS BIGINT) AS n_epochs,
+           round(CAST(target_tokens - (target_tokens // n_tokens) * n_tokens AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE), 9) AS rem_rate
+         FROM t ORDER BY source""")
 }

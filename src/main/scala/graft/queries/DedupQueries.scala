@@ -601,8 +601,53 @@ object DedupQueries extends QueryModule {
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           round(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // INCREMENTAL dedup — a new batch screened against the EXISTING corpus
+    // (the arrival-time shape StreamingDedup/StreamingNearDup run with
+    // state; this is the batch form with a full oracle). "New" docs
+    // (doc_id ≡ IncrRes mod IncrMod) probe the stored band buckets of the
+    // rest of the corpus: any shared band is a candidate, est-Jaccard over
+    // the shared signatures decides drop/keep. Scale shape: the corpus
+    // side is the PERSISTED banded signature table (built once, q130's
+    // train-once/serve-many economics) and the probe is NumBands keyed
+    // equi-joins sized by the new batch — cost per increment is
+    // O(batch · bucket occupancy), never a corpus rescan, and never
+    // corpus × corpus.
+    "q145_dedup_incremental" -> ((s, dir) => {
+      val sig = signatures(s, dir)
+      val banded = bandedSig(sig)
+      val isNew = col("doc_id") % IncrMod === IncrRes
+      val newB = banded.filter(isNew)
+      val oldB = banded.filter(!isNew)
+      val cand = (0 until NumBands).map { b =>
+        newB.as("a").join(oldB.as("b"), col(s"a.band$b") === col(s"b.band$b"))
+          .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      }.reduce(_ unionByName _).distinct()
+      val eqCount = (0 until NumHashes)
+        .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val verdicts = cand
+        .join(sig.as("sa"), col("new_id") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("old_id") === col("sb.doc_id"))
+        .select(col("new_id"),
+          (eqCount * 2 >= NumHashes).cast("long").as("isDup"))
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("n_candidates"), sum("isDup").as("n_dups"))
+      docs(s, dir).filter(isNew).select("doc_id")
+        .join(verdicts, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          when(coalesce(col("n_dups"), lit(0L)) > 0, lit("drop"))
+            .otherwise(lit("keep")).as("verdict"))
+        .orderBy("doc_id")
     })
   )
+
+  /** q145: the "new arrivals" slice — doc_id ≡ IncrRes (mod IncrMod). */
+  private val IncrMod = 5
+  private val IncrRes = 3
 
   /** 8-block layout over the 64-bit simhash: (bit offset, width). Hamming
     * ≤ SimhashMaxHamming (= blocks − 1) ⇒ some block is untouched
@@ -633,12 +678,20 @@ object DedupQueries extends QueryModule {
   /** LSH candidate pairs (a_id < b_id, distinct) from banded signatures —
     * shared by q27 (estimated-J verify) and q59 (exact-J verify).
     */
-  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+  /** doc_id + NumBands md5 band keys from a signature table — the bucket
+    * layout every LSH consumer (q27/q59 pair generation, q145's
+    * new-vs-corpus probe) joins on.
+    */
+  private def bandedSig(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val ms = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       md5(concat_ws(",", ms: _*)).as(s"band$b")
     }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    sig.select(col("doc_id") +: bandCols: _*)
+  }
+
+  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    val banded = bandedSig(sig)
     (0 until NumBands).map { b =>
       banded.as("a")
         .join(banded.as("b"),
@@ -937,6 +990,31 @@ object DedupQueries extends QueryModule {
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
-         ORDER BY a_id, b_id"""
+         ORDER BY a_id, b_id""",
+    "q145_dedup_incremental" -> {
+      val probeUnions = (0 until NumBands).map { b =>
+        s"SELECT a.doc_id AS new_id, b.doc_id AS old_id FROM banded a " +
+          s"JOIN banded b ON a.band$b = b.band$b " +
+          s"AND a.doc_id % $IncrMod = $IncrRes AND b.doc_id % $IncrMod <> $IncrRes"
+      }.mkString(" UNION ")
+      s"""WITH $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         cand AS ($probeUnions),
+         v AS (SELECT new_id, count(*) AS n_candidates,
+             CAST(sum(CASE WHEN ($eqSql) * 2 >= $NumHashes THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dups
+           FROM cand
+           JOIN sig sa ON sa.doc_id = new_id
+           JOIN sig sb ON sb.doc_id = old_id
+           GROUP BY new_id)
+         SELECT d.doc_id,
+           CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+           CASE WHEN coalesce(n_dups, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+         FROM documents d LEFT JOIN v ON v.new_id = d.doc_id
+         WHERE d.doc_id % $IncrMod = $IncrRes
+         ORDER BY d.doc_id"""
+    }
   )
 }

@@ -481,8 +481,70 @@ object RelationalQueries extends QueryModule {
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
         .orderBy("r_name", "n_name")
+    }),
+
+    // Z-ORDER data layout audit — the write-side clustering key that makes
+    // MULTI-dimension predicate pruning work at 100 TB: quantize two scan
+    // dimensions to 16 bits each, interleave the bits (Morton code), and
+    // report per z-prefix-bucket min/max spans of BOTH dimensions. Under a
+    // 1-D sort the secondary dimension's per-file span is the full range
+    // (no file ever prunes on it); under the z-order each of the 64
+    // buckets covers ~1/8 of EACH dimension's range, so parquet min/max
+    // file stats prune selective predicates on either column. The bucket
+    // key is a bit prefix of the z-value — no rank, no global sort: at
+    // scale the physical write is repartitionByRange(zv) +
+    // sortWithinPartitions(zv), and this audit is one scan + a map-side
+    // 64-key agg (the min/max table below IS what the pruning would read).
+    // All bit math is integer and identical on both engines.
+    "q144_zorder_layout" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      // the 4-value range frame folds as LITERALS (the q128 pattern): a
+      // bounded 1-row collect, so the audit itself is ONE scan with zero
+      // joins — at scale the ranges come from the table's own column
+      // stats, not a data pass at all
+      val st = li.agg(
+        min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (pmin, pmax, smin, smax) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      val pRng = math.max(1L, pmax - pmin)
+      val sRng = math.max(1L, smax - smin)
+      li
+        .withColumn("qx", expr(s"((l_partkey - ${pmin}L) * 65535) div ${pRng}L"))
+        .withColumn("qy", expr(s"((l_suppkey - ${smin}L) * 65535) div ${sRng}L"))
+        .withColumn("file_id",
+          expr(s"(${zInterleaveSpark("qx", "qy")}) div ${1L << ZFileShift}"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+          min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
+        .select(col("file_id"), col("n_rows"),
+          col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+          round((col("pk_max") - col("pk_min")).cast("double") / pRng, 6)
+            .as("pk_span_frac"),
+          round((col("sk_max") - col("sk_min")).cast("double") / sRng, 6)
+            .as("sk_span_frac"))
+        .orderBy("file_id")
     })
   )
+
+  /** q144's z-prefix bucket width: drop the low 26 of the 32 interleaved
+    * bits — 2⁶ = 64 buckets, 3 leading bits per dimension.
+    */
+  private val ZFileShift = 26
+
+  /** 16-bit × 16-bit Morton interleave, rendered once per dialect from the
+    * same term list so the engines cannot diverge bit-by-bit.
+    */
+  private def zInterleaveSpark(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"(shiftleft(shiftright($x, $i) & 1, ${2 * i})) + " +
+        s"(shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))").mkString(" + ")
+
+  private def zInterleaveDuck(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q105_column_profile" -> {
@@ -686,6 +748,26 @@ object RelationalQueries extends QueryModule {
     "q58_array_fingerprint" ->
       """SELECT c_nationkey, count(*) AS n,
          md5(string_agg(c_name, ',' ORDER BY c_name)) AS members_fp
-         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q144_zorder_layout" ->
+      s"""WITH st AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+             min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+         q AS (SELECT l_partkey, l_suppkey,
+             ((l_partkey - pmin) * 65535) // greatest(1, pmax - pmin) AS qx,
+             ((l_suppkey - smin) * 65535) // greatest(1, smax - smin) AS qy
+           FROM lineitem CROSS JOIN st),
+         z AS (SELECT l_partkey, l_suppkey,
+             (${zInterleaveDuck("qx", "qy")}) AS zv FROM q),
+         f AS (SELECT zv // ${1L << ZFileShift} AS file_id, count(*) AS n_rows,
+             min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+             min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+           FROM z GROUP BY 1)
+         SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
+           pk_min, pk_max, sk_min, sk_max,
+           round(CAST(pk_max - pk_min AS DOUBLE) / greatest(1, pmax - pmin), 6)
+             AS pk_span_frac,
+           round(CAST(sk_max - sk_min AS DOUBLE) / greatest(1, smax - smin), 6)
+             AS sk_span_frac
+         FROM f CROSS JOIN st ORDER BY file_id"""
   )
 }

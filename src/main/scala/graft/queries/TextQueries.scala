@@ -986,6 +986,90 @@ object TextQueries extends QueryModule {
           (yhat >= 0.5).cast("int").as("pred"),
           col("y").cast("int").as("label"))
         .orderBy("doc_id")
+    }),
+
+    // LINE-level exact dedup, keep-first-occurrence (the C4 recipe: a line
+    // seen anywhere earlier in the corpus is dropped from every later doc —
+    // boilerplate navigation/footer text dies corpus-wide while each doc
+    // keeps its unique remainder). The corpus here has no newlines, so a
+    // "line" is a non-overlapping LineTokens-token window — same geometry
+    // rule as q131's chunks. Shape: line explode is narrow; the global
+    // first-occurrence is ONE map-side-combined min-agg on the line hash;
+    // the verdict join is a keyed equi-join on that hash. Cost is
+    // O(corpus lines), never O(pairs) — the first-occurrence rank is a
+    // total order encoded in one long (doc_id·10⁶ + idx), so no window
+    // function and no global sort anywhere.
+    "q142_line_dedup" -> ((s, dir) => {
+      val tk = docs(s, dir).select(col("doc_id"), toks(col("text")).as("tk"))
+      val lines = tk.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), greatest(lit(0),
+              ceil((size(col("tk"))).cast("double") / LineTokens).cast("int") - 1)),
+            i => slice(col("tk"), i * LineTokens + 1, lit(LineTokens))))
+            .as(Seq("idx", "lt")))
+        .select(col("doc_id"), col("idx"),
+          md5(concat_ws(" ", col("lt"))).as("h"),
+          size(col("lt")).cast("long").as("ntk"),
+          (col("doc_id") * 1000000L + col("idx")).as("rk"))
+      val first = lines.groupBy("h").agg(min("rk").as("first_rk"))
+      lines.join(first, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("rk") =!= col("first_rk")).cast("long")).as("n_dropped"),
+          sum(when(col("rk") === col("first_rk"), col("ntk"))
+            .otherwise(0L)).as("kept_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style PERPLEXITY BUCKETING: per-language head/middle/tail
+    // tertiles of the bigram-LM document score (the quality split CCNet
+    // feeds to its per-bucket keep decisions). The LM is q79's — corpus
+    // bigram counts with add-one smoothing, per-type log-prob quantized to
+    // an integer so every cross-row sum is exact — and the per-doc average
+    // is an integer floor-div (pmod form: identical on negative totals in
+    // both engines). Tertile assignment is rank-based: bucket =
+    // ⌊3·(rn−1)/n⌋ over the per-LANG score order. The rank window
+    // partitions by language — never global — and its input is the per-DOC
+    // score table (corpus mass already collapsed); at 100 TB the
+    // production variant broadcasts approx tertile thresholds from
+    // percentile_approx instead of ranking (CCNet itself fits thresholds
+    // on a sample); the exact-rank form here is what the oracle can
+    // replay, and the two agree everywhere off the boundary ties.
+    "q143_perplexity_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val bigrams = base.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat(element_at(col("tk"), i), lit(" "),
+            element_at(col("tk"), i + lit(1))))).as("bg"))
+      val corpusBg = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val cw = base.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val v = cw.agg(count(lit(1)).as("v"))
+      val bgLp = corpusBg
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(cw, col("w1") === col("w"))
+        .crossJoin(broadcast(v))
+        .select(col("bg"),
+          floor(log2((col("cb") + lit(1.0)) /
+            (col("cw") + col("v").cast("double"))) * 1e9)
+            .cast("long").as("lpq"))
+      // same SHUFFLE_HASH pin as q79: the type-level side must build
+      val scores = bigrams.join(bgLp.hint("shuffle_hash"), "bg")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("nb"), sum("lpq").as("tqs"))
+        .withColumn("sq", expr("(tqs - pmod(tqs, nb)) div nb"))
+      val w = Window.partitionBy("lang").orderBy(col("sq").desc, col("doc_id"))
+      scores
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("bucket", expr("(3 * (rn - 1)) div cnt"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bigrams"),
+          max("sq").as("best_q"), min("sq").as("worst_q"))
+        .orderBy("lang", "bucket")
     })
   )
 
@@ -1019,6 +1103,11 @@ object TextQueries extends QueryModule {
   // q98 substring-window parameters (chars per window / stride).
   private val SubWin = 40
   private val SubStride = 10
+
+  /** q142: tokens per "line" (the corpus has no newlines — a line is a
+    * non-overlapping fixed-token window, q131's geometry rule).
+    */
+  private val LineTokens = 8
 
   // Eval-subset selector shared by q99/q101 (deterministic ~5% of docs
   // stands in for the held-out benchmark set).
@@ -1598,6 +1687,52 @@ object TextQueries extends QueryModule {
            CAST(round(w0 + w1*(f1-m1) + w2*(f2-m2) + w3*(f3-m3), 4) >= 0.5 AS INT) AS pred,
            CAST(y AS INT) AS label
          FROM feat, pri, w WHERE doc_id % 2 = 1 ORDER BY doc_id"""
-    }
+    },
+
+    "q142_line_dedup" ->
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+         ix AS (SELECT doc_id, t,
+             unnest(range(0, greatest(1,
+               CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT)))) AS i
+           FROM tk),
+         ln AS (SELECT doc_id, i AS idx,
+             md5(array_to_string(
+               list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens), ' ')) AS h,
+             CAST(len(list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens))
+               AS BIGINT) AS ntk,
+             doc_id * 1000000 + i AS rk
+           FROM ix),
+         f AS (SELECT h, min(rk) AS first_rk FROM ln GROUP BY h)
+         SELECT doc_id, count(*) AS n_lines,
+           CAST(sum(CASE WHEN rk <> first_rk THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rk = first_rk THEN ntk ELSE 0 END) AS BIGINT) AS kept_tokens
+         FROM ln JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""",
+
+    "q143_perplexity_buckets" ->
+      raw"""WITH tkt AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+                 FROM documents),
+         base AS (SELECT * FROM tkt WHERE len(tk) >= 2),
+         bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM base),
+         cbg AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+         un AS (SELECT unnest(tk) AS w FROM base),
+         cw AS (SELECT w, count(*) AS cw FROM un GROUP BY w),
+         v AS (SELECT count(DISTINCT w) AS v FROM un),
+         lp AS (SELECT cbg.bg,
+             CAST(floor(log2((cbg.cb + CAST(1.0 AS DOUBLE))
+                 / (cw.cw + CAST(v.v AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lpq
+           FROM cbg JOIN cw ON string_split(cbg.bg, ' ')[1] = cw.w CROSS JOIN v),
+         ds AS (SELECT doc_id, lang, count(*) AS nb, CAST(sum(lpq) AS BIGINT) AS tqs
+           FROM bg JOIN lp USING (bg) GROUP BY doc_id, lang),
+         q AS (SELECT doc_id, lang, nb, tqs,
+             (tqs - ((tqs % nb + nb) % nb)) // nb AS sq FROM ds),
+         r AS (SELECT lang, sq, nb,
+             row_number() OVER (PARTITION BY lang ORDER BY sq DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt FROM q)
+         SELECT lang, CAST((3 * (rn - 1)) // cnt AS BIGINT) AS bucket,
+           count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+           CAST(max(sq) AS BIGINT) AS best_q, CAST(min(sq) AS BIGINT) AS worst_q
+         FROM r GROUP BY lang, bucket ORDER BY lang, bucket"""
   )
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural laws of the round-12 curation/layout operators (q141–q145) —
+  * invariants the DuckDB value-hash can't express: budget conservation of
+  * the epoch plan, first-occurrence semantics of the line dedup, tertile
+  * geometry of the perplexity buckets, clustering quality of the z-order
+  * layout, and consistency of the incremental dedup verdicts with the
+  * full-corpus LSH pair set.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf001)
+
+  test("q141 epoch plan: budget conservation, epoch/remainder identity, bounds") {
+    val rows = q("q141_epoch_plan").collect()
+    assert(rows.nonEmpty)
+    var targetSum = 0L
+    rows.foreach { r =>
+      val (tokens, target, epochs, rem) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(epochs >= 0 && tokens > 0)
+      // the plan's identity: target = epochs·tokens + rem·tokens (rem < 1)
+      assert(rem >= 0.0 && rem < 1.0, s"rem_rate out of [0,1): $rem")
+      val reconstructed = epochs * tokens + math.round(rem * tokens)
+      assert(math.abs(reconstructed - target) <= 1,
+        s"epochs/remainder must reconstruct the target: $reconstructed vs $target")
+      targetSum += target
+    }
+    // Σ targets = budget up to one floor-loss token per source
+    val budget = graft.queries.AssemblyQueries.EpochBudget
+    assert(targetSum <= budget && targetSum >= budget - rows.length,
+      s"target sum $targetSum must be within floor loss of $budget")
+    // the budget deliberately exceeds the corpus: some source must up-sample
+    assert(rows.exists(_.getLong(4) >= 1L), "expected at least one epoch >= 1")
+  }
+
+  test("q142 line dedup: kept lines == distinct line surface; per-doc bounds") {
+    val rows = q("q142_line_dedup").collect()
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS tk").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows.map(_.getLong(0)).toSet == docs.keySet)
+
+    // Scala recompute of the same line geometry: global first-occurrence
+    val lines = docs.toSeq.flatMap { case (id, tk) =>
+      tk.grouped(8).zipWithIndex.map { case (w, i) => (id, i, w.mkString(" "), w.size) }
+    }
+    val firstOf = lines.groupBy(_._3).map { case (t, ls) =>
+      t -> ls.map(l => l._1 * 1000000L + l._2).min
+    }
+    val expected = lines.groupBy(_._1).map { case (id, ls) =>
+      val kept = ls.filter(l => firstOf(l._3) == l._1 * 1000000L + l._2)
+      id -> (ls.size.toLong, (ls.size - kept.size).toLong, kept.map(_._4.toLong).sum)
+    }
+    rows.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(got == expected(r.getLong(0)), s"doc ${r.getLong(0)}: $got")
+    }
+    // dedup must actually fire on this corpus (it has replicated families)
+    assert(rows.map(_.getLong(2)).sum > 0, "no duplicate lines found at all")
+  }
+
+  test("q143 perplexity buckets: tertile geometry and score monotonicity per lang") {
+    val rows = q("q143_perplexity_buckets").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.size).toSeq,
+        s"$lang: buckets must be dense from 0")
+      val n = sorted.map(_._3).sum
+      if (n >= 3) {
+        assert(sorted.size == 3, s"$lang: expected 3 tertiles for $n docs")
+        // rank-based tertiles: bucket sizes differ by at most 1
+        assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1,
+          s"$lang: tertile sizes must be balanced: ${sorted.map(_._3)}")
+      }
+      // head bucket holds the best (largest, least-negative) scores: each
+      // bucket's worst score must be >= the next bucket's best score
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._5 >= b._4, s"$lang: bucket ${a._2} worst ${a._5} < bucket ${b._2} best ${b._4}")
+      }
+    }
+  }
+
+  test("q144 z-order: conservation, bucket range, and real 2-D clustering") {
+    val rows = q("q144_zorder_layout").collect()
+    val total = spark.read.parquet(s"$sf001/lineitem.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total, "every row lands in a z bucket")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+    // the whole point: each of the 64 buckets covers a small fraction of
+    // BOTH dimensions (3 prefix bits each ⇒ ~1/8 of each range). A 1-D
+    // sort would put ~1.0 here for the secondary dimension.
+    val pkAvg = rows.map(_.getDouble(6)).sum / rows.length
+    val skAvg = rows.map(_.getDouble(7)).sum / rows.length
+    assert(pkAvg < 0.3, s"partkey spans not clustered: avg frac $pkAvg")
+    assert(skAvg < 0.3, s"suppkey spans not clustered: avg frac $skAvg")
+  }
+
+  test("q145 incremental dedup: verdicts consistent with the full LSH pair set") {
+    val verdicts = q("q145_dedup_incremental").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val newIds = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 5 == 3).toSet
+    assert(verdicts.keySet == newIds, "exactly the new slice is screened")
+    verdicts.values.foreach { case (cand, dups, v) =>
+      assert(dups <= cand, "dup matches are a subset of band candidates")
+      assert(v == (if (dups > 0) "drop" else "keep"))
+    }
+    // any q27 near-dup pair straddling the old/new cut must flag the new doc
+    val pairs = q("q27_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      Seq(a -> b, b -> a).foreach { case (x, y) =>
+        if (newIds.contains(x) && !newIds.contains(y))
+          assert(verdicts(x)._2 > 0,
+            s"new doc $x near-dups old doc $y (q27) but was kept")
+      }
+    }
+  }
+}

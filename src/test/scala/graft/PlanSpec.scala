@@ -447,4 +447,26 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 1, s"q119 should shuffle at most for the final sort:\n$plan")
   }
+
+  test("line dedup is keyed on the line hash — no window, no cartesian") {
+    val plan = planOf("q142_line_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q142 must equi-join on the line hash:\n$plan")
+    assert(!plan.contains("Window"),
+      s"first-occurrence must be the encoded-rank min-agg, not a window:\n$plan")
+  }
+
+  test("z-order audit folds ranges as literals — one scan, zero joins") {
+    val plan = planOf("q144_zorder_layout")
+    assert(!plan.contains("Join"), s"q144's audit pass must not join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q144's audit is one corpus pass, saw $scans scans:\n$plan")
+    assert(plan.contains("partial"), s"bucket rollup must map-side combine:\n$plan")
+  }
+
+  test("incremental dedup probes stored band buckets — equi-joins only") {
+    val plan = planOf("q145_dedup_incremental")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q145 must probe via band equi-joins:\n$plan")
+  }
 }
