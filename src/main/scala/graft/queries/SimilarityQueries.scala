@@ -27,6 +27,7 @@ object SimilarityQueries extends QueryModule {
   private val NumPlanes = 6 // hyperplane-LSH code width (64 buckets)
   private val KMeansK = 8   // q73 Lloyd's training cluster count
   private val SemDedupTau = 0.35 // q97 within-cluster near-dup threshold
+  private val CoresetPct = 40    // q146: % of each cluster kept (ceil, ≥1)
   private val NearDupTau = 0.4   // q113 pair threshold (q30's, for the recall law)
   private val NearDupProbes = 2  // q113 multi-probe width (clusters per vector)
   // q113 blocking-K target: K = max(KMeansK, n / NearDupClusterSize), so the
@@ -450,6 +451,34 @@ object SimilarityQueries extends QueryModule {
         .agg(count(lit(1)).as("n_members"),
           round(avg("d2"), 6).as("avg_d2"))
         .orderBy("c_id")
+    }),
+
+    // CLUSTER-CORESET selection (diversity-preserving subsample — the
+    // "prune duplicates, keep coverage" curation step after SemDeDup):
+    // keep the ⌈CoresetPct%⌉ most-CENTRAL members of every learned
+    // cluster, so the kept set spans every region of embedding space
+    // while each region sheds its redundant tail. Centrality = squared
+    // L2 to the trained centroid (q73's two-pass Lloyd, same arithmetic
+    // and tie order). The rank window partitions BY CLUSTER — per-cluster
+    // extents are bounded by the adaptive-K contract (K grows with the
+    // corpus), so no window ever sees more than a cluster's members; the
+    // assign stage is the same broadcast map-side kernel as q73.
+    "q146_cluster_coreset" -> ((s, dir) => {
+      val e = corpus(s, dir).drop("n", "label")
+      val cent0 = e.filter(col("vec_id") < KMeansK)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val cent1 = centroidsOf(lloydAssign(e, cent0))
+      val w = Window.partitionBy("c_id")
+        .orderBy(round(col("d2"), 6), col("vec_id"))
+      lloydAssign(e, cent1)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("csize", count(lit(1)).over(Window.partitionBy("c_id")))
+        .select(col("vec_id"), col("c_id"), col("rnk"),
+          // ceil(csize·pct) kept per cluster: every cluster keeps at least
+          // its medoid — a coreset that empties a region isn't a coreset
+          ((col("rnk") - 1) * 100 < col("csize") * CoresetPct).as("kept"),
+          round(col("d2"), 6).as("d2"))
+        .orderBy("vec_id")
     }),
 
     // SemDeDup (Abbas et al.): semantic deduplication with LEARNED blocking —
@@ -978,6 +1007,41 @@ object SimilarityQueries extends QueryModule {
                       FROM e CROSS JOIN cent1 c))
          SELECT c_id, count(*) AS n_members, round(avg(d2), 6) AS avg_d2
          FROM r2 WHERE rn = 1 GROUP BY c_id ORDER BY c_id""",
+
+    "q146_cluster_coreset" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KMeansK),
+         r1 AS (SELECT vec_id, v, c_id, d2, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
+                FROM (SELECT e.vec_id, e.v, c.c_id,
+                        list_dot_product(e.v, e.v)
+                          - 2.0 * list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) AS d2
+                      FROM e CROSS JOIN cent0 c)),
+         a1 AS (SELECT vec_id, v, c_id FROM r1 WHERE rn = 1),
+         comp AS (SELECT c_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM a1),
+         cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                   FROM (SELECT c_id, pos, round(avg(x), 9) AS cx
+                         FROM comp GROUP BY c_id, pos)
+                   GROUP BY c_id),
+         r2 AS (SELECT vec_id, c_id, d2, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY round(d2, 6), c_id) AS rn
+                FROM (SELECT e.vec_id, c.c_id,
+                        list_dot_product(e.v, e.v)
+                          - 2.0 * list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) AS d2
+                      FROM e CROSS JOIN cent1 c)),
+         a2 AS (SELECT vec_id, c_id, d2 FROM r2 WHERE rn = 1),
+         rk AS (SELECT vec_id, c_id, d2,
+                  row_number() OVER (PARTITION BY c_id
+                    ORDER BY round(d2, 6), vec_id) AS rnk,
+                  count(*) OVER (PARTITION BY c_id) AS csize
+                FROM a2)
+         SELECT vec_id, c_id, CAST(rnk AS BIGINT) AS rnk,
+           (rnk - 1) * 100 < csize * $CoresetPct AS kept,
+           round(d2, 6) AS d2
+         FROM rk ORDER BY vec_id""",
 
     "q97_semdedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

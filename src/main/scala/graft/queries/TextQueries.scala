@@ -1000,17 +1000,7 @@ object TextQueries extends QueryModule {
     // total order encoded in one long (doc_id·10⁶ + idx), so no window
     // function and no global sort anywhere.
     "q142_line_dedup" -> ((s, dir) => {
-      val tk = docs(s, dir).select(col("doc_id"), toks(col("text")).as("tk"))
-      val lines = tk.select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), greatest(lit(0),
-              ceil((size(col("tk"))).cast("double") / LineTokens).cast("int") - 1)),
-            i => slice(col("tk"), i * LineTokens + 1, lit(LineTokens))))
-            .as(Seq("idx", "lt")))
-        .select(col("doc_id"), col("idx"),
-          md5(concat_ws(" ", col("lt"))).as("h"),
-          size(col("lt")).cast("long").as("ntk"),
-          (col("doc_id") * 1000000L + col("idx")).as("rk"))
+      val lines = docLines(docs(s, dir))
       val first = lines.groupBy("h").agg(min("rk").as("first_rk"))
       lines.join(first, "h")
         .groupBy("doc_id")
@@ -1105,9 +1095,28 @@ object TextQueries extends QueryModule {
   private val SubStride = 10
 
   /** q142: tokens per "line" (the corpus has no newlines — a line is a
-    * non-overlapping fixed-token window, q131's geometry rule).
+    * non-overlapping fixed-token window, q131's geometry rule). Shared
+    * with `streaming.StreamingLineDedup` so the incremental twin can
+    * never diverge on geometry.
     */
-  private val LineTokens = 8
+  private[graft] val LineTokens = 8
+
+  /** q142's line explode — (doc_id, idx, h, ntk, rk) per line, where rk
+    * encodes the corpus-global first-occurrence total order in one long.
+    * ONE definition feeds batch q142 and the streaming twin.
+    */
+  private[graft] def docLines(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(lit(0),
+            ceil((size(col("tk"))).cast("double") / LineTokens).cast("int") - 1)),
+          i => slice(col("tk"), i * LineTokens + 1, lit(LineTokens))))
+          .as(Seq("idx", "lt")))
+      .select(col("doc_id"), col("idx"),
+        md5(concat_ws(" ", col("lt"))).as("h"),
+        size(col("lt")).cast("long").as("ntk"),
+        (col("doc_id") * 1000000L + col("idx")).as("rk"))
 
   // Eval-subset selector shared by q99/q101 (deterministic ~5% of docs
   // stands in for the held-out benchmark set).

@@ -101,6 +101,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(skAvg < 0.3, s"suppkey spans not clustered: avg frac $skAvg")
   }
 
+  test("q146 coreset: ceil-fraction per cluster, centrality prefix, full coverage") {
+    val rows = q("q146_cluster_coreset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    val total = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.length == total, "every vector gets a verdict")
+    rows.groupBy(_._2).foreach { case (cid, ms) =>
+      val kept = ms.filter(_._4)
+      val expect = math.ceil(ms.length * 0.4).toLong
+      assert(kept.length == expect, s"cluster $cid: ${kept.length} kept of ${ms.length}")
+      assert(kept.nonEmpty, s"cluster $cid: coreset must keep the medoid")
+      // kept = exactly the rank prefix, and ranks order by distance
+      assert(kept.map(_._3).max <= ms.filterNot(_._4).map(_._3).minOption.getOrElse(Long.MaxValue))
+      assert(kept.map(_._5).max <= ms.filterNot(_._4).map(_._5).minOption.getOrElse(Double.MaxValue) + 1e-9,
+        s"cluster $cid: a kept member is farther than a dropped one")
+    }
+  }
+
   test("q145 incremental dedup: verdicts consistent with the full LSH pair set") {
     val verdicts = q("q145_dedup_incremental").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap

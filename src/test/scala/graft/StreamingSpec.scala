@@ -1050,4 +1050,65 @@ class StreamingSpec extends AnyFunSuite {
         s"suppression = non-canonical members only: $suppressed")
     } finally query.stop()
   }
+
+  test("streaming line dedup == batch q142 under ordered replay; late lines flag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingLineDedup._
+
+    // ordered replay of real corpus docs across a micro-batch boundary
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(40)
+      .collect().map(r => Doc(r.getLong(0), r.getString(1)))
+    val dir = tmpDir("graft-linededup")
+    spark.createDataset(docs.toSeq)
+      .select(col("docId").as("doc_id"), col("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("text")).as("n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    val stream = MemoryStream[Doc]
+    val out = verdicts(stream.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("slinededup").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(20)
+      stream.addData(b1.toIndexedSeq); query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); query.processAllAvailable()
+
+      val streamed = rollup(spark.table("slinededup"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val batch = SparkEntry.queries("q142_line_dedup")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq == batch.toSeq,
+        "streamed verdicts must aggregate to batch q142 exactly")
+      assert(spark.table("slinededup").filter(col("outOfOrder")).isEmpty,
+        "ordered replay must never flag out-of-order")
+    } finally query.stop()
+  }
+
+  test("streaming line dedup: out-of-order arrival keeps arrival-first and flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingLineDedup._
+    val stream = MemoryStream[Doc]
+    val out = verdicts(stream.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("slinelate").outputMode("append").start()
+    try {
+      // doc 9 arrives before doc 2 with identical content: arrival-first
+      // (doc 9) keeps the line; doc 2's later arrival has LOWER rank —
+      // it must flag outOfOrder, not silently re-claim
+      stream.addData(Doc(9, "alpha beta gamma")); query.processAllAvailable()
+      stream.addData(Doc(2, "alpha beta gamma")); query.processAllAvailable()
+      val vs = spark.table("slinelate").as[LineVerdict].collect()
+        .map(v => v.docId -> v).toMap
+      assert(vs(9L).kept && !vs(9L).outOfOrder)
+      assert(!vs(2L).kept, "arrival-first semantics: later arrival drops")
+      assert(vs(2L).outOfOrder, "lower-rank late arrival must flag for re-dedup")
+      assert(vs(2L).firstRk == 9L * 1000000L, "stored first must be untouched")
+    } finally query.stop()
+  }
 }
