@@ -603,6 +603,29 @@ object DedupQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // Dedup ROI report — the "what did near-dup dedup buy us" deliverable
+    // every curation run publishes: the family-size HISTOGRAM of the dup
+    // clusters plus the REMOVABLE token mass per size class (tokens of
+    // every non-canonical member). Reads the memoized q65 cluster labels
+    // (the materialize-once table all downstream consumers share) joined
+    // to per-doc token counts — one doc_id equi-join + two map-side-
+    // combined aggs, the histogram is ≤ max-family-size rows.
+    "q147_dedup_roi" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("nt"))
+      val fam = d.join(dupLabels(s, dir), Seq("doc_id"), "left")
+        .withColumn("cid", coalesce(col("cid"), col("doc_id")))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("family_size"),
+          sum(when(col("doc_id") =!= col("cid"), col("nt"))
+            .otherwise(0L)).as("dup_tokens"))
+      fam.groupBy("family_size")
+        .agg(count(lit(1)).as("n_families"),
+          sum("family_size").as("n_docs"),
+          sum("dup_tokens").as("dup_tokens"))
+        .orderBy("family_size")
+    }),
+
     // INCREMENTAL dedup — a new batch screened against the EXISTING corpus
     // (the arrival-time shape StreamingDedup/StreamingNearDup run with
     // state; this is the batch form with a full oracle). "New" docs
@@ -991,6 +1014,22 @@ object DedupQueries extends QueryModule {
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
          ORDER BY a_id, b_id""",
+    "q147_dedup_roi" ->
+      raw"""WITH RECURSIVE $tkCte, $shCte, $labCtes,
+         d AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         fam AS (SELECT cluster_id,
+             count(*) AS family_size,
+             CAST(sum(CASE WHEN d.doc_id <> cluster_id THEN nt ELSE 0 END)
+               AS BIGINT) AS dup_tokens
+           FROM d JOIN lab ON lab.doc_id = d.doc_id
+           GROUP BY cluster_id)
+         SELECT family_size, count(*) AS n_families,
+           CAST(sum(family_size) AS BIGINT) AS n_docs,
+           CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens
+         FROM fam GROUP BY family_size ORDER BY family_size""",
+
     "q145_dedup_incremental" -> {
       val probeUnions = (0 until NumBands).map { b =>
         s"SELECT a.doc_id AS new_id, b.doc_id AS old_id FROM banded a " +

@@ -993,22 +993,58 @@ object TextQueries extends QueryModule {
     // boilerplate navigation/footer text dies corpus-wide while each doc
     // keeps its unique remainder). The corpus here has no newlines, so a
     // "line" is a non-overlapping LineTokens-token window — same geometry
-    // rule as q131's chunks. Shape: line explode is narrow; the global
-    // first-occurrence is ONE map-side-combined min-agg on the line hash;
-    // the verdict join is a keyed equi-join on that hash. Cost is
-    // O(corpus lines), never O(pairs) — the first-occurrence rank is a
-    // total order encoded in one long (doc_id·10⁶ + idx), so no window
-    // function and no global sort anywhere.
+    // rule as q131's chunks. Shape: the line mass crosses the network
+    // EXACTLY ONCE — the map-side-combined min-agg on the 64-bit line
+    // hash. No join-back: the winning rank pair (rk, ntk) IDENTIFIES its
+    // owner doc (doc_id = rk div 10⁶), so per-doc keeps aggregate from
+    // the distinct-line group table alone, and per-doc line totals are a
+    // narrow arithmetic on token counts (⌈n/L⌉ — no explode, no shuffle).
+    // The first form shipped a fat md5-string join-back (two line-mass
+    // shuffles): 9.7×/decade, 15–49 s at sf10; this one measures
+    // 2.2×/decade, 2.5 s.
     "q142_line_dedup" -> ((s, dir) => {
-      val lines = docLines(docs(s, dir))
-      val first = lines.groupBy("h").agg(min("rk").as("first_rk"))
-      lines.join(first, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_lines"),
-          sum((col("rk") =!= col("first_rk")).cast("long")).as("n_dropped"),
-          sum(when(col("rk") === col("first_rk"), col("ntk"))
-            .otherwise(0L)).as("kept_tokens"))
+      val grp = docLines(docs(s, dir))
+        .groupBy("h").agg(min(struct(col("rk"), col("ntk"))).as("m"))
+        .select(expr("m.rk div 1000000").as("doc_id"),
+          col("m").getField("ntk").as("ntk"))
+      val kept = grp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"), sum("ntk").as("kept_tokens"))
+      docs(s, dir)
+        .select(col("doc_id"), greatest(lit(1L),
+          ceil(size(toks(col("text"))).cast("double") / LineTokens))
+          .cast("long").as("n_lines"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // VOCABULARY COVERAGE CURVE — the tokenizer-sizing study: what
+    // fraction of the corpus token MASS does a top-K vocabulary cover,
+    // probed at K ∈ {4, 8, 16, 32}? (The q118 OOV audit fixes one K; this
+    // is the curve you read BEFORE choosing it.) Scale shape: the corpus
+    // collapses to the vocab-sized frequency table in one map-side-
+    // combined agg; the top-MaxK cut is TakeOrderedAndProject (per the
+    // q118 house rule — no global window over the full vocabulary); the
+    // rank/cumsum window then runs over ≤ MaxK rows (a constant), and the
+    // grand total broadcasts.
+    "q148_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir).select(explode(toks(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = tf.agg(sum("n").as("total_tokens"))
+      val ord = Window.orderBy(col("n").desc, col("tok"))
+      tf.orderBy(col("n").desc, col("tok")).limit(CoverageMaxK)
+        .withColumn("vocab_k", row_number().over(ord).cast("long"))
+        .withColumn("covered_tokens", sum("n").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("vocab_k").isin(CoverageKs.map(Long.box): _*))
+        .crossJoin(broadcast(total))
+        .select(col("vocab_k"), col("covered_tokens"), col("total_tokens"),
+          round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+            .as("coverage"))
+        .orderBy("vocab_k")
     }),
 
     // CCNet-style PERPLEXITY BUCKETING: per-language head/middle/tail
@@ -1101,9 +1137,18 @@ object TextQueries extends QueryModule {
     */
   private[graft] val LineTokens = 8
 
+  /** q148: coverage probe points and the TakeOrdered cut (= max probe). */
+  private val CoverageKs = Seq(4L, 8L, 16L, 32L)
+  private val CoverageMaxK = 32
+
   /** q142's line explode — (doc_id, idx, h, ntk, rk) per line, where rk
     * encodes the corpus-global first-occurrence total order in one long.
-    * ONE definition feeds batch q142 and the streaming twin.
+    * ONE definition feeds batch q142 and the streaming twin. The line key
+    * is the house 64-bit md5-derived hash, not the md5 STRING: 8-byte
+    * shuffle keys instead of 32-char strings (the r12 q142 scale fix —
+    * the string keys made the line shuffle 9.7×/decade), with the same
+    * negligible-and-identical-on-the-oracle collision trade as the
+    * 60-bit shingle hashes.
     */
   private[graft] def docLines(d: DataFrame): DataFrame =
     d.select(col("doc_id"), toks(col("text")).as("tk"))
@@ -1114,9 +1159,12 @@ object TextQueries extends QueryModule {
           i => slice(col("tk"), i * LineTokens + 1, lit(LineTokens))))
           .as(Seq("idx", "lt")))
       .select(col("doc_id"), col("idx"),
-        md5(concat_ws(" ", col("lt"))).as("h"),
+        hash64(concat_ws(" ", col("lt")), LineSeed).as("h"),
         size(col("lt")).cast("long").as("ntk"),
         (col("doc_id") * 1000000L + col("idx")).as("rk"))
+
+  /** q142's line-hash seed. */
+  private[graft] val LineSeed = 142
 
   // Eval-subset selector shared by q99/q101 (deterministic ~5% of docs
   // stands in for the held-out benchmark set).
@@ -1698,25 +1746,50 @@ object TextQueries extends QueryModule {
          FROM feat, pri, w WHERE doc_id % 2 = 1 ORDER BY doc_id"""
     },
 
-    "q142_line_dedup" ->
+    "q142_line_dedup" -> {
+      val lineHash = hash64Sql(
+        s"array_to_string(list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens), ' ')",
+        142)
       raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                FROM documents),
          ix AS (SELECT doc_id, t,
              unnest(range(0, greatest(1,
                CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT)))) AS i
            FROM tk),
-         ln AS (SELECT doc_id, i AS idx,
-             md5(array_to_string(
-               list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens), ' ')) AS h,
+         ln AS (SELECT ($lineHash) AS h,
              CAST(len(list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens))
                AS BIGINT) AS ntk,
              doc_id * 1000000 + i AS rk
            FROM ix),
-         f AS (SELECT h, min(rk) AS first_rk FROM ln GROUP BY h)
-         SELECT doc_id, count(*) AS n_lines,
-           CAST(sum(CASE WHEN rk <> first_rk THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-           CAST(sum(CASE WHEN rk = first_rk THEN ntk ELSE 0 END) AS BIGINT) AS kept_tokens
-         FROM ln JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""",
+         g AS (SELECT min(rk) AS rk, arg_min(ntk, rk) AS ntk FROM ln GROUP BY h),
+         k AS (SELECT rk // 1000000 AS doc_id, count(*) AS n_kept,
+             CAST(sum(ntk) AS BIGINT) AS kept_tokens
+           FROM g GROUP BY 1),
+         base AS (SELECT doc_id, greatest(1,
+             CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT)) AS n_lines
+           FROM tk)
+         SELECT base.doc_id, n_lines,
+           CAST(n_lines - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
+           CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+         FROM base LEFT JOIN k ON k.doc_id = base.doc_id
+         ORDER BY base.doc_id"""
+    },
+
+    "q148_vocab_coverage" ->
+      raw"""WITH tf AS (SELECT tok, count(*) AS n
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents)
+           GROUP BY tok),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM tf),
+         r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+             sum(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+           FROM tf)
+         SELECT CAST(rnk AS BIGINT) AS vocab_k,
+           CAST(cum AS BIGINT) AS covered_tokens, total_tokens,
+           round(CAST(cum AS DOUBLE) / total_tokens, 6) AS coverage
+         FROM r CROSS JOIN tot
+         WHERE rnk IN (${CoverageKs.mkString(", ")})
+         ORDER BY vocab_k""",
 
     "q143_perplexity_buckets" ->
       raw"""WITH tkt AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk

@@ -30,20 +30,20 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 object StreamingLineDedup {
 
   case class Doc(docId: Long, text: String)
-  case class Line(docId: Long, idx: Int, h: String, ntk: Long, rk: Long)
+  case class Line(docId: Long, idx: Int, h: Long, ntk: Long, rk: Long)
   case class LineVerdict(
-    docId: Long, idx: Int, h: String, ntk: Long, kept: Boolean,
+    docId: Long, idx: Int, h: Long, ntk: Long, kept: Boolean,
     firstRk: Long, outOfOrder: Boolean)
 
   private[streaming] class LineProcessor
-    extends StatefulProcessor[String, Line, LineVerdict] {
+    extends StatefulProcessor[Long, Line, LineVerdict] {
     @transient private var st: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[Long]("firstRk", Encoders.scalaLong,
         TTLConfig.NONE)
 
-    override def handleInputRows(h: String, it: Iterator[Line],
+    override def handleInputRows(h: Long, it: Iterator[Line],
       tv: TimerValues): Iterator[LineVerdict] = {
       // within one batch, claim in rank order — batch q142's min(rk)
       val batch = it.toSeq.sortBy(_.rk)

@@ -118,6 +118,46 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 dedup ROI: histogram == independent recompute from q65 labels") {
+    val toksOf = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "size(split(trim(text), '\\\\s+')) AS nt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val labels = q("q65_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = labels.groupBy(_._2).toSeq.map { case (cid, ms) =>
+      val size = ms.size.toLong
+      val dup = ms.keys.filter(_ != cid).map(toksOf).sum
+      (size, dup)
+    }.groupBy(_._1).map { case (size, fams) =>
+      size -> ((fams.size.toLong, fams.size * size, fams.map(_._2).sum))
+    }
+    val got = q("q147_dedup_roi").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"histogram mismatch:\n got $got\n exp $expected")
+    assert(got.values.map(_._2).sum == toksOf.size.toLong, "every doc in one family")
+    got.get(1L).foreach { case (_, _, dup) =>
+      assert(dup == 0L, "singleton families have nothing removable")
+    }
+  }
+
+  test("q148 coverage curve: monotone, bounded, equals top-k mass recompute") {
+    val freqs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+    val total = freqs.map(_._2).sum
+    val rows = q("q148_vocab_coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L, 32L).filter(_ <= freqs.size))
+    rows.foreach { case (k, cov, tot, frac) =>
+      assert(tot == total)
+      assert(cov == freqs.take(k.toInt).map(_._2).sum, s"k=$k covered mass")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted, "coverage monotone in k")
+  }
+
   test("q145 incremental dedup: verdicts consistent with the full LSH pair set") {
     val verdicts = q("q145_dedup_incremental").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
