@@ -57,6 +57,9 @@ object AssemblyQueries extends QueryModule {
     */
   val EpochBudget = 100000L
 
+  /** q149: the remainder-draw seed (q133's draw convention). */
+  val ExpandSeed = 149
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Context-window chunking with overlap: every doc becomes ⌈(n−L)/S⌉+1
@@ -177,27 +180,53 @@ object AssemblyQueries extends QueryModule {
     // everything after is broadcast-sized. Σ√tokens crosses rows as a
     // double, so it uses the q101 sorted fold; target_tokens is a floor of
     // deterministic IEEE ops (same operands ⇒ same value on both engines).
-    "q141_epoch_plan" -> ((s, dir) => {
-      val perDoc = docs(s, dir).select(col("source"),
-        size(toks(col("text"))).cast("long").as("nt"))
-      val stats = perDoc.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
-        .withColumn("sq", sqrt(col("n_tokens").cast("double")))
-      val tot = broadcast(stats.agg(
-        aggregate(sort_array(collect_list(struct(col("source"), col("sq")))),
-          lit(0.0), (a, x) => a + x.getField("sq")).as("tot")))
-      stats.crossJoin(tot)
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          floor(lit(EpochBudget) * col("sq") / col("tot")).cast("long")
-            .as("target_tokens"))
-        .withColumn("n_epochs", expr("target_tokens div n_tokens"))
-        .withColumn("rem_rate",
-          round((col("target_tokens") - col("n_epochs") * col("n_tokens"))
-            .cast("double") / col("n_tokens").cast("double"), 9))
-        .select("source", "n_docs", "n_tokens", "target_tokens",
-          "n_epochs", "rem_rate")
-        .orderBy("source")
+    "q141_epoch_plan" -> ((s, dir) => epochPlanOf(s, dir).orderBy("source")),
+
+    // Epoch-plan EXECUTION — materialize q141's per-source plan as the
+    // per-DOC copy-count manifest the data loader actually consumes:
+    // every doc repeats n_epochs times plus one more iff its
+    // deterministic md5 draw clears the remainder rate (q133's draw
+    // convention, so the oracle replays it). The ~20-row plan broadcasts;
+    // the corpus side is one scan + a broadcast join — nothing shuffles
+    // but the presentation sort.
+    "q149_epoch_expand" -> ((s, dir) => {
+      val plan = broadcast(epochPlanOf(s, dir)
+        .select("source", "n_epochs", "rem_rate"))
+      docs(s, dir).select(col("source"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("nt"))
+        .join(plan, "source")
+        .withColumn("extra",
+          (hash64(col("doc_id").cast("string"), ExpandSeed) % 1000000L <
+            floor(col("rem_rate") * 1000000)).cast("long"))
+        .select(col("doc_id"), col("source"), col("nt"),
+          (col("n_epochs") + col("extra")).as("n_copies"))
+        .orderBy("doc_id")
     }))
+
+  /** q141's plan (shared with q149's execution): per-source target
+    * tokens = budget·√tokens/Σ√tokens as whole epochs + a fractional
+    * remainder keep-rate.
+    */
+  private def epochPlanOf(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(s, dir).select(col("source"),
+      size(toks(col("text"))).cast("long").as("nt"))
+    val stats = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+    val tot = broadcast(stats.agg(
+      aggregate(sort_array(collect_list(struct(col("source"), col("sq")))),
+        lit(0.0), (a, x) => a + x.getField("sq")).as("tot")))
+    stats.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(lit(EpochBudget) * col("sq") / col("tot")).cast("long")
+          .as("target_tokens"))
+      .withColumn("n_epochs", expr("target_tokens div n_tokens"))
+      .withColumn("rem_rate",
+        round((col("target_tokens") - col("n_epochs") * col("n_tokens"))
+          .cast("double") / col("n_tokens").cast("double"), 9))
+      .select("source", "n_docs", "n_tokens", "target_tokens",
+        "n_epochs", "rem_rate")
+  }
 
   /** q132's shard assignment — integer floorDiv, the SAME arithmetic as
     * StreamingPacking.assignBins' math.floorDiv (AssemblySpec pins the
@@ -324,5 +353,30 @@ object AssemblyQueries extends QueryModule {
            CAST(target_tokens // n_tokens AS BIGINT) AS n_epochs,
            round(CAST(target_tokens - (target_tokens // n_tokens) * n_tokens AS DOUBLE)
              / CAST(n_tokens AS DOUBLE), 9) AS rem_rate
-         FROM t ORDER BY source""")
+         FROM t ORDER BY source""",
+
+    "q149_epoch_expand" -> {
+      val h = s"(${hash64Sql("CAST(d.doc_id AS VARCHAR)", ExpandSeed)}) % 1000000"
+      raw"""WITH d AS (SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         st AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
+             sqrt(CAST(sum(nt) AS DOUBLE)) AS sq
+           FROM d GROUP BY source),
+         tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(sq ORDER BY source)), (a, x) -> a + x) AS tot FROM st),
+         p AS (SELECT source, n_tokens,
+             CAST(floor($EpochBudget * sq / tot) AS BIGINT) AS target_tokens
+           FROM st CROSS JOIN tot),
+         r AS (SELECT source,
+             CAST(target_tokens // n_tokens AS BIGINT) AS n_epochs,
+             round(CAST(target_tokens - (target_tokens // n_tokens) * n_tokens AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE), 9) AS rem_rate
+           FROM p)
+         SELECT d.doc_id, d.source, d.nt,
+           CAST(n_epochs + (CASE WHEN ($h) < floor(rem_rate * 1000000)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+         FROM d JOIN r ON r.source = d.source
+         ORDER BY d.doc_id"""
+    })
 }

@@ -38,6 +38,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(4) >= 1L), "expected at least one epoch >= 1")
   }
 
+  test("q149 epoch expansion executes exactly q141's plan, deterministically") {
+    val plan = q("q141_epoch_plan").collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getDouble(5)))).toMap
+    val rows = q("q149_epoch_expand").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.length == total, "every doc gets a copy count")
+    rows.foreach { case (id, src, _, copies) =>
+      val (epochs, rem) = plan(src)
+      assert(copies == epochs || copies == epochs + 1,
+        s"doc $id: $copies outside {$epochs, ${epochs + 1}}")
+      if (rem == 0.0) assert(copies == epochs, s"doc $id: no remainder pass")
+    }
+    // the remainder draw must actually fire somewhere (budget > corpus)
+    assert(rows.exists { case (_, src, _, c) => c == plan(src)._1 + 1 },
+      "expected at least one remainder-pass winner")
+    val again = q("q149_epoch_expand").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq, "the draw is deterministic")
+  }
+
   test("q142 line dedup: kept lines == distinct line surface; per-doc bounds") {
     val rows = q("q142_line_dedup").collect()
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
