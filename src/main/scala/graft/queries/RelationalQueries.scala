@@ -534,9 +534,11 @@ object RelationalQueries extends QueryModule {
   private val ZFileShift = 26
 
   /** 16-bit × 16-bit Morton interleave, rendered once per dialect from the
-    * same term list so the engines cannot diverge bit-by-bit.
+    * same term list so the engines cannot diverge bit-by-bit. The Spark
+    * rendering is shared with `streaming.Compaction.compactZOrdered` (the
+    * write-side layout this audit reads).
     */
-  private def zInterleaveSpark(x: String, y: String): String =
+  private[graft] def zInterleaveSpark(x: String, y: String): String =
     (0 until 16).map(i =>
       s"(shiftleft(shiftright($x, $i) & 1, ${2 * i})) + " +
         s"(shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))").mkString(" + ")

@@ -68,6 +68,35 @@ object Compaction {
         .sortWithinPartitions(sortCol))
   }
 
+  /** Z-ORDERED compaction — the MULTI-dimension twin of [[compactSorted]]:
+    * quantize two lookup dimensions to 16 bits, Morton-interleave (the
+    * same generated term list q144's layout audit reads), range-partition
+    * + sort within partitions on the z-value. Every file then owns a
+    * compact rectangle of the 2-D key space (~2^(−bits/2) of EACH range
+    * per file) instead of a stripe of one dimension — parquet min/max
+    * footer stats prune selective predicates on EITHER column. This is
+    * the physical write q144 audits; the ranges fold as literals exactly
+    * as there (at scale they come from table column stats, not a pass).
+    */
+  def compactZOrdered(spark: SparkSession, dir: String, dimX: String,
+    dimY: String, targetFiles: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, max, min}
+    val df = spark.read.parquet(dir)
+    val st = df.agg(min(col(dimX)), max(col(dimX)),
+      min(col(dimY)), max(col(dimY))).head()
+    val (xmin, xmax, ymin, ymax) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val (xr, yr) = (math.max(1L, xmax - xmin), math.max(1L, ymax - ymin))
+    swapIn(dir,
+      df.withColumn("__qx", expr(s"(($dimX - ${xmin}L) * 65535) div ${xr}L"))
+        .withColumn("__qy", expr(s"(($dimY - ${ymin}L) * 65535) div ${yr}L"))
+        .withColumn("__zv",
+          expr(graft.queries.RelationalQueries.zInterleaveSpark("__qx", "__qy")))
+        .repartitionByRange(targetFiles, col("__zv"))
+        .sortWithinPartitions("__zv")
+        .drop("__qx", "__qy", "__zv"))
+  }
+
   private def swapIn(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
     recover(dir)
     val tmp = dir + ".compact-tmp"

@@ -552,6 +552,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered compaction clusters files on BOTH dims; 1-D sort does not") {
+    import spark.implicits._
+    val dir = tmpDir("graft-zcompact") + "/t"
+    // 2-D grid data shuffled across many files: x and y independent
+    val rows = for { x <- 0L until 64L; y <- 0L until 64L } yield (x * 7 % 64, y)
+    rows.toDF("x", "y").repartition(6).write.parquet(dir)
+    val before = spark.read.parquet(dir).count()
+
+    def spans(d: String): (Double, Double) = {
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      val fr = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          org.apache.spark.sql.functions.min("x"), org.apache.spark.sql.functions.max("x"),
+          org.apache.spark.sql.functions.min("y"), org.apache.spark.sql.functions.max("y")).head
+        ((r.getLong(1) - r.getLong(0)) / 63.0, (r.getLong(3) - r.getLong(2)) / 63.0)
+      }
+      (fr.map(_._1).sum / fr.length, fr.map(_._2).sum / fr.length)
+    }
+
+    Compaction.compactZOrdered(spark, dir, "x", "y", targetFiles = 16)
+    assert(spark.read.parquet(dir).count() == before, "compaction preserves rows")
+    val (zx, zy) = spans(dir)
+    assert(zx < 0.6 && zy < 0.6,
+      s"z-order must cluster BOTH dims: avg x-span $zx, y-span $zy")
+
+    // the 1-D baseline: sorted on x only, y spans stay ~the full range
+    val dir1 = tmpDir("graft-zcompact1") + "/t"
+    rows.toDF("x", "y").repartition(6).write.parquet(dir1)
+    Compaction.compactSorted(spark, dir1, "x", targetFiles = 16)
+    val (_, sy) = spans(dir1)
+    assert(sy > 0.9, s"1-D layout's secondary dim should span ~full range: $sy")
+    assert(zy < sy / 1.5, "z-order must beat the 1-D layout on the secondary dim")
+  }
+
   test("mempool pipeline streams dedup → analyzer → alert sink end-to-end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
