@@ -440,6 +440,49 @@ object ChainOracle {
           GROUP BY f.ergoTreeHash, t.ergoTreeHash
           ORDER BY src, dst""",
 
+    // Triangle census recomputed from scratch: the q82 flow-edge CTEs,
+    // then the same compact-forward orientation (degree, id) and the
+    // wedge + closing-edge joins.
+    "q150_graph_triangles" ->
+      s"""WITH in_scripts AS (
+            SELECT i.txId, o.ergoTreeHash, sum(o.ergValue) AS value
+            FROM read_parquet('${p("inputs")}') i
+            JOIN read_parquet('${p("outputs")}') o ON i.boxId = o.boxId
+            GROUP BY i.txId, o.ergoTreeHash),
+          out_scripts AS (
+            SELECT txId, ergoTreeHash, sum(ergValue) AS value
+            FROM read_parquet('${p("outputs")}')
+            GROUP BY txId, ergoTreeHash),
+          from_e AS (SELECT * FROM in_scripts WHERE value >= 1000000),
+          to_e AS (SELECT o.* FROM out_scripts o
+            WHERE NOT EXISTS (SELECT 1 FROM in_scripts i
+                              WHERE i.txId = o.txId
+                                AND i.ergoTreeHash = o.ergoTreeHash)
+              AND o.value >= 1000000),
+          und AS (SELECT DISTINCT
+              least(f.ergoTreeHash, t.ergoTreeHash) AS a,
+              greatest(f.ergoTreeHash, t.ergoTreeHash) AS b
+            FROM from_e f JOIN to_e t ON f.txId = t.txId
+            WHERE f.ergoTreeHash <> t.ergoTreeHash),
+          deg AS (SELECT v, count(*) AS d FROM (
+              SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+            GROUP BY v),
+          ori AS (SELECT
+              CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND und.a < und.b)
+                   THEN und.a ELSE und.b END AS u,
+              CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND und.a < und.b)
+                   THEN und.b ELSE und.a END AS w
+            FROM und
+            JOIN deg dx ON dx.v = und.a
+            JOIN deg dy ON dy.v = und.b),
+          wedges AS (SELECT x.w AS a, y.w AS b, x.u AS apex
+            FROM ori x JOIN ori y ON x.u = y.u AND x.w < y.w),
+          tri AS (SELECT apex, a, b FROM wedges JOIN und USING (a, b)),
+          pv AS (SELECT unnest([apex, a, b]) AS script FROM tri)
+          SELECT script, count(*) AS nTriangles
+          FROM pv GROUP BY script
+          ORDER BY nTriangles DESC, script LIMIT 10""",
+
     // Exact heavy hitters recomputed directly — verifying that the
     // sketch-then-recount pipeline loses nothing above the bar.
     "q81_hot_scripts_sketch" ->

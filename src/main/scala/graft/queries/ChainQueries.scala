@@ -251,6 +251,44 @@ object ChainQueries extends QueryModule {
     // recomputation as q82/q91.
     "q138_taint_flow" -> ((s, _) =>
       GraphEdges.taintFlow(tables(s), hops = 3, dust = 1000000L)),
+    // Triangle counting over the script flow graph (the classic graph-
+    // analytics kernel the reference's JanusGraph provisioning gestures
+    // at): per-script triangle membership, top-10. Standard compact-
+    // forward shape — edges ORIENT from the lower-(degree, id) endpoint,
+    // so every triangle generates exactly ONE wedge at its lowest-rank
+    // apex and the wedge join's fan-out is bounded by out-degree ≤
+    // O(√|E|) (the arboricity bound), never by a hub's full degree; the
+    // closing-edge check is one keyed equi-join against the undirected
+    // edge set. All stages are equi-joins/aggs — no vertex ever
+    // enumerates its full neighborhood cross product unoriented.
+    "q150_graph_triangles" -> ((s, _) => {
+      val und = GraphEdges.flows(tables(s), dust = 1000000L)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().cutLineage()
+      val deg = und.select(col("a").as("v"))
+        .unionByName(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+        .select(col("e.u").as("u"), col("e.w").as("w"))
+        .cutLineage()
+      val wedges = oriented.as("x")
+        .join(oriented.as("y"),
+          col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+        .select(col("x.w").as("a"), col("y.w").as("b"), col("x.u").as("apex"))
+      wedges.join(und, Seq("a", "b"))
+        .select(explode(array(col("apex"), col("a"), col("b"))).as("script"))
+        .groupBy("script").agg(count(lit(1)).as("nTriangles"))
+        .orderBy(col("nTriangles").desc, col("script")).limit(10)
+    }),
+
     "q92_neighbours" -> ((s, _) => {
       val e = GraphEdges.txEdges(tables(s), dust = 1000000L).cutLineage()
       GraphEdges.neighboursOf(e, busiestScript(e))

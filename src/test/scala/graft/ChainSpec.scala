@@ -199,6 +199,33 @@ class ChainSpec extends AnyFunSuite {
       .filter(col("d") > 1).count()
     assert(both == 0)
   }
+
+  test("q150 triangles == brute-force recompute over the q82 flow graph") {
+    val edges = SparkEntry.queries("q82_chain_flows")(spark, sf0001)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).toSet
+    val adj = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+      .withDefaultValue(Set.empty[String])
+    def linked(x: String, y: String): Boolean =
+      if (x < y) adj(x)(y) else adj(y)(x)
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triCount = new scala.collection.mutable.HashMap[String, Long]()
+      .withDefaultValue(0L)
+    for {
+      i <- verts.indices; j <- (i + 1) until verts.size
+      if linked(verts(i), verts(j))
+      k <- (j + 1) until verts.size
+      if linked(verts(i), verts(k)) && linked(verts(j), verts(k))
+    } Seq(verts(i), verts(j), verts(k)).foreach(v => triCount(v) += 1)
+    val expected = triCount.toSeq
+      .sortBy { case (v, n) => (-n, v) }.take(10)
+    val got = SparkEntry.queries("q150_graph_triangles")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"\n got $got\n exp $expected")
+    assert(got.nonEmpty && got.head._2 > 0, "fixture graph must contain triangles")
+  }
 }
 
 class CryptoSpec extends AnyFunSuite {
