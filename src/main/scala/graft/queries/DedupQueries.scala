@@ -626,6 +626,34 @@ object DedupQueries extends QueryModule {
         .orderBy("family_size")
     }),
 
+    // DATASET CARD — the per-source datasheet a curated corpus publishes
+    // (Datasheets-for-Datasets shape): docs, tokens, language breadth,
+    // near-dup rate (non-canonical members of the memoized q65 families),
+    // and the mean quality score as an INTEGER floor-div of the quantized
+    // per-doc composite (order-independent at any partitioning — the
+    // house rule for cross-row double means). One doc_id equi-join + one
+    // ~20-key map-side-combined rollup; every input is an
+    // already-oracle-checked operator's table.
+    "q151_dataset_card" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+        size(tk).cast("long").as("nt"),
+        floor(qualityScore(tk) * 1e6).cast("long").as("qq"))
+      d.join(dupLabels(s, dir), Seq("doc_id"), "left")
+        .withColumn("isDup",
+          (coalesce(col("cid"), col("doc_id")) =!= col("doc_id")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          sum("isDup").as("dup_docs"),
+          expr("sum(qq) div count(1)").as("quality_q6"))
+        .withColumn("dup_rate",
+          round(col("dup_docs").cast("double") / col("n_docs"), 6))
+        .select("source", "n_docs", "n_tokens", "n_langs", "dup_docs",
+          "dup_rate", "quality_q6")
+        .orderBy("source")
+    }),
+
     // INCREMENTAL dedup — a new batch screened against the EXISTING corpus
     // (the arrival-time shape StreamingDedup/StreamingNearDup run with
     // state; this is the batch form with a full oracle). "New" docs
@@ -1029,6 +1057,26 @@ object DedupQueries extends QueryModule {
            CAST(sum(family_size) AS BIGINT) AS n_docs,
            CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens
          FROM fam GROUP BY family_size ORDER BY family_size""",
+
+    "q151_dataset_card" ->
+      raw"""WITH RECURSIVE $tkCte, $shCte, $labCtes,
+         d AS (SELECT doc_id, source, lang,
+             CAST(len(tk2) AS BIGINT) AS nt,
+             CAST(floor((0.5 * (len(list_distinct(tk2)) / CAST(len(tk2) AS DOUBLE))
+               + 0.5 * (1.0 - len(list_filter(tk2, t -> t IN ('the', 'a')))
+                 / CAST(len(tk2) AS DOUBLE))) * 1000000.0) AS BIGINT) AS qq
+           FROM (SELECT doc_id, source, lang,
+                   string_split_regex(trim(text), '\s+') AS tk2
+                 FROM documents)),
+         j AS (SELECT d.*,
+             CASE WHEN lab.cluster_id <> d.doc_id THEN 1 ELSE 0 END AS isDup
+           FROM d JOIN lab ON lab.doc_id = d.doc_id)
+         SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(isDup) AS BIGINT) AS dup_docs,
+           round(CAST(sum(isDup) AS DOUBLE) / count(*), 6) AS dup_rate,
+           CAST(sum(qq) // count(*) AS BIGINT) AS quality_q6
+         FROM j GROUP BY source ORDER BY source""",
 
     "q145_dedup_incremental" -> {
       val probeUnions = (0 until NumBands).map { b =>

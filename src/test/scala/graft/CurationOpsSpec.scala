@@ -179,6 +179,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted, "coverage monotone in k")
   }
 
+  test("q151 dataset card: every column recomputes from the component operators") {
+    val meta = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "source", "lang",
+        "size(split(trim(text), '\\\\s+')) AS nt").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3).toLong))).toMap
+    val quality = q("q22_quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+    val labels = q("q65_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = q("q151_dataset_card").collect()
+    assert(rows.map(_.getString(0)).toSet == meta.values.map(_._1).toSet)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ids = meta.filter(_._2._1 == src).keys.toSeq
+      assert(r.getLong(1) == ids.size)
+      assert(r.getLong(2) == ids.map(meta(_)._3).sum, s"$src tokens")
+      assert(r.getLong(3) == ids.map(meta(_)._2).distinct.size, s"$src langs")
+      val dups = ids.count(id => labels(id) != id)
+      assert(r.getLong(4) == dups, s"$src dup docs")
+      assert(math.abs(r.getDouble(5) - dups.toDouble / ids.size) < 1e-6)
+      // the quantized mean tracks the rounded q22 scores within quantization
+      val approxMean = ids.map(quality).sum / ids.size * 1e6
+      assert(math.abs(r.getLong(6) - approxMean) < 150,
+        s"$src quality_q6 ${r.getLong(6)} vs ~$approxMean")
+    }
+  }
+
   test("q145 incremental dedup: verdicts consistent with the full LSH pair set") {
     val verdicts = q("q145_dedup_incremental").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
