@@ -64,7 +64,12 @@ object CorpusSurface {
       val derived = Seq(
         "dup_labels" -> SparkEntry.queries("q65_dedup_clusters")(s, sfDir),
         "clean" -> SparkEntry.queries("q108_clean_export")(s, sfDir),
-        "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir)
+        "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir),
+        // the two published REPORTS (r12): the dedup ROI histogram and the
+        // per-source dataset card — tiny oracle-checked rollups a reader
+        // expects to SELECT, not recompute
+        "dedup_roi" -> SparkEntry.queries("q147_dedup_roi")(s, sfDir),
+        "dataset_card" -> SparkEntry.queries("q151_dataset_card")(s, sfDir)
       ).map { case (n, df) =>
         val c = df.cache()
         c.createOrReplaceTempView(prefix + n)
@@ -115,7 +120,9 @@ object CorpusSurface {
       Seq(
         "dup_labels" -> SparkEntry.queries("q65_dedup_clusters")(s, sfDir),
         "clean" -> SparkEntry.queries("q108_clean_export")(s, sfDir),
-        "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir)
+        "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir),
+        "dedup_roi" -> SparkEntry.queries("q147_dedup_roi")(s, sfDir),
+        "dataset_card" -> SparkEntry.queries("q151_dataset_card")(s, sfDir)
       ).foreach { case (n, df) =>
         graft.GraftEngine.swapSnapshotView(s, prefix + n, df, s"$snapRoot/$n")
       }

@@ -746,6 +746,13 @@ class PipelineSpec extends AnyFunSuite {
       """SELECT count(1) FROM corpus_splits sp
          JOIN corpus_clean c ON sp.doc_id = c.doc_id""").head().getLong(0)
     assert(joined == nDocs, s"split x clean join must be total: $joined != $nDocs")
+    // report tier (r12): the published rollups are SELECTable and total
+    val cardDocs = spark.sql(
+      "SELECT sum(n_docs) FROM corpus_dataset_card").head().getLong(0)
+    assert(cardDocs == nDocs, s"dataset card must cover every doc: $cardDocs")
+    val roiDocs = spark.sql(
+      "SELECT sum(n_docs) FROM corpus_dedup_roi").head().getLong(0)
+    assert(roiDocs == nDocs, s"dedup ROI histogram must cover every doc: $roiDocs")
     // view names are session-global: asking the mount for a different
     // directory must REPOINT them (not no-op against the stale mount), and
     // asking for the first directory again must repoint back
