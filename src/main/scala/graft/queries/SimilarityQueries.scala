@@ -869,6 +869,49 @@ object SimilarityQueries extends QueryModule {
     e.join(coded, "vec_id")
   }
 
+  /** The q135 benchmark PROBE SURFACE — eval vectors with their banded
+    * codes expanded to the (code ∪ 1-bit-flip) multi-probe set. Shared by
+    * batch q135's candidate join and the streaming screen
+    * ([[graft.streaming.StreamingDecon]]), which computes it ONCE at
+    * start (an eval suite is fixed; ≤ DeconEvalMax/DeconEvery rows —
+    * broadcast-sized by construction).
+    */
+  private[graft] def deconEvalSurface(s: SparkSession, dir: String): DataFrame =
+    deconCoded(s, corpus(s, dir))
+      .filter(col("vec_id") % DeconEvery === 0 && col("vec_id") < DeconEvalMax)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("n").as("en"), col("band"), col("code"))
+      .withColumn("probe", explode(array(
+        col("code") +: (0 until DeconBandBits)
+          .map(b => col("code").bitwiseXOR(lit(1L << b))): _*)))
+      .drop("code")
+
+  /** Flag arbitrary embedding rows (`vec_id`, `embedding`) against a
+    * prepared probe surface: code the rows with the SAME md5 plane family,
+    * broadcast-join on (band, probe), exact-cosine ≥ DeconTau, best match
+    * per vector. Per-vector — a row's verdict depends only on the fixed
+    * surface, never its batch cohort — so any batching yields identical
+    * flags (the streaming spec's stream==batch law).
+    */
+  private[graft] def deconFlagBatch(s: SparkSession, rows: DataFrame,
+    surface: DataFrame): DataFrame = {
+    graft.functions.DotProductExpression.register(s)
+    val e = rows.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", l2NormNative(col("v")))
+    val coded = deconCoded(s, e)
+    val cand = coded
+      .join(broadcast(surface),
+        coded("band") === surface("band") && col("code") === col("probe"))
+      .select(col("vec_id"), col("eval_id"),
+        (dotNative(col("ev"), col("v")) / (col("en") * col("n"))).as("cos"))
+      .distinct()
+      .filter(round(col("cos"), 4) >= DeconTau)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(col("cos"), 6).desc, col("eval_id").asc)
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("eval_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Adaptive band width for the banded SELF-joins (q140): the smallest
     * bit count keeping the expected (band, code) bucket at ≤ ~64 vectors,
     * so candidate mass stays Bands·n·bucket — LINEAR in corpus size where
