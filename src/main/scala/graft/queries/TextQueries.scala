@@ -1047,6 +1047,25 @@ object TextQueries extends QueryModule {
         .orderBy("vocab_k")
     }),
 
+    // LINE-level PROVENANCE matrix — which source copies which:
+    // boilerplate shared-line counts per source pair, completing the
+    // provenance trio (q106 = lexical doc near-dup, q140 = semantic doc
+    // overlap, this = verbatim line reuse, the strongest copying signal).
+    // Shape: the line mass collapses to DISTINCT (h, source) in one
+    // map-side-combined pass; the pair join is a self equi-join on the
+    // line hash whose per-group fan-out is bounded by |sources| (a line
+    // appears once per source after the distinct), and the matrix rollup
+    // is ≤ |sources|² rows.
+    "q152_line_provenance" -> ((s, dir) => {
+      val ls = docLines(docs(s, dir).select("doc_id", "text", "source"))
+        .select("h", "source").distinct()
+      ls.as("a").join(ls.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared_lines"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // CCNet-style PERPLEXITY BUCKETING: per-language head/middle/tail
     // tertiles of the bigram-LM document score (the quality split CCNet
     // feeds to its per-bucket keep decisions). The LM is q79's — corpus
@@ -1150,18 +1169,22 @@ object TextQueries extends QueryModule {
     * negligible-and-identical-on-the-oracle collision trade as the
     * 60-bit shingle hashes.
     */
-  private[graft] def docLines(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"),
+  private[graft] def docLines(d: DataFrame): DataFrame = {
+    // columns beyond (doc_id, text) pass through untouched — q152 carries
+    // source; the shape stays strictly narrow either way
+    val extras = d.columns.filter(c => c != "doc_id" && c != "text").map(col)
+    d.select(col("doc_id") +: toks(col("text")).as("tk") +: extras: _*)
+      .select(col("doc_id") +:
         posexplode(transform(
           sequence(lit(0), greatest(lit(0),
             ceil((size(col("tk"))).cast("double") / LineTokens).cast("int") - 1)),
           i => slice(col("tk"), i * LineTokens + 1, lit(LineTokens))))
-          .as(Seq("idx", "lt")))
-      .select(col("doc_id"), col("idx"),
-        hash64(concat_ws(" ", col("lt")), LineSeed).as("h"),
-        size(col("lt")).cast("long").as("ntk"),
-        (col("doc_id") * 1000000L + col("idx")).as("rk"))
+          .as(Seq("idx", "lt")) +: extras: _*)
+      .select(col("doc_id") +: col("idx") +:
+        hash64(concat_ws(" ", col("lt")), LineSeed).as("h") +:
+        size(col("lt")).cast("long").as("ntk") +:
+        (col("doc_id") * 1000000L + col("idx")).as("rk") +: extras: _*)
+  }
 
   /** q142's line-hash seed. */
   private[graft] val LineSeed = 142
@@ -1790,6 +1813,23 @@ object TextQueries extends QueryModule {
          FROM r CROSS JOIN tot
          WHERE rnk IN (${CoverageKs.mkString(", ")})
          ORDER BY vocab_k""",
+
+    "q152_line_provenance" -> {
+      val lineHash = hash64Sql(
+        s"array_to_string(list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens), ' ')",
+        142)
+      raw"""WITH tk AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+         ix AS (SELECT doc_id, source, t,
+             unnest(range(0, greatest(1,
+               CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT)))) AS i
+           FROM tk),
+         ls AS (SELECT DISTINCT ($lineHash) AS h, source FROM ix)
+         SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS n_shared_lines
+         FROM ls a JOIN ls b ON a.h = b.h AND a.source < b.source
+         GROUP BY a.source, b.source ORDER BY src_a, src_b"""
+    },
 
     "q143_perplexity_buckets" ->
       raw"""WITH tkt AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk

@@ -206,6 +206,22 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q152 line provenance == independent recompute from the line sets") {
+    val bySource = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("source", "split(trim(text), '\\\\s+') AS tk").collect()
+      .flatMap { r =>
+        r.getSeq[String](1).grouped(8).map(w => (r.getString(0), w.mkString(" ")))
+      }.groupBy(_._1).map { case (s, ls) => s -> ls.map(_._2).toSet }
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      n = (bySource(a) intersect bySource(b)).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    val got = q("q152_line_provenance").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"\n got ${got.toSeq.sorted.take(8)}\n exp ${expected.toSeq.sorted.take(8)}")
+    assert(got.nonEmpty, "the corpus contains cross-source boilerplate")
+  }
+
   test("q145 incremental dedup: verdicts consistent with the full LSH pair set") {
     val verdicts = q("q145_dedup_incremental").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
