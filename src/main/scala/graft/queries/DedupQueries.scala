@@ -726,9 +726,6 @@ object DedupQueries extends QueryModule {
       .select("a_id", "b_id", "est_j")
   }
 
-  /** LSH candidate pairs (a_id < b_id, distinct) from banded signatures —
-    * shared by q27 (estimated-J verify) and q59 (exact-J verify).
-    */
   /** doc_id + NumBands md5 band keys from a signature table — the bucket
     * layout every LSH consumer (q27/q59 pair generation, q145's
     * new-vs-corpus probe) joins on.
@@ -741,6 +738,9 @@ object DedupQueries extends QueryModule {
     sig.select(col("doc_id") +: bandCols: _*)
   }
 
+  /** LSH candidate pairs (a_id < b_id, distinct) from banded signatures —
+    * shared by q27 (estimated-J verify) and q59 (exact-J verify).
+    */
   private def lshCandidatePairs(sig: DataFrame): DataFrame = {
     val banded = bandedSig(sig)
     (0 until NumBands).map { b =>

@@ -503,8 +503,9 @@ object RelationalQueries extends QueryModule {
       // joins — at scale the ranges come from the table's own column
       // stats, not a data pass at all
       val st = li.agg(
-        min("l_partkey"), max("l_partkey"),
-        min("l_suppkey"), max("l_suppkey")).head()
+        min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")),
+        min(col("l_suppkey").cast("long")), max(col("l_suppkey").cast("long")))
+        .head()
       val (pmin, pmax, smin, smax) =
         (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
       val pRng = math.max(1L, pmax - pmin)

@@ -1183,7 +1183,17 @@ object TextQueries extends QueryModule {
       .select(col("doc_id") +: col("idx") +:
         hash64(concat_ws(" ", col("lt")), LineSeed).as("h") +:
         size(col("lt")).cast("long").as("ntk") +:
-        (col("doc_id") * 1000000L + col("idx")).as("rk") +: extras: _*)
+        // the rank encoding owns 10⁶ line slots per doc (8M tokens at
+        // L=8). A doc beyond that would silently spill into the next
+        // doc's rank space and misattribute ownership on BOTH engines
+        // identically — the cross-check could never see it — so the
+        // overflow fails LOUDLY here instead (one codegen'd branch/row;
+        // real pipelines cap doc length far below this)
+        when(col("idx") < 1000000,
+          col("doc_id") * 1000000L + col("idx"))
+          .otherwise(raise_error(concat(lit("docLines: doc "), col("doc_id"),
+            lit(" exceeds 1e6 lines — rank encoding would collide"))))
+          .as("rk") +: extras: _*)
   }
 
   /** q142's line-hash seed. */

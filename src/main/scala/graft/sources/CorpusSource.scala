@@ -42,8 +42,10 @@ object CorpusSource {
 
   /** JSONL corpus dump → documents frame + quarantine.
     *
-    * @param quarantineDir if set, malformed raw lines are appended there
-    *                      as text before the good frame returns.
+    * @param quarantineDir if set, malformed raw lines land there as text
+    *                      under a content-addressed per-input-path subdir
+    *                      (overwritten whole — idempotent under retries)
+    *                      before the good frame returns.
     */
   def fromJsonl(spark: SparkSession, path: String,
     quarantineDir: Option[String] = None): Decoded = {
@@ -53,7 +55,7 @@ object CorpusSource {
       .option("columnNameOfCorruptRecord", Corrupt)
       .json(path)
       .cache()
-    split(raw, quarantineDir, "jsonl decode failed")
+    split(raw, path, quarantineDir, "jsonl decode failed")
   }
 
   /** CSV corpus dump (with header) → documents frame + quarantine. */
@@ -66,11 +68,11 @@ object CorpusSource {
       .option("columnNameOfCorruptRecord", Corrupt)
       .csv(path)
       .cache()
-    split(raw, quarantineDir, "csv decode failed")
+    split(raw, path, quarantineDir, "csv decode failed")
   }
 
-  private def split(raw: DataFrame, quarantineDir: Option[String],
-    reason: String): Decoded = {
+  private def split(raw: DataFrame, path: String,
+    quarantineDir: Option[String], reason: String): Decoded = {
     // a row is quarantined if the parser flagged it OR it lacks the two
     // REQUIRED fields (doc_id, text) — "parsed but useless" is corrupt too
     val bad = raw.filter(
@@ -78,8 +80,16 @@ object CorpusSource {
       .select(coalesce(col(Corrupt),
         to_json(struct(schema.fieldNames.map(col): _*))).as("raw_line"),
         lit(reason).as("reason"))
-    quarantineDir.foreach(d => bad.select("raw_line")
-      .write.mode("append").text(d))
+    // idempotent quarantine: each INPUT PATH owns a content-addressed
+    // subdir, overwritten whole — a failed-and-retried ingest (or a
+    // caller decoding the same dump twice) can never double-count the
+    // replay queue (the same at-least-once contract as the streaming
+    // writers' per-batchId dirs)
+    quarantineDir.foreach { d =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      bad.select("raw_line").write.mode("overwrite").text(s"$d/src=$key")
+    }
     val good = raw.filter(
       col(Corrupt).isNull && col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),

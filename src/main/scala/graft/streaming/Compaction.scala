@@ -82,8 +82,11 @@ object Compaction {
     dimY: String, targetFiles: Int = 16): Unit = {
     import org.apache.spark.sql.functions.{col, expr, max, min}
     val df = spark.read.parquet(dir)
-    val st = df.agg(min(col(dimX)), max(col(dimX)),
-      min(col(dimY)), max(col(dimY))).head()
+    // cast the range probe to long so INT-typed dim columns don't CCE,
+    // and no-op on an empty/all-null table instead of NPE'ing mid-swap
+    val st = df.agg(min(col(dimX).cast("long")), max(col(dimX).cast("long")),
+      min(col(dimY).cast("long")), max(col(dimY).cast("long"))).head()
+    if (st.isNullAt(0) || st.isNullAt(2)) return
     val (xmin, xmax, ymin, ymax) =
       (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
     val (xr, yr) = (math.max(1L, xmax - xmin), math.max(1L, ymax - ymin))

@@ -121,6 +121,13 @@ object StreamingCorpusBuild {
     */
   private[graft] def appendBatch(s: SparkSession, batch: DataFrame,
     batchId: Long, out: String): Unit = {
+    // persist BEFORE the late/fresh split: the four downstream actions
+    // (two isEmpty probes + two writes) would otherwise each re-execute
+    // the stateful shard-assignment plan — 4× the batch's CPU/IO, and a
+    // re-read of state-store versions foreachBatch reuse rules say to
+    // avoid (the standard persist-on-reuse contract)
+    batch.persist()
+    try {
     val late = batch.filter(col("late"))
     if (!late.isEmpty)
       // surface, never corrupt: frontier regressions land in their own
@@ -138,6 +145,7 @@ object StreamingCorpusBuild {
         .partitionBy("split", "shard").parquet(s"$out/data/batch=$batchId")
       publish(s, out, batchId)
     }
+    } finally batch.unpersist()
   }
 
   private def publish(s: SparkSession, out: String, batchId: Long): Unit = {
