@@ -182,6 +182,31 @@ object AssemblyQueries extends QueryModule {
     // deterministic IEEE ops (same operands ⇒ same value on both engines).
     "q141_epoch_plan" -> ((s, dir) => epochPlanOf(s, dir).orderBy("source")),
 
+    // Sequence-length HISTOGRAM + padding-waste report — the trainer-side
+    // metric that motivates q132's cross-doc packing: per (source,
+    // log₂-length bucket): doc count, token mass, and the tokens a
+    // pad-to-window loader (fixed ChunkLen windows, one doc per window
+    // run) would BURN as padding vs the cross-doc pack's zero waste.
+    // Strictly narrow per-doc arithmetic into one map-side-combined agg;
+    // the histogram is ≤ sources × 64 rows at any corpus size.
+    "q153_length_histogram" -> ((s, dir) => {
+      val nt = size(toks(col("text"))).cast("long")
+      docs(s, dir).select(col("source"), nt.as("nt"))
+        // ⌊log₂ n⌋ via binary-string length — integer-exact on both
+        // engines (adaptiveBandBits' rule: no float log2 whose boundary
+        // rounding could diverge at exact powers of two)
+        .withColumn("len_bucket",
+          (length(bin(greatest(col("nt"), lit(1L)))) - 1).cast("long"))
+        .withColumn("padded",
+          expr(s"((nt + ${ChunkLen - 1}) div $ChunkLen) * $ChunkLen"))
+        .groupBy("source", "len_bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum(col("padded") - col("nt")).as("pad_tokens"))
+        .withColumn("waste_frac", round(col("pad_tokens").cast("double") /
+          (col("n_tokens") + col("pad_tokens")).cast("double"), 6))
+        .orderBy("source", "len_bucket")
+    }),
+
     // Epoch-plan EXECUTION — materialize q141's per-source plan as the
     // per-DOC copy-count manifest the data loader actually consumes:
     // every doc repeats n_epochs times plus one more iff its
@@ -378,5 +403,21 @@ object AssemblyQueries extends QueryModule {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
          FROM d JOIN r ON r.source = d.source
          ORDER BY d.doc_id"""
-    })
+    },
+
+    "q153_length_histogram" ->
+      raw"""WITH d AS (SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         b AS (SELECT source, nt,
+             CAST(length(bin(greatest(nt, 1))) - 1 AS BIGINT) AS len_bucket,
+             ((nt + ${ChunkLen - 1}) // $ChunkLen) * $ChunkLen AS padded
+           FROM d)
+         SELECT source, len_bucket, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(padded - nt) AS BIGINT) AS pad_tokens,
+           round(CAST(sum(padded - nt) AS DOUBLE)
+             / (CAST(sum(nt) AS DOUBLE) + CAST(sum(padded - nt) AS DOUBLE)),
+             6) AS waste_frac
+         FROM b GROUP BY source, len_bucket ORDER BY source, len_bucket""")
 }

@@ -59,6 +59,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "the draw is deterministic")
   }
 
+  test("q153 length histogram: exact bucket/pad recompute; waste bounded") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("source", "size(split(trim(text), '\\\\s+')) AS nt").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+    val L = graft.queries.AssemblyQueries.ChunkLen
+    val expected = docs.groupBy { case (s, nt) =>
+      (s, 63 - java.lang.Long.numberOfLeadingZeros(math.max(nt, 1L)).toLong)
+    }.map { case (k, ds) =>
+      val tok = ds.map(_._2).sum
+      val pad = ds.map(d => (d._2 + L - 1) / L * L - d._2).sum
+      k -> ((ds.length.toLong, tok, pad,
+        BigDecimal(pad.toDouble / (tok + pad))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = q("q153_length_histogram").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == expected, s"\n got ${got.toSeq.sorted.take(6)}\n exp ${expected.toSeq.sorted.take(6)}")
+    assert(got.values.forall(v => v._4 >= 0.0 && v._4 < 1.0))
+  }
+
   test("q142 line dedup: kept lines == distinct line surface; per-doc bounds") {
     val rows = q("q142_line_dedup").collect()
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
