@@ -510,6 +510,12 @@ object RelationalQueries extends QueryModule {
         (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
       val pRng = math.max(1L, pmax - pmin)
       val sRng = math.max(1L, smax - smin)
+      // same int64-overflow guard as Compaction.compactZOrdered: a range
+      // past ~1.4e14 makes (dim − min) * 65535 wrap and the audit would
+      // report a garbage layout as if it were real
+      require(pRng <= Long.MaxValue / 65535 && sRng <= Long.MaxValue / 65535,
+        s"q144: dimension range too wide for 16-bit quantization " +
+          s"(pRng=$pRng, sRng=$sRng) — pre-bucket before z-ordering")
       li
         .withColumn("qx", expr(s"((l_partkey - ${pmin}L) * 65535) div ${pRng}L"))
         .withColumn("qy", expr(s"((l_suppkey - ${smin}L) * 65535) div ${sRng}L"))

@@ -710,29 +710,17 @@ object SimilarityQueries extends QueryModule {
     // vec_id, so no stage ever shuffles more than the candidate mass
     // (Bands·(Bits+1)·|eval|·n/2^Bits pairs). PipelineSpec pins recall
     // ≥ 0.7 against the brute-force threshold set.
+    // COMPOSED from the two shared kernels ([[deconEvalSurface]] +
+    // [[deconFlagBatch]]) that the streaming screen
+    // (graft.streaming.StreamingDecon) also rides — ONE definition of the
+    // probe surface and the flag arithmetic, so the stream==batch law can
+    // never silently diverge from the batch gate (r12 ADVICE: the first
+    // cut kept an inline duplicate of both kernels here).
     "q135_semantic_decon" -> ((s, dir) => {
-      val codedE = deconCoded(s, corpus(s, dir))
-      val eval = codedE
-        .filter(col("vec_id") % DeconEvery === 0 && col("vec_id") < DeconEvalMax)
-        .select(col("vec_id").as("eval_id"), col("v").as("ev"),
-          col("n").as("en"), col("band"), col("code"))
-        .withColumn("probe", explode(array(
-          col("code") +: (0 until DeconBandBits)
-            .map(b => col("code").bitwiseXOR(lit(1L << b))): _*)))
-        .drop("code")
-      val cand = codedE
+      val rows = Tables.load(s, dir, "embeddings")
         .filter(col("vec_id") % DeconEvery =!= 0 || col("vec_id") >= DeconEvalMax)
-        .join(broadcast(eval),
-          codedE("band") === eval("band") && col("code") === col("probe"))
-        .select(col("vec_id"), col("eval_id"),
-          (dotNative(col("ev"), col("v")) / (col("en") * col("n"))).as("cos"))
-        .distinct()
-        .filter(round(col("cos"), 4) >= DeconTau)
-      val w = Window.partitionBy("vec_id")
-        .orderBy(round(col("cos"), 6).desc, col("eval_id").asc)
-      cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-        .select(col("vec_id"), col("eval_id"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+      deconFlagBatch(s, rows, deconEvalSurface(s, dir)).orderBy("vec_id")
     }),
 
     // Semantic source-overlap matrix — the embedding twin of q106's

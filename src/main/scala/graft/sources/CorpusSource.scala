@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.queries.Memos
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,15 +15,24 @@ import org.apache.spark.sql.types._
   *   - EXPLICIT schema, never inference — inference is a full extra pass
   *     over 100 TB and a schema-drift time bomb (a batch whose optional
   *     field is all-null infers a different type than yesterday's).
-  *   - PERMISSIVE decode with a corrupt-record capture column: well-formed
-  *     rows project to the documents schema (missing optional fields
-  *     null-fill, unknown extra fields are ignored — additive producer
-  *     drift never breaks the reader); malformed rows land in a quarantine
-  *     directory VERBATIM for replay after a decoder fix.
-  *   - The split is one narrow pass per side off a cached decode (Spark
-  *     requires referencing rows besides the corrupt column when filtering
-  *     on it; the cache also keeps the 100 TB scan at two map-side passes,
-  *     not a re-decode per consumer).
+  *   - JSONL decodes via text + `from_json`, so every quarantined row —
+  *     malformed OR parsed-but-missing-required — keeps its raw input line
+  *     VERBATIM for replay after a decoder fix (r12 ADVICE: the previous
+  *     PERMISSIVE-reader form re-serialized the missing-required case
+  *     through `to_json`, dropping unknown producer fields). Unknown extra
+  *     fields are ignored by the explicit-schema parse — additive producer
+  *     drift never breaks the reader.
+  *   - CSV stays on the PERMISSIVE reader (header handling is the
+  *     reader's). Its malformed rows quarantine verbatim via the corrupt
+  *     column; a row that PARSES but lacks a required field is
+  *     re-serialized through `to_json` — LOSSY by documented design (CSV
+  *     quoting/field order cannot be reconstructed from parsed values; a
+  *     replay-critical CSV ingest should convert to JSONL first).
+  *   - The split is one narrow pass per side off a cached decode (the
+  *     cache keeps the 100 TB scan at two map-side passes, not a re-decode
+  *     per consumer). Caches are TRACKED: they unpersist via the Memos
+  *     registry at application end or an explicit `evict`, instead of
+  *     pinning one decode per ingest call for the JVM's lifetime.
   */
 object CorpusSource {
 
@@ -40,6 +50,29 @@ object CorpusSource {
   /** Decoded good rows + the quarantine frame (raw line, reason). */
   case class Decoded(docs: DataFrame, quarantined: DataFrame)
 
+  // decode caches live for the session, not the JVM: registered once with
+  // the Memos eviction registry (same discipline as the query-module
+  // fixture memos)
+  private val cachedDecodes =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
+  Memos.register { s =>
+    val it = cachedDecodes.iterator()
+    while (it.hasNext) {
+      val (sess, df) = it.next()
+      if (sess eq s) { df.unpersist(); it.remove() }
+    }
+  }
+
+  /** Explicitly drop this session's cached decodes (long-lived services). */
+  def evict(s: SparkSession): Unit = Memos.evict(s)
+
+  private def cacheTracked(s: SparkSession, df: DataFrame): DataFrame = {
+    val c = df.cache()
+    cachedDecodes.add((s, c))
+    Memos.hook(s)
+    c
+  }
+
   /** JSONL corpus dump → documents frame + quarantine.
     *
     * @param quarantineDir if set, malformed raw lines land there as text
@@ -49,51 +82,67 @@ object CorpusSource {
     */
   def fromJsonl(spark: SparkSession, path: String,
     quarantineDir: Option[String] = None): Decoded = {
-    val raw = spark.read
-      .schema(readSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Corrupt)
-      .json(path)
-      .cache()
-    split(raw, path, quarantineDir, "jsonl decode failed")
+    // text + from_json, NOT the json reader: the raw line survives next to
+    // the parse result, so the quarantine is verbatim for EVERY bad shape
+    val raw = cacheTracked(spark, spark.read.text(path)
+      .select(col("value"), from_json(col("value"), readSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> Corrupt)).as("p")))
+    val malformed = col("p").isNull || col("p").getField(Corrupt).isNotNull
+    val incomplete =
+      col("p").getField("doc_id").isNull || col("p").getField("text").isNull
+    val bad = raw.filter(malformed || incomplete)
+      .select(col("value").as("raw_line"),
+        when(malformed, lit("jsonl decode failed"))
+          .otherwise(lit("missing required field (doc_id/text)")).as("reason"))
+    writeQuarantine(bad, path, quarantineDir)
+    val good = raw.filter(!malformed && !incomplete)
+      .select(col("p").getField("doc_id").as("doc_id"),
+        col("p").getField("text").as("text"),
+        col("p").getField("lang").as("lang"),
+        col("p").getField("source").as("source"),
+        coalesce(col("p").getField("n_chars"),
+          length(col("p").getField("text")).cast("long")).as("n_chars"))
+    Decoded(good, bad)
   }
 
-  /** CSV corpus dump (with header) → documents frame + quarantine. */
+  /** CSV corpus dump (with header) → documents frame + quarantine.
+    * Malformed rows quarantine verbatim; parsed-but-missing-required rows
+    * re-serialize lossily (see the object note).
+    */
   def fromCsv(spark: SparkSession, path: String,
     quarantineDir: Option[String] = None): Decoded = {
-    val raw = spark.read
+    val raw = cacheTracked(spark, spark.read
       .schema(readSchema)
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", Corrupt)
-      .csv(path)
-      .cache()
-    split(raw, path, quarantineDir, "csv decode failed")
-  }
-
-  private def split(raw: DataFrame, path: String,
-    quarantineDir: Option[String], reason: String): Decoded = {
-    // a row is quarantined if the parser flagged it OR it lacks the two
-    // REQUIRED fields (doc_id, text) — "parsed but useless" is corrupt too
+      .csv(path))
     val bad = raw.filter(
       col(Corrupt).isNotNull || col("doc_id").isNull || col("text").isNull)
       .select(coalesce(col(Corrupt),
         to_json(struct(schema.fieldNames.map(col): _*))).as("raw_line"),
-        lit(reason).as("reason"))
-    // idempotent quarantine: each INPUT PATH owns a content-addressed
-    // subdir, overwritten whole — a failed-and-retried ingest (or a
-    // caller decoding the same dump twice) can never double-count the
-    // replay queue (the same at-least-once contract as the streaming
-    // writers' per-batchId dirs)
-    quarantineDir.foreach { d =>
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      bad.select("raw_line").write.mode("overwrite").text(s"$d/src=$key")
-    }
+        when(col(Corrupt).isNotNull, lit("csv decode failed"))
+          .otherwise(lit("missing required field (doc_id/text)")).as("reason"))
+    writeQuarantine(bad, path, quarantineDir)
     val good = raw.filter(
       col(Corrupt).isNull && col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         coalesce(col("n_chars"), length(col("text")).cast("long")).as("n_chars"))
     Decoded(good, bad)
   }
+
+  /** Idempotent quarantine: each INPUT PATH owns a content-addressed
+    * subdir, overwritten whole — a failed-and-retried ingest (or a caller
+    * decoding the same dump twice) can never double-count the replay queue
+    * (the same at-least-once contract as the streaming writers'
+    * per-batchId dirs).
+    */
+  private def writeQuarantine(bad: DataFrame, path: String,
+    quarantineDir: Option[String]): Unit =
+    quarantineDir.foreach { d =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      bad.select("raw_line").write.mode("overwrite").text(s"$d/src=$key")
+    }
 }

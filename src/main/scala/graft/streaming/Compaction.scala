@@ -90,6 +90,16 @@ object Compaction {
     val (xmin, xmax, ymin, ymax) =
       (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
     val (xr, yr) = (math.max(1L, xmax - xmin), math.max(1L, ymax - ymin))
+    // (dim − min) * 65535 overflows int64 past a ~1.4e14 range (e.g. micros
+    // timestamps over a wide epoch span) and would produce garbage z-values
+    // — a silently MIS-CLUSTERED layout. Fail loudly instead (the docLines
+    // rank-guard house rule); such a dimension should be pre-bucketed
+    // (days, not micros) before z-ordering. Ranges fold on the driver, so
+    // the guard costs nothing per row.
+    require(xr <= Long.MaxValue / 65535 && yr <= Long.MaxValue / 65535,
+      s"compactZOrdered: dimension range too wide for 16-bit quantization " +
+        s"(xr=$xr, yr=$yr, max=${Long.MaxValue / 65535}) — pre-bucket the " +
+        "dimension (e.g. days instead of micros) before z-ordering")
     swapIn(dir,
       df.withColumn("__qx", expr(s"(($dimX - ${xmin}L) * 65535) div ${xr}L"))
         .withColumn("__qy", expr(s"(($dimY - ${ymin}L) * 65535) div ${yr}L"))

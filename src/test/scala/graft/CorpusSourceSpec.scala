@@ -42,11 +42,16 @@ class CorpusSourceSpec extends AnyFunSuite {
     assert(r3.getLong(4) == "short".length.toLong, "n_chars derives from text")
 
     assert(d.quarantined.count() == 2, "both bad shapes quarantine")
-    // the malformed raw line must survive VERBATIM for replay
+    // EVERY quarantined jsonl row must survive VERBATIM for replay — the
+    // malformed line AND the parsed-but-missing-required line (r12 ADVICE:
+    // the latter used to be re-serialized lossily)
     val qlines = spark.read.text(qdir).collect().map(_.getString(0)).toSet
-    assert(qlines.exists(_.contains(""""text": "unterminated""")),
-      s"raw malformed line must be preserved: $qlines")
-    assert(qlines.size == 2)
+    assert(qlines == Set(
+      """{"doc_id": 4, "text": "unterminated""",
+      """{"doc_id": 5, "lang": "fr"}"""),
+      s"raw lines must be preserved byte-for-byte: $qlines")
+    // reasons distinguish the two bad shapes
+    assert(d.quarantined.select("reason").distinct().count() == 2)
   }
 
   test("csv: header decode, malformed row quarantines, required-field rule") {
