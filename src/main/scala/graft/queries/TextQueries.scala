@@ -991,9 +991,10 @@ object TextQueries extends QueryModule {
     // LINE-level exact dedup, keep-first-occurrence (the C4 recipe: a line
     // seen anywhere earlier in the corpus is dropped from every later doc —
     // boilerplate navigation/footer text dies corpus-wide while each doc
-    // keeps its unique remainder). The corpus here has no newlines, so a
-    // "line" is a non-overlapping LineTokens-token window — same geometry
-    // rule as q131's chunks. Shape: the line mass crosses the network
+    // keeps its unique remainder). A "line" is newline-aware PER DOC
+    // (lineArrays): real `\n`-delimited lines where they exist, the
+    // LineTokens-window fallback on newline-free docs (this synthetic
+    // corpus). Shape: the line mass crosses the network
     // EXACTLY ONCE — the map-side-combined min-agg on the 64-bit line
     // hash. No join-back: the winning rank pair (rk, ntk) IDENTIFIES its
     // owner doc (doc_id = rk div 10⁶), so per-doc keeps aggregate from
@@ -1010,9 +1011,10 @@ object TextQueries extends QueryModule {
       val kept = grp.groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"), sum("ntk").as("kept_tokens"))
       docs(s, dir)
-        .select(col("doc_id"), greatest(lit(1L),
-          ceil(size(toks(col("text"))).cast("double") / LineTokens))
-          .cast("long").as("n_lines"))
+        // per-doc line count from the SAME geometry definition (size of
+        // the line array — still narrow arithmetic, no explode, no shuffle)
+        .select(col("doc_id"),
+          size(lineArrays(col("text"))).cast("long").as("n_lines"))
         .join(kept, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_lines"),
           (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
@@ -1160,12 +1162,39 @@ object TextQueries extends QueryModule {
   private val CoverageKs = Seq(4L, 8L, 16L, 32L)
   private val CoverageMaxK = 32
 
+  /** The LINE GEOMETRY — per doc, the array of line token-arrays. Two
+    * branches, chosen PER DOC (mixed corpora route each doc correctly):
+    *   - a doc containing real newlines splits on `\n` (the C4/RefinedWeb
+    *     unit — boilerplate headers/footers are newline-delimited), each
+    *     line whitespace-tokenized, EMPTY lines dropped (blank separators
+    *     are not dedup units);
+    *   - a newline-free doc (this synthetic corpus; single-paragraph web
+    *     text) falls back to non-overlapping LineTokens-token windows —
+    *     q131's chunk geometry rule.
+    * ONE definition: [[docLines]] (q142/q152/StreamingLineDedup) and
+    * q142's per-doc line count both read it, so the batch and streaming
+    * twins cannot diverge on what a "line" is (r12 verdict item 2).
+    */
+  private[graft] def lineArrays(text: Column): Column = {
+    val tk = toks(text)
+    val winLines = transform(
+      sequence(lit(0), greatest(lit(0),
+        ceil(size(tk).cast("double") / LineTokens).cast("int") - 1)),
+      i => slice(tk, i * LineTokens + 1, lit(LineTokens)))
+    val nlLines = filter(
+      transform(split(text, "\n"),
+        l => filter(split(trim(l), "\\s+"), t => t =!= lit(""))),
+      a => size(a) > 0)
+    when(text.contains("\n"), nlLines).otherwise(winLines)
+  }
+
   /** q142's line explode — (doc_id, idx, h, ntk, rk) per line, where rk
     * encodes the corpus-global first-occurrence total order in one long.
-    * ONE definition feeds batch q142 and the streaming twin. The line key
-    * is the house 64-bit md5-derived hash, not the md5 STRING: 8-byte
-    * shuffle keys instead of 32-char strings (the r12 q142 scale fix —
-    * the string keys made the line shuffle 9.7×/decade), with the same
+    * ONE definition feeds batch q142 and the streaming twin; the geometry
+    * itself is [[lineArrays]] (newline-aware). The line key is the house
+    * 64-bit md5-derived hash, not the md5 STRING: 8-byte shuffle keys
+    * instead of 32-char strings (the r12 q142 scale fix — the string keys
+    * made the line shuffle 9.7×/decade), with the same
     * negligible-and-identical-on-the-oracle collision trade as the
     * 60-bit shingle hashes.
     */
@@ -1173,13 +1202,9 @@ object TextQueries extends QueryModule {
     // columns beyond (doc_id, text) pass through untouched — q152 carries
     // source; the shape stays strictly narrow either way
     val extras = d.columns.filter(c => c != "doc_id" && c != "text").map(col)
-    d.select(col("doc_id") +: toks(col("text")).as("tk") +: extras: _*)
+    d.select(col("doc_id") +: lineArrays(col("text")).as("lns") +: extras: _*)
       .select(col("doc_id") +:
-        posexplode(transform(
-          sequence(lit(0), greatest(lit(0),
-            ceil((size(col("tk"))).cast("double") / LineTokens).cast("int") - 1)),
-          i => slice(col("tk"), i * LineTokens + 1, lit(LineTokens))))
-          .as(Seq("idx", "lt")) +: extras: _*)
+        posexplode(col("lns")).as(Seq("idx", "lt")) +: extras: _*)
       .select(col("doc_id") +: col("idx") +:
         hash64(concat_ws(" ", col("lt")), LineSeed).as("h") +:
         size(col("lt")).cast("long").as("ntk") +:
@@ -1267,6 +1292,31 @@ object TextQueries extends QueryModule {
              FROM he_d d JOIN he_n n USING (doc_id)
              JOIN documents docs USING (doc_id)
              WHERE n.nrm > 0 GROUP BY d.doc_id, docs.source)"""
+  }
+
+  /** [[lineArrays]] rendered in DuckDB SQL — the tk/lns/ix CTE chain with
+    * `extra` columns carried through: per doc, newline-split lines (empty
+    * lines dropped) when the text contains `\n`, else the LineTokens
+    * window fallback; `ix` zips each line token-array `lt` with its index
+    * `i` via DuckDB's parallel unnest.
+    */
+  private def lineCtesSql(extra: String): String = {
+    val ec = if (extra.isEmpty) "" else s", $extra"
+    raw"""tk AS (SELECT doc_id$ec, text,
+           string_split_regex(trim(text), '\s+') AS t FROM documents),
+       lns AS (SELECT doc_id$ec,
+           CASE WHEN contains(text, chr(10)) THEN
+             list_filter(list_transform(string_split(text, chr(10)),
+               l -> list_filter(string_split_regex(trim(l), '\s+'),
+                 x -> x <> '')),
+               a -> len(a) > 0)
+           ELSE list_transform(range(0, greatest(1,
+               CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT))),
+             i -> list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens))
+           END AS la
+         FROM tk),
+       ix AS (SELECT doc_id$ec, unnest(la) AS lt,
+           unnest(range(0, len(la))) AS i FROM lns)"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -1780,27 +1830,16 @@ object TextQueries extends QueryModule {
     },
 
     "q142_line_dedup" -> {
-      val lineHash = hash64Sql(
-        s"array_to_string(list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens), ' ')",
-        142)
-      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-               FROM documents),
-         ix AS (SELECT doc_id, t,
-             unnest(range(0, greatest(1,
-               CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT)))) AS i
-           FROM tk),
-         ln AS (SELECT ($lineHash) AS h,
-             CAST(len(list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens))
-               AS BIGINT) AS ntk,
+      val lineHash = hash64Sql("array_to_string(lt, ' ')", 142)
+      raw"""WITH ${lineCtesSql("")},
+         ln AS (SELECT ($lineHash) AS h, CAST(len(lt) AS BIGINT) AS ntk,
              doc_id * 1000000 + i AS rk
            FROM ix),
          g AS (SELECT min(rk) AS rk, arg_min(ntk, rk) AS ntk FROM ln GROUP BY h),
          k AS (SELECT rk // 1000000 AS doc_id, count(*) AS n_kept,
              CAST(sum(ntk) AS BIGINT) AS kept_tokens
            FROM g GROUP BY 1),
-         base AS (SELECT doc_id, greatest(1,
-             CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT)) AS n_lines
-           FROM tk)
+         base AS (SELECT doc_id, CAST(len(la) AS BIGINT) AS n_lines FROM lns)
          SELECT base.doc_id, n_lines,
            CAST(n_lines - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
            CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
@@ -1825,15 +1864,8 @@ object TextQueries extends QueryModule {
          ORDER BY vocab_k""",
 
     "q152_line_provenance" -> {
-      val lineHash = hash64Sql(
-        s"array_to_string(list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens), ' ')",
-        142)
-      raw"""WITH tk AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
-               FROM documents),
-         ix AS (SELECT doc_id, source, t,
-             unnest(range(0, greatest(1,
-               CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT)))) AS i
-           FROM tk),
+      val lineHash = hash64Sql("array_to_string(lt, ' ')", 142)
+      raw"""WITH ${lineCtesSql("source")},
          ls AS (SELECT DISTINCT ($lineHash) AS h, source FROM ix)
          SELECT a.source AS src_a, b.source AS src_b,
            count(*) AS n_shared_lines

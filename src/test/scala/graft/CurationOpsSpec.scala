@@ -106,6 +106,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum > 0, "no duplicate lines found at all")
   }
 
+  test("line geometry is newline-aware: \\n docs split on real lines, others window") {
+    import spark.implicits._
+    val fixture = Seq(
+      // newline doc: blank separator dropped, surrounding whitespace
+      // normalized away, duplicate line WITHIN the doc
+      (1L, "alpha beta\n\n  gamma delta epsilon  \nalpha beta", "en", "sA"),
+      // newline-free doc: 10 tokens -> 8-token windows [8, 2]
+      (2L, "one two three four five six seven eight nine ten", "en", "sB"),
+      // newline doc sharing a full line with doc 1 ACROSS sources
+      (3L, "gamma delta epsilon\nunique tail line", "en", "sB"))
+    val docs = fixture.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val ls = graft.queries.TextQueries.docLines(docs.select("doc_id", "text"))
+      .orderBy("doc_id", "idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val d1 = ls.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2), "empty line must be dropped")
+    assert(d1.map(_._4).toSeq == Seq(2L, 3L, 2L), "per-line token counts")
+    assert(d1(0)._3 == d1(2)._3, "identical lines hash equal after trim")
+    assert(d1(0)._3 != d1(1)._3)
+    val d2 = ls.filter(_._1 == 2L)
+    assert(d2.map(_._4).toSeq == Seq(8L, 2L), "window fallback on \\n-free doc")
+    assert(ls.filter(_._1 == 3L).head._3 == d1(1)._3,
+      "same token sequence must collide across docs")
+
+    // batch q142 + q152 over the mixed fixture, hand-computed expectations
+    val dir = java.nio.file.Files.createTempDirectory("graft-nlgeom").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val q142 = SparkEntry.queries("q142_line_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(q142.toSeq == Seq(
+      (1L, 3L, 1L, 5L),  // within-doc dup "alpha beta" dropped once
+      (2L, 2L, 0L, 10L), // both windows unique
+      (3L, 2L, 1L, 3L)), // "gamma delta epsilon" first seen in doc 1
+      s"q142 over the newline fixture: ${q142.toSeq}")
+    val q152 = SparkEntry.queries("q152_line_provenance")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(q152.toSeq == Seq(("sA", "sB", 1L)),
+      s"one line shared across sources: ${q152.toSeq}")
+  }
+
   test("q143 perplexity buckets: tertile geometry and score monotonicity per lang") {
     val rows = q("q143_perplexity_buckets").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))

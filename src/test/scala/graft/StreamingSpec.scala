@@ -1124,6 +1124,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming line dedup == batch q142 on a MIXED newline/window fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingLineDedup._
+    // both geometries in one stream: the twins must agree line-for-line
+    // because they share ONE definition (TextQueries.lineArrays)
+    val docs = Seq(
+      Doc(1, "alpha beta\n\ngamma delta epsilon\nalpha beta"),
+      Doc(2, "one two three four five six seven eight nine ten"),
+      Doc(3, "gamma delta epsilon\nunique tail line"),
+      Doc(4, "alpha beta\nnine ten"))
+    val dir = tmpDir("graft-nlstream")
+    spark.createDataset(docs)
+      .select(col("docId").as("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).as("n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    val stream = MemoryStream[Doc]
+    val query = verdicts(stream.toDS()).writeStream
+      .format("memory").queryName("snlline").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val streamed = rollup(spark.table("snlline")).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val batch = SparkEntry.queries("q142_line_dedup")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream==batch across geometries: ${streamed.toSeq} vs ${batch.toSeq}")
+      // doc 4 re-uses one newline line (doc 1's) AND one window line
+      // (doc 2's tail) — both geometries' hashes must collide for it
+      assert(streamed.find(_._1 == 4L).get._4 == 0L,
+        "doc 4 must keep zero tokens: both its lines were first seen in " +
+          "earlier docs of BOTH geometries")
+    } finally query.stop()
+  }
+
   test("streaming line dedup: out-of-order arrival keeps arrival-first and flags") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
