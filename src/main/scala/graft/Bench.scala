@@ -202,8 +202,21 @@ object Bench {
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir)
       .map(_.group(1)).toSeq.lastOption.getOrElse("0")
     val warmJson = warmUpFailed.map(m => s""","warm_up_failed":${jstr(m)}""").getOrElse("")
+    // HOST-DRIFT control as a first-class field (r12 verdict item 3): the
+    // fixed 4200-block mainnet-replay fixture is a pure-JVM workload whose
+    // rate moves with box state, not with this repo's code — its ratio to
+    // the committed quiet-box reference rate indexes the host, and
+    // total_hostadj = total · host_index is the drift-corrected total, so
+    // round-over-round comparisons self-normalize instead of being
+    // re-adjudicated by hand. Reference rate: the r12 closing committed
+    // pair's steady-state replay (BENCH_sf1_r12c).
+    val HostRefRate = 6073.0
+    val hostIdx = mainnetPerS.map(_ / HostRefRate)
+    val hostJson = hostIdx.map(h =>
+      f""","host_index":$h%.4f,"total_hostadj":${total * h}%.3f""").getOrElse("")
     val extra = blocksPerS.map(b => s""","backfill_blocks_per_s":$b""").getOrElse("") +
-      mainnetPerS.map(b => s""","mainnet_blocks_per_s":$b""").getOrElse("") + warmJson
+      mainnetPerS.map(b => s""","mainnet_blocks_per_s":$b""").getOrElse("") +
+      hostJson + warmJson
     val shufTotal = f"${shuffleMb.values.map(_._1).sum}%.1f"
     val shufPart = if (shuffleAttr)
       s""","shuffle_mb":$shufJson,"shuffle_mb_total":$shufTotal$spillJson"""
@@ -220,7 +233,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val shortExtra =
       blocksPerS.map(b => f""","backfill_blocks_per_s":$b%.1f""").getOrElse("") +
-        mainnetPerS.map(b => f""","mainnet_blocks_per_s":$b%.1f""").getOrElse("")
+        mainnetPerS.map(b => f""","mainnet_blocks_per_s":$b%.1f""").getOrElse("") +
+        hostIdx.map(h =>
+          f""","host_index":$h%.4f,"total_hostadj":${total * h}%.3f""").getOrElse("")
     val shortErr =
       (if (errors.isEmpty) "" else s""","errcount":${errors.size}""") +
         (if (warmUpFailed.isDefined) ""","warm_up_failed":true""" else "")

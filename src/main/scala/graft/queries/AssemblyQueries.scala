@@ -207,6 +207,40 @@ object AssemblyQueries extends QueryModule {
         .orderBy("source", "len_bucket")
     }),
 
+    // MIXTURE-TEMPERATURE SWEEP — the knob study you read BEFORE q141
+    // fixes τ at 0.5: per-source corpus share and budget allocation at
+    // τ ∈ {0.25, 0.5, 1.0} (τ→0 flattens toward uniform; τ = 1 is
+    // proportional sampling — the LLaMA/Pile trade-off table).
+    // Temperatures are sqrt-CHAINS (x^0.25 = √√x): every op is a
+    // correctly-rounded IEEE primitive, so both engines produce
+    // bit-identical weights — pow() is correctly rounded in NEITHER
+    // engine and is banned by the house determinism rule. Scale shape:
+    // the corpus collapses to the ~20-row source dim in one map-side-
+    // combined agg; the whole sweep is arithmetic on that broadcast dim
+    // (Σwt crosses rows as a double → the q101 sorted fold, per τ).
+    "q157_mixture_temperature" -> ((s, dir) => {
+      import s.implicits._
+      val stats = docs(s, dir).select(col("source"),
+          size(toks(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+      val sweep = stats
+        .crossJoin(Seq(25L, 50L, 100L).toDF("tau_pct"))
+        .withColumn("wt",
+          when(col("tau_pct") === 25,
+            sqrt(sqrt(col("n_tokens").cast("double"))))
+            .when(col("tau_pct") === 50, sqrt(col("n_tokens").cast("double")))
+            .otherwise(col("n_tokens").cast("double")))
+      val tot = sweep.groupBy("tau_pct").agg(
+        aggregate(sort_array(collect_list(struct(col("source"), col("wt")))),
+          lit(0.0), (a, x) => a + x.getField("wt")).as("tot"))
+      sweep.join(broadcast(tot), "tau_pct")
+        .select(col("tau_pct"), col("source"), col("n_tokens"),
+          round(col("wt") / col("tot"), 9).as("share"),
+          floor(lit(EpochBudget) * col("wt") / col("tot")).cast("long")
+            .as("target_tokens"))
+        .orderBy("tau_pct", "source")
+    }),
+
     // Epoch-plan EXECUTION — materialize q141's per-source plan as the
     // per-DOC copy-count manifest the data loader actually consumes:
     // every doc repeats n_epochs times plus one more iff its
@@ -379,6 +413,27 @@ object AssemblyQueries extends QueryModule {
            round(CAST(target_tokens - (target_tokens // n_tokens) * n_tokens AS DOUBLE)
              / CAST(n_tokens AS DOUBLE), 9) AS rem_rate
          FROM t ORDER BY source""",
+
+    "q157_mixture_temperature" ->
+      raw"""WITH d AS (SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         st AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM d GROUP BY source),
+         sw AS (SELECT tau_pct, source, n_tokens,
+             CASE WHEN tau_pct = 25 THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                  WHEN tau_pct = 50 THEN sqrt(CAST(n_tokens AS DOUBLE))
+                  ELSE CAST(n_tokens AS DOUBLE) END AS wt
+           FROM st CROSS JOIN (SELECT unnest([CAST(25 AS BIGINT),
+             CAST(50 AS BIGINT), CAST(100 AS BIGINT)]) AS tau_pct)),
+         tot AS (SELECT tau_pct, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(wt ORDER BY source)), (a, x) -> a + x) AS tot
+           FROM sw GROUP BY tau_pct)
+         SELECT sw.tau_pct AS tau_pct, source, n_tokens,
+           round(wt / tot, 9) AS share,
+           CAST(floor($EpochBudget * wt / tot) AS BIGINT) AS target_tokens
+         FROM sw JOIN tot ON sw.tau_pct = tot.tau_pct
+         ORDER BY sw.tau_pct, source""",
 
     "q149_epoch_expand" -> {
       val h = s"(${hash64Sql("CAST(d.doc_id AS VARCHAR)", ExpandSeed)}) % 1000000"

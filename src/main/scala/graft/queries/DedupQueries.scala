@@ -626,6 +626,43 @@ object DedupQueries extends QueryModule {
         .orderBy("family_size")
     }),
 
+    // PER-SOURCE DEDUP ATTRIBUTION — which source carries the duplicate
+    // load, at THREE dedup strengths: exact (canonical text), token
+    // MULTISET (order-insensitive — shuffled-token re-posts), and
+    // distinct-token SET (q24's fp_bag strength — template docs differing
+    // only in repetition). Each strength's dup count is monotone in the
+    // previous (exact ≤ bag ≤ set; a spec law). Keep-first semantics with
+    // NO join-back: each fingerprint group folds to its min (doc_id,
+    // source) struct in one map-side-combined agg, so "source X's dups" =
+    // its docs minus the first-occurrences it owns — the q142
+    // owner-attribution trick at doc granularity. Three 8-byte-keyed aggs
+    // over the corpus + |sources|-row joins; nothing rescans, nothing
+    // joins corpus × corpus.
+    "q155_dedup_attribution" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        hash64(normText(col("text")), ExactAttrSeed).as("ex"),
+        hash64(concat_ws(" ", sort_array(tk)), BagAttrSeed).as("bg"),
+        hash64(concat_ws(" ", array_sort(array_distinct(tk))), SetAttrSeed)
+          .as("st"))
+      def firstsBy(key: String, out: String) = d.groupBy(col(key))
+        .agg(min(struct(col("doc_id"), col("source"))).as("m"))
+        .groupBy(col("m").getField("source").as("source"))
+        .agg(count(lit(1)).as(out))
+      d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(firstsBy("ex", "ex_firsts"), Seq("source"), "left")
+        .join(firstsBy("bg", "bg_firsts"), Seq("source"), "left")
+        .join(firstsBy("st", "st_firsts"), Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          (col("n_docs") - coalesce(col("ex_firsts"), lit(0L)))
+            .as("exact_dups"),
+          (col("n_docs") - coalesce(col("bg_firsts"), lit(0L)))
+            .as("bag_dups"),
+          (col("n_docs") - coalesce(col("st_firsts"), lit(0L)))
+            .as("set_dups"))
+        .orderBy("source")
+    }),
+
     // DATASET CARD — the per-source datasheet a curated corpus publishes
     // (Datasheets-for-Datasets shape): docs, tokens, language breadth,
     // near-dup rate (non-canonical members of the memoized q65 families),
@@ -699,6 +736,11 @@ object DedupQueries extends QueryModule {
   /** q145: the "new arrivals" slice — doc_id ≡ IncrRes (mod IncrMod). */
   private val IncrMod = 5
   private val IncrRes = 3
+  // q155 fingerprint seeds (exact / multiset / distinct-set strengths must
+  // never alias)
+  private val ExactAttrSeed = 155
+  private val BagAttrSeed = 156
+  private val SetAttrSeed = 158
 
   /** 8-block layout over the 64-bit simhash: (bit offset, width). Hamming
     * ≤ SimhashMaxHamming (= blocks − 1) ⇒ some block is untouched
@@ -1057,6 +1099,37 @@ object DedupQueries extends QueryModule {
            CAST(sum(family_size) AS BIGINT) AS n_docs,
            CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens
          FROM fam GROUP BY family_size ORDER BY family_size""",
+
+    "q155_dedup_attribution" -> {
+      val exH = hash64Sql(
+        raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')", ExactAttrSeed)
+      val bgH = hash64Sql(
+        raw"array_to_string(list_sort(string_split_regex(trim(text), '\s+')), ' ')",
+        BagAttrSeed)
+      val stH = hash64Sql(
+        raw"array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')",
+        SetAttrSeed)
+      raw"""WITH d AS (SELECT doc_id, source,
+             ($exH) AS ex, ($bgH) AS bg, ($stH) AS st FROM documents),
+         ps AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+         exf AS (SELECT source, count(*) AS ex_firsts FROM
+             (SELECT arg_min(source, doc_id) AS source FROM d GROUP BY ex)
+           GROUP BY source),
+         bgf AS (SELECT source, count(*) AS bg_firsts FROM
+             (SELECT arg_min(source, doc_id) AS source FROM d GROUP BY bg)
+           GROUP BY source),
+         stf AS (SELECT source, count(*) AS st_firsts FROM
+             (SELECT arg_min(source, doc_id) AS source FROM d GROUP BY st)
+           GROUP BY source)
+         SELECT ps.source AS source, n_docs,
+           CAST(n_docs - coalesce(ex_firsts, 0) AS BIGINT) AS exact_dups,
+           CAST(n_docs - coalesce(bg_firsts, 0) AS BIGINT) AS bag_dups,
+           CAST(n_docs - coalesce(st_firsts, 0) AS BIGINT) AS set_dups
+         FROM ps LEFT JOIN exf ON ps.source = exf.source
+           LEFT JOIN bgf ON ps.source = bgf.source
+           LEFT JOIN stf ON ps.source = stf.source
+         ORDER BY ps.source"""
+    },
 
     "q151_dataset_card" ->
       raw"""WITH RECURSIVE $tkCte, $shCte, $labCtes,

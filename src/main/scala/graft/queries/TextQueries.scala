@@ -1024,29 +1024,41 @@ object TextQueries extends QueryModule {
 
     // VOCABULARY COVERAGE CURVE — the tokenizer-sizing study: what
     // fraction of the corpus token MASS does a top-K vocabulary cover,
-    // probed at K ∈ {4, 8, 16, 32}? (The q118 OOV audit fixes one K; this
-    // is the curve you read BEFORE choosing it.) Scale shape: the corpus
+    // probed at the REALISTIC tokenizer sizes (8k/32k/128k/256k — the
+    // r12 verdict item: the first cut probed toy K ∈ {4..32} only) plus
+    // the toy points for curve continuity? A probe beyond the observed
+    // vocabulary CLAMPS to it (vocab_k = min(K, |vocab|), coverage 1.0)
+    // instead of silently emitting nothing — the curve always answers
+    // every requested K. (The q118 OOV audit fixes one K; this is the
+    // curve you read BEFORE choosing it.) Scale shape: the corpus
     // collapses to the vocab-sized frequency table in one map-side-
     // combined agg; the top-MaxK cut is TakeOrderedAndProject (per the
     // q118 house rule — no global window over the full vocabulary); the
-    // rank/cumsum window then runs over ≤ MaxK rows (a constant), and the
-    // grand total broadcasts.
+    // rank/cumsum window then runs over ≤ MaxK rows (a 256k CONSTANT at
+    // any corpus size), and the ranked table + totals broadcast against
+    // the 8-row probe dim.
     "q148_vocab_coverage" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val tf = docs(s, dir).select(explode(toks(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
-      val total = tf.agg(sum("n").as("total_tokens"))
+      val stats = tf.agg(sum("n").as("total_tokens"),
+        count(lit(1)).as("vocab_size"))
       val ord = Window.orderBy(col("n").desc, col("tok"))
-      tf.orderBy(col("n").desc, col("tok")).limit(CoverageMaxK)
+      val ranked = tf.orderBy(col("n").desc, col("tok")).limit(CoverageMaxK)
         .withColumn("vocab_k", row_number().over(ord).cast("long"))
         .withColumn("covered_tokens", sum("n").over(
           ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("vocab_k").isin(CoverageKs.map(Long.box): _*))
-        .crossJoin(broadcast(total))
-        .select(col("vocab_k"), col("covered_tokens"), col("total_tokens"),
+        .select("vocab_k", "covered_tokens")
+      CoverageKs.toDF("requested_k")
+        .crossJoin(broadcast(stats))
+        .withColumn("vocab_k", least(col("requested_k"), col("vocab_size")))
+        .join(broadcast(ranked), "vocab_k")
+        .select(col("requested_k"), col("vocab_k"), col("covered_tokens"),
+          col("total_tokens"),
           round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
             .as("coverage"))
-        .orderBy("vocab_k")
+        .orderBy("requested_k")
     }),
 
     // LINE-level PROVENANCE matrix — which source copies which:
@@ -1084,32 +1096,8 @@ object TextQueries extends QueryModule {
     // replay, and the two agree everywhere off the boundary ties.
     "q143_perplexity_buckets" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val base = docs(s, dir)
-        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 2)
-      val bigrams = base.select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 1),
-          i => concat(element_at(col("tk"), i), lit(" "),
-            element_at(col("tk"), i + lit(1))))).as("bg"))
-      val corpusBg = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
-      val cw = base.select(explode(col("tk")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw"))
-      val v = cw.agg(count(lit(1)).as("v"))
-      val bgLp = corpusBg
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
-        .join(cw, col("w1") === col("w"))
-        .crossJoin(broadcast(v))
-        .select(col("bg"),
-          floor(log2((col("cb") + lit(1.0)) /
-            (col("cw") + col("v").cast("double"))) * 1e9)
-            .cast("long").as("lpq"))
-      // same SHUFFLE_HASH pin as q79: the type-level side must build
-      val scores = bigrams.join(bgLp.hint("shuffle_hash"), "bg")
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("nb"), sum("lpq").as("tqs"))
-        .withColumn("sq", expr("(tqs - pmod(tqs, nb)) div nb"))
       val w = Window.partitionBy("lang").orderBy(col("sq").desc, col("doc_id"))
-      scores
+      perpScores(s, dir)
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
         .withColumn("bucket", expr("(3 * (rn - 1)) div cnt"))
@@ -1117,8 +1105,184 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bigrams"),
           max("sq").as("best_q"), min("sq").as("worst_q"))
         .orderBy("lang", "bucket")
+    }),
+
+    // The PRODUCTION form of q143 (r12 verdict item 1 — CCNet's actual
+    // recipe): fit per-language tertile THRESHOLDS on a bounded sample,
+    // broadcast them, and assign every doc's bucket by comparison. The
+    // exact-rank form above windows over the whole per-doc score table —
+    // billions of rows per language through one window at 100 TB; here
+    // the only window runs over the SAMPLE (≤ PerpSampleMax ids, the
+    // q135 fixed-eval-set rule: the fit set does not grow with the
+    // corpus), thresholds collapse to ≤|langs| rows, and assignment is a
+    // broadcast join — the corpus-extent stages are all scans and
+    // map-side-combined aggs. Bucket sizes are now sample-estimated
+    // (≈ n/3, not exactly n/3) — that IS the production semantics, and
+    // the oracle replays the same fit.
+    "q154_perplexity_thresholds" -> ((s, dir) =>
+      perpThresholdDocBuckets(s, dir, PerpSampleMod, PerpSampleMax)
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bigrams"),
+          max("sq").as("best_q"), min("sq").as("worst_q"))
+        .orderBy("lang", "bucket")),
+
+    // DISTINCT-n DIVERSITY — the text-generation-literature "distinct-1/2/3"
+    // metric per source: unique n-grams over total n-grams, the corpus
+    // diversity dial that falls when a source is template-heavy or
+    // self-repetitive (complements q100's top-gram MASS — this measures
+    // breadth, that measures concentration). Scale shape: grams never
+    // materialize as strings off the row — each hashes to the house 64-bit
+    // key inside the per-row transform; one map-side-combined (source, n,
+    // gh) distinct + count, rollup is |sources|·3 rows.
+    "q156_ngram_diversity" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("source"), toks(col("text")).as("tk"))
+      val grams = DiversityNs.map { n =>
+        base.filter(size(col("tk")) >= n)
+          .select(col("source"), lit(n.toLong).as("n"),
+            explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+              i => hash64(concat_ws(" ", slice(col("tk"), i, lit(n))), GramDivSeed)))
+              .as("gh"))
+      }.reduce(_ unionByName _)
+      grams.groupBy("source", "n")
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct("gh").as("distinct_grams"))
+        .withColumn("diversity",
+          round(col("distinct_grams").cast("double") / col("total_grams"), 6))
+        .orderBy("source", "n")
+    }),
+
+    // SHORT-LINE FILTER report — the RefinedWeb/C4 line-level quality rule
+    // this corpus supports (terminal-punctuation rules need punctuation):
+    // lines under MinLineTokens tokens are boilerplate fragments (nav
+    // stubs, footers, window tails); report per source what the filter
+    // would drop vs keep. Rides the SAME newline-aware geometry as
+    // q142/q152 (lineArrays), so the filter's units are exactly the dedup
+    // units. One narrow pass over the line mass into a |sources|-row
+    // map-side-combined rollup.
+    "q158_line_filter" -> ((s, dir) => {
+      docLines(docs(s, dir).select("doc_id", "text", "source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("ntk") < MinLineTokens).cast("long")).as("n_short"),
+          sum(when(col("ntk") < MinLineTokens, col("ntk")).otherwise(0L))
+            .as("short_tokens"),
+          sum(when(col("ntk") >= MinLineTokens, col("ntk")).otherwise(0L))
+            .as("kept_tokens"))
+        .withColumn("short_frac",
+          round(col("n_short").cast("double") / col("n_lines"), 6))
+        .orderBy("source")
+    }),
+
+    // ZIPF RANK-FREQUENCY SLOPE per source — the vocabulary-health
+    // diagnostic (natural text sits near −1; template/generated text runs
+    // flatter, OCR noise steeper). Least-squares over (ln rank, ln freq)
+    // of the frequency head, with both logs QUANTIZED to a 1e-6 integer
+    // grid so every cross-row moment is an exact long sum (the q143
+    // quantized-log precedent; slope = (m·Σxy − ΣxΣy)/(m·Σxx − Σx²) is
+    // then one deterministic double division). Scale shape: the corpus
+    // collapses to the per-source vocab in one agg; the fit surface is
+    // capped to the GLOBAL top-ZipfMaxK tokens (TakeOrdered cut, a
+    // constant), so the per-source rank window extends over ≤ ZipfMaxK
+    // rows at any corpus size.
+    "q159_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      val head = tf.groupBy("tok").agg(sum("n").as("gn"))
+        .orderBy(col("gn").desc, col("tok")).limit(ZipfMaxK).select("tok")
+      val w = Window.partitionBy("source").orderBy(col("n").desc, col("tok"))
+      val pts = tf.join(broadcast(head), "tok")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("source"),
+          floor(log(col("rnk").cast("double")) * 1e6).cast("long").as("x"),
+          floor(log(col("n").cast("double")) * 1e6).cast("long").as("y"))
+      pts.groupBy("source")
+        .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("m") >= 2)
+        .select(col("source"), col("m").as("n_points"),
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            9).as("zipf_slope"))
+        .orderBy("source")
     })
   )
+
+  /** The shared q143/q154 scoring kernel: per-doc quantized bigram-LM
+    * average score (doc_id, lang, nb, tqs, sq). The LM is q79's — corpus
+    * bigram counts with add-one smoothing, per-type log-prob quantized to
+    * an integer so every cross-row sum is exact — and the per-doc average
+    * is an integer floor-div (pmod form: identical on negative totals in
+    * both engines).
+    */
+  private def perpScores(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bigrams = base.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat(element_at(col("tk"), i), lit(" "),
+          element_at(col("tk"), i + lit(1))))).as("bg"))
+    val corpusBg = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cw = base.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val v = cw.agg(count(lit(1)).as("v"))
+    val bgLp = corpusBg
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(cw, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        floor(log2((col("cb") + lit(1.0)) /
+          (col("cw") + col("v").cast("double"))) * 1e9)
+          .cast("long").as("lpq"))
+    // same SHUFFLE_HASH pin as q79: the type-level side must build
+    bigrams.join(bgLp.hint("shuffle_hash"), "bg")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("nb"), sum("lpq").as("tqs"))
+      .withColumn("sq", expr("(tqs - pmod(tqs, nb)) div nb"))
+  }
+
+  /** q154's per-doc threshold assignment, parameterized on the sample so
+    * the spec can pin threshold-form == rank-form at sample = everything.
+    * Thresholds: with the sample's m per-lang scores ranked descending,
+    * t1 = score at rank ⌈m/3⌉, t2 = at ⌈2m/3⌉; bucket = 0 iff sq ≥ t1,
+    * 1 iff sq ≥ t2, else 2 (head/middle/tail).
+    */
+  private[graft] def perpThresholdDocBuckets(s: SparkSession, dir: String,
+    sampleMod: Long, sampleMax: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = perpScores(s, dir)
+    val w = Window.partitionBy("lang").orderBy(col("sq").desc, col("doc_id"))
+    val thr = scores
+      .filter(col("doc_id") % sampleMod === 0 && col("doc_id") < sampleMax)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(max(when(expr("rn = (m + 2) div 3"), col("sq"))).as("t1"),
+        max(when(expr("rn = (2 * m + 2) div 3"), col("sq"))).as("t2"))
+    scores.join(broadcast(thr), "lang")
+      .withColumn("bucket",
+        when(col("sq") >= col("t1"), 0L)
+          .when(col("sq") >= col("t2"), 1L).otherwise(2L))
+  }
+
+  /** q154's sample: every PerpSampleMod-th doc_id under PerpSampleMax —
+    * deterministic, oracle-replayable, and FIXED-SIZE as the corpus grows
+    * (the q135 DeconEvalMax precedent), so the threshold-fit window never
+    * scales with data.
+    */
+  private[graft] val PerpSampleMod = 3L
+  private[graft] val PerpSampleMax = 30000L
+
+  /** q156 probe orders and gram-hash seed. */
+  private val DiversityNs = Seq(1, 2, 3)
+  private val GramDivSeed = 157
+  /** q158: minimum tokens for a line to survive the short-line filter. */
+  private val MinLineTokens = 5
+  /** q159: Zipf fit surface — the global frequency head (a constant). */
+  private val ZipfMaxK = 64
 
   // q128 probe hyperparameters: the weak teacher IS q108's keep floor —
   // one shared constant, so a threshold change cannot desynchronize the
@@ -1158,9 +1322,12 @@ object TextQueries extends QueryModule {
     */
   private[graft] val LineTokens = 8
 
-  /** q148: coverage probe points and the TakeOrdered cut (= max probe). */
-  private val CoverageKs = Seq(4L, 8L, 16L, 32L)
-  private val CoverageMaxK = 32
+  /** q148: coverage probe points (toy curve head + realistic tokenizer
+    * sizes) and the TakeOrdered cut (= max probe, a constant).
+    */
+  private val CoverageKs =
+    Seq(4L, 8L, 16L, 32L, 8192L, 32768L, 131072L, 262144L)
+  private val CoverageMaxK = 262144
 
   /** The LINE GEOMETRY — per doc, the array of line token-arrays. Two
     * branches, chosen PER DOC (mixed corpora route each doc correctly):
@@ -1852,16 +2019,19 @@ object TextQueries extends QueryModule {
            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
                  FROM documents)
            GROUP BY tok),
-         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM tf),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+             count(*) AS vocab_size FROM tf),
          r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk,
              sum(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
-           FROM tf)
-         SELECT CAST(rnk AS BIGINT) AS vocab_k,
+           FROM tf),
+         p AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS requested_k)
+         SELECT CAST(requested_k AS BIGINT) AS requested_k,
+           CAST(least(requested_k, vocab_size) AS BIGINT) AS vocab_k,
            CAST(cum AS BIGINT) AS covered_tokens, total_tokens,
            round(CAST(cum AS DOUBLE) / total_tokens, 6) AS coverage
-         FROM r CROSS JOIN tot
-         WHERE rnk IN (${CoverageKs.mkString(", ")})
-         ORDER BY vocab_k""",
+         FROM p CROSS JOIN tot
+           JOIN r ON r.rnk = least(requested_k, vocab_size)
+         ORDER BY requested_k""",
 
     "q152_line_provenance" -> {
       val lineHash = hash64Sql("array_to_string(lt, ' ')", 142)
@@ -1874,29 +2044,112 @@ object TextQueries extends QueryModule {
     },
 
     "q143_perplexity_buckets" ->
-      raw"""WITH tkt AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
-                 FROM documents),
-         base AS (SELECT * FROM tkt WHERE len(tk) >= 2),
-         bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(tk)),
-                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM base),
-         cbg AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
-         un AS (SELECT unnest(tk) AS w FROM base),
-         cw AS (SELECT w, count(*) AS cw FROM un GROUP BY w),
-         v AS (SELECT count(DISTINCT w) AS v FROM un),
-         lp AS (SELECT cbg.bg,
-             CAST(floor(log2((cbg.cb + CAST(1.0 AS DOUBLE))
-                 / (cw.cw + CAST(v.v AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lpq
-           FROM cbg JOIN cw ON string_split(cbg.bg, ' ')[1] = cw.w CROSS JOIN v),
-         ds AS (SELECT doc_id, lang, count(*) AS nb, CAST(sum(lpq) AS BIGINT) AS tqs
-           FROM bg JOIN lp USING (bg) GROUP BY doc_id, lang),
-         q AS (SELECT doc_id, lang, nb, tqs,
-             (tqs - ((tqs % nb + nb) % nb)) // nb AS sq FROM ds),
+      raw"""WITH $perpScoresCtes,
          r AS (SELECT lang, sq, nb,
              row_number() OVER (PARTITION BY lang ORDER BY sq DESC, doc_id) AS rn,
              count(*) OVER (PARTITION BY lang) AS cnt FROM q)
          SELECT lang, CAST((3 * (rn - 1)) // cnt AS BIGINT) AS bucket,
            count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
            CAST(max(sq) AS BIGINT) AS best_q, CAST(min(sq) AS BIGINT) AS worst_q
-         FROM r GROUP BY lang, bucket ORDER BY lang, bucket"""
+         FROM r GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    "q156_ngram_diversity" -> {
+      def arm(n: Int): String = {
+        val h = hash64Sql(
+          s"array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')", GramDivSeed)
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+             unnest(list_transform(range(1, len(tk) + ${2 - n}), i -> ($h))) AS gh
+           FROM t WHERE len(tk) >= $n"""
+      }
+      raw"""WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+         g AS (${DiversityNs.map(arm).mkString("\n           UNION ALL\n           ")})
+         SELECT source, n, count(*) AS total_grams,
+           count(DISTINCT gh) AS distinct_grams,
+           round(CAST(count(DISTINCT gh) AS DOUBLE) / count(*), 6) AS diversity
+         FROM g GROUP BY source, n ORDER BY source, n"""
+    },
+
+    "q158_line_filter" ->
+      raw"""WITH ${lineCtesSql("source")},
+         ln AS (SELECT source, CAST(len(lt) AS BIGINT) AS ntk FROM ix)
+         SELECT source, count(*) AS n_lines,
+           CAST(sum(CASE WHEN ntk < $MinLineTokens THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(sum(CASE WHEN ntk < $MinLineTokens THEN ntk ELSE 0 END) AS BIGINT)
+             AS short_tokens,
+           CAST(sum(CASE WHEN ntk >= $MinLineTokens THEN ntk ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           round(CAST(sum(CASE WHEN ntk < $MinLineTokens THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS short_frac
+         FROM ln GROUP BY source ORDER BY source""",
+
+    "q159_zipf_slope" ->
+      raw"""WITH tf AS (SELECT source, tok, count(*) AS n
+           FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents)
+           GROUP BY source, tok),
+         head AS (SELECT tok FROM
+           (SELECT tok, CAST(sum(n) AS BIGINT) AS gn FROM tf GROUP BY tok
+            ORDER BY gn DESC, tok LIMIT $ZipfMaxK)),
+         pts AS (SELECT source,
+             CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+           FROM (SELECT source, n,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY n DESC, tok) AS rnk
+                 FROM tf WHERE tok IN (SELECT tok FROM head))),
+         a AS (SELECT source, count(*) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM pts GROUP BY source)
+         SELECT source, m AS n_points,
+           round(CAST(m * sxy - sx * sy AS DOUBLE)
+             / CAST(m * sxx - sx * sx AS DOUBLE), 9) AS zipf_slope
+         FROM a WHERE m >= 2 ORDER BY source""",
+
+    "q154_perplexity_thresholds" ->
+      raw"""WITH $perpScoresCtes,
+         samp AS (SELECT * FROM q
+           WHERE doc_id % $PerpSampleMod = 0 AND doc_id < $PerpSampleMax),
+         r AS (SELECT lang, doc_id, sq,
+             row_number() OVER (PARTITION BY lang ORDER BY sq DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS m FROM samp),
+         thr AS (SELECT lang,
+             max(CASE WHEN rn = (m + 2) // 3 THEN sq END) AS t1,
+             max(CASE WHEN rn = (2 * m + 2) // 3 THEN sq END) AS t2
+           FROM r GROUP BY lang),
+         b AS (SELECT q.lang,
+             CASE WHEN sq >= t1 THEN 0 WHEN sq >= t2 THEN 1 ELSE 2 END AS bucket,
+             nb, sq
+           FROM q JOIN thr ON q.lang = thr.lang)
+         SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS n_bigrams,
+           CAST(max(sq) AS BIGINT) AS best_q, CAST(min(sq) AS BIGINT) AS worst_q
+         FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""
   )
+
+  /** The q143/q154 shared oracle prefix — per-doc quantized LM scores,
+    * ending in `q` (doc_id, lang, nb, tqs, sq): the DuckDB rendering of
+    * [[perpScores]].
+    */
+  private def perpScoresCtes: String =
+    raw"""tkt AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+       base AS (SELECT * FROM tkt WHERE len(tk) >= 2),
+       bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i+1])) AS bg FROM base),
+       cbg AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+       un AS (SELECT unnest(tk) AS w FROM base),
+       cw AS (SELECT w, count(*) AS cw FROM un GROUP BY w),
+       v AS (SELECT count(DISTINCT w) AS v FROM un),
+       lp AS (SELECT cbg.bg,
+           CAST(floor(log2((cbg.cb + CAST(1.0 AS DOUBLE))
+               / (cw.cw + CAST(v.v AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lpq
+         FROM cbg JOIN cw ON string_split(cbg.bg, ' ')[1] = cw.w CROSS JOIN v),
+       ds AS (SELECT doc_id, lang, count(*) AS nb, CAST(sum(lpq) AS BIGINT) AS tqs
+         FROM bg JOIN lp USING (bg) GROUP BY doc_id, lang),
+       q AS (SELECT doc_id, lang, nb, tqs,
+           (tqs - ((tqs % nb + nb) % nb)) // nb AS sq FROM ds)"""
 }

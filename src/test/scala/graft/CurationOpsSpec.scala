@@ -148,6 +148,37 @@ class CurationOpsSpec extends AnyFunSuite {
       s"one line shared across sources: ${q152.toSeq}")
   }
 
+  test("q154 threshold form == q143 rank form at sample=all, off boundary ties") {
+    // with the sample widened to the whole corpus, the fitted thresholds
+    // ARE the exact tertile boundary scores — every doc whose score is not
+    // tied to a boundary must land in the same bucket under both forms
+    val ds = graft.queries.TextQueries
+      .perpThresholdDocBuckets(spark, sf001, 1L, Long.MaxValue).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("lang")), r.getLong(r.fieldIndex("sq")),
+        r.getLong(r.fieldIndex("bucket")), r.getLong(r.fieldIndex("t1")),
+        r.getLong(r.fieldIndex("t2"))))
+    var offTie = 0
+    ds.groupBy(_._2).foreach { case (lang, docs) =>
+      val sorted = docs.sortBy(d => (-d._3, d._1))
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case (d, i) =>
+        if (d._3 != d._5 && d._3 != d._6) {
+          offTie += 1
+          assert(d._4 == 3L * i / n,
+            s"$lang doc ${d._1}: threshold bucket ${d._4} vs rank ${3L * i / n}")
+        }
+      }
+    }
+    assert(offTie > ds.length / 2, s"law must bite: only $offTie off-tie docs")
+    // and the PRODUCTION sample (bounded) still yields 3 buckets per lang
+    val rows = q("q154_perplexity_thresholds").collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, bs) =>
+      assert(bs.map(_.getLong(1)).sorted.toSeq == Seq(0L, 1L, 2L),
+        s"$lang: sample-fitted thresholds must fill all three buckets")
+    }
+  }
+
   test("q143 perplexity buckets: tertile geometry and score monotonicity per lang") {
     val rows = q("q143_perplexity_buckets").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
@@ -232,12 +263,17 @@ class CurationOpsSpec extends AnyFunSuite {
       .sortBy { case (t, n) => (-n, t) }
     val total = freqs.map(_._2).sum
     val rows = q("q148_vocab_coverage").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L, 32L).filter(_ <= freqs.size))
-    rows.foreach { case (k, cov, tot, frac) =>
-      assert(tot == total)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // every requested probe answers; beyond-vocab probes clamp to |vocab|
+    assert(rows.map(_._1).toSeq ==
+      Seq(4L, 8L, 16L, 32L, 8192L, 32768L, 131072L, 262144L))
+    assert(q("q148_vocab_coverage").collect()
+      .forall(_.getLong(3) == total), "grand total on every row")
+    rows.foreach { case (reqK, k, cov, frac) =>
+      assert(k == math.min(reqK, freqs.size.toLong), s"k=$reqK clamp")
       assert(cov == freqs.take(k.toInt).map(_._2).sum, s"k=$k covered mass")
       assert(frac > 0.0 && frac <= 1.0)
+      if (reqK >= freqs.size) assert(frac == 1.0, s"k=$reqK full coverage")
     }
     assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted, "coverage monotone in k")
   }

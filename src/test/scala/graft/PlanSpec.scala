@@ -469,4 +469,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"q145 must probe via band equi-joins:\n$plan")
   }
+
+  test("q154 threshold fit: every window sits above the bounded sample filter") {
+    // the production contract vs q143's rank form: NO window over the
+    // corpus-extent score table — the only windows in the plan rank the
+    // fixed-size fit sample (doc_id % mod = 0 AND doc_id < max below them),
+    // and the fitted thresholds come back as a broadcast join
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    val qe = SparkEntry.queries("q154_perplexity_thresholds")(spark, sf0001)
+      .queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the threshold-fit window")
+    windows.foreach { w =>
+      val sampleBound = w.child.collect {
+        case f: Filter if f.condition.toString.contains(
+          graft.queries.TextQueries.PerpSampleMax.toString) => f
+      }
+      assert(sampleBound.nonEmpty,
+        s"a window ranks more than the bounded sample:\n${qe.optimizedPlan}")
+    }
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      "thresholds must broadcast back to the corpus side")
+  }
 }

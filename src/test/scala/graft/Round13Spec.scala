@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural laws of the round-13 operators — invariants the DuckDB
+  * value-hash can't express: strength monotonicity of the dedup
+  * attribution, share conservation and temperature flattening of the
+  * mixture sweep, line-mass conservation of the short-line filter, and the
+  * exact moment recompute behind the Zipf fit.
+  */
+class Round13Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf001)
+
+  test("q155 attribution: exact <= bag <= set per source; firsts conserve docs") {
+    val rows = q("q155_dedup_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.foreach { case (src, n, ex, bg, st) =>
+      assert(0 <= ex && ex <= bg && bg <= st && st <= n,
+        s"$src: strengths must be monotone (ex=$ex bg=$bg set=$st n=$n)")
+    }
+    // global conservation: Σ dups = docs − distinct fingerprints, per form
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id",
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS ex",
+        "concat_ws(' ', sort_array(split(trim(text), '\\\\s+'))) AS bg",
+        "concat_ws(' ', array_sort(array_distinct(split(trim(text), '\\\\s+')))) AS st")
+      .collect()
+    assert(rows.map(_._3).sum ==
+      docs.length - docs.map(_.getString(1)).distinct.length, "exact total")
+    assert(rows.map(_._4).sum ==
+      docs.length - docs.map(_.getString(2)).distinct.length, "bag total")
+    assert(rows.map(_._5).sum ==
+      docs.length - docs.map(_.getString(3)).distinct.length, "set total")
+    // the set strength must actually bite on this corpus (template families)
+    assert(rows.map(_._5).sum > 0, "set-strength dups expected")
+  }
+
+  test("q156 diversity: bounded, distinct<=total, equals exact recompute at n=2") {
+    val rows = q("q156_ngram_diversity").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    rows.foreach { case ((src, n), (tot, dst, div)) =>
+      assert(dst >= 1 && dst <= tot, s"$src n=$n")
+      assert(div > 0.0 && div <= 1.0, s"$src n=$n diversity $div")
+    }
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("source", "split(trim(text), '\\\\s+') AS tk").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val bigrams = ds.flatMap(_._2.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq)
+      val (tot, dst, _) = rows((src, 2L))
+      assert(tot == bigrams.length, s"$src bigram total")
+      assert(dst == bigrams.distinct.length, s"$src bigram distinct")
+    }
+  }
+
+  test("q157 temperature sweep: shares conserve; lower tau flattens the mixture") {
+    val rows = q("q157_mixture_temperature").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4)))
+    val byTau = rows.groupBy(_._1)
+    assert(byTau.keySet == Set(25L, 50L, 100L))
+    byTau.foreach { case (tau, rs) =>
+      val s = rs.map(_._3).sum
+      assert(math.abs(s - 1.0) < 1e-6, s"tau=$tau shares sum to $s")
+      val budget = graft.queries.AssemblyQueries.EpochBudget
+      val t = rs.map(_._4).sum
+      assert(t <= budget && t >= budget - rs.length,
+        s"tau=$tau targets within floor loss of budget: $t")
+    }
+    // flattening law: the share spread shrinks strictly as tau drops
+    def spread(tau: Long) =
+      byTau(tau).map(_._3).max - byTau(tau).map(_._3).min
+    assert(spread(25L) < spread(50L) && spread(50L) < spread(100L),
+      s"spreads ${spread(25L)}, ${spread(50L)}, ${spread(100L)}")
+  }
+
+  test("q158 line filter: mass conserves against the line geometry; filter bites") {
+    val lines = graft.queries.TextQueries.docLines(
+      spark.read.parquet(s"$sf001/documents.parquet")
+        .select("doc_id", "text", "source"))
+      .selectExpr("source", "ntk").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = lines.groupBy(_._1).map { case (src, ls) =>
+      val short = ls.filter(_._2 < 5)
+      src -> ((ls.length.toLong, short.length.toLong,
+        short.map(_._2).sum, ls.filter(_._2 >= 5).map(_._2).sum))
+    }
+    val got = q("q158_line_filter").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._2).sum > 0, "window tails must trip the filter")
+  }
+
+  test("q159 zipf slope: negative everywhere; exact moment recompute for one source") {
+    val rows = q("q159_zipf_slope").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (src, m, slope) =>
+      assert(m >= 2, s"$src points")
+      assert(slope < 0.0 && slope > -5.0, s"$src slope $slope")
+    }
+    // exact recompute, one source, straight from token frequencies
+    val src0 = rows.head._1
+    val freqs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("source") === src0)
+      .selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+    val pts = freqs.zipWithIndex.map { case ((_, n), i) =>
+      (math.floor(math.log(i + 1.0) * 1e6).toLong,
+        math.floor(math.log(n.toDouble) * 1e6).toLong)
+    }
+    val m = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = BigDecimal((m * sxy - sx * sy).toDouble /
+      (m * sxx - sx * sx).toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.find(_._1 == src0).get._3 - slope) < 1e-9,
+      s"$src0: ${rows.find(_._1 == src0).get._3} vs $slope")
+  }
+}
