@@ -248,19 +248,28 @@ object AssemblyQueries extends QueryModule {
     // convention, so the oracle replays it). The ~20-row plan broadcasts;
     // the corpus side is one scan + a broadcast join — nothing shuffles
     // but the presentation sort.
-    "q149_epoch_expand" -> ((s, dir) => {
-      val plan = broadcast(epochPlanOf(s, dir)
-        .select("source", "n_epochs", "rem_rate"))
-      docs(s, dir).select(col("source"), col("doc_id"),
-          size(toks(col("text"))).cast("long").as("nt"))
-        .join(plan, "source")
-        .withColumn("extra",
-          (hash64(col("doc_id").cast("string"), ExpandSeed) % 1000000L <
-            floor(col("rem_rate") * 1000000)).cast("long"))
-        .select(col("doc_id"), col("source"), col("nt"),
-          (col("n_epochs") + col("extra")).as("n_copies"))
-        .orderBy("doc_id")
-    }))
+    "q149_epoch_expand" -> ((s, dir) =>
+      expandCopies(
+        docs(s, dir).select(col("source"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("nt")),
+        epochPlanOf(s, dir))
+        .orderBy("doc_id")))
+
+  /** q149's copy-count arithmetic over any (doc_id, source, nt) frame —
+    * ONE definition shared with the streaming planned materializer
+    * ([[graft.streaming.StreamingCorpusBuild]]), so the incremental plan
+    * manifest can never diverge from the batch law: every doc repeats
+    * n_epochs times plus one more iff its deterministic md5 draw clears
+    * the remainder rate (q133's draw convention — the oracle replays it).
+    * The ~20-row plan broadcasts; per-doc work is map-side arithmetic.
+    */
+  def expandCopies(d: DataFrame, plan: DataFrame): DataFrame =
+    d.join(broadcast(plan.select("source", "n_epochs", "rem_rate")), "source")
+      .withColumn("extra",
+        (hash64(col("doc_id").cast("string"), ExpandSeed) % 1000000L <
+          floor(col("rem_rate") * 1000000)).cast("long"))
+      .select(col("doc_id"), col("source"), col("nt"),
+        (col("n_epochs") + col("extra")).as("n_copies"))
 
   /** q141's plan (shared with q149's execution): per-source target
     * tokens = budget·√tokens/Σ√tokens as whole epochs + a fractional

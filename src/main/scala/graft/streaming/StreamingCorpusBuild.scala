@@ -114,13 +114,43 @@ object StreamingCorpusBuild {
       .as[SplitDoc]
   }
 
+  /** An up-sampling plan pinned for a planned stream: the (source,
+    * n_epochs, rem_rate) rows plus the md5 PLAN ID that stamps every
+    * manifest row — a later run under a different plan is detectable row
+    * by row (late-plan changes flag instead of silently mixing regimes).
+    */
+  case class PinnedPlan(planId: String,
+    rows: Seq[(String, Long, Double)]) {
+    def toDF(s: SparkSession): DataFrame = {
+      import s.implicits._
+      rows.toDF("source", "n_epochs", "rem_rate")
+    }
+  }
+
+  /** Pin a q141-shaped plan frame (source, …, n_epochs, rem_rate): collect
+    * the ~20-row dim (bounded by construction) and fingerprint its sorted
+    * canonical rendering.
+    */
+  def pinPlan(plan: DataFrame): PinnedPlan = {
+    val rows = plan.select("source", "n_epochs", "rem_rate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    val canon = rows.map { case (s, e, r) => s"$s:$e:$r" }.mkString("|")
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    PinnedPlan(id, rows)
+  }
+
   /** Append one routed micro-batch's chunk files and publish the next
     * corpus version. Idempotent per batchId: the data dir is overwritten
     * whole, and a batch already listed in the newest version's `_files`
-    * publishes nothing again.
+    * publishes nothing again. With a pinned plan, the per-doc copy-count
+    * manifest (the loader contract q149 materializes in batch — the
+    * corpus is never physically duplicated) lands under `plan/batch=…`,
+    * each row stamped with the plan id.
     */
   private[graft] def appendBatch(s: SparkSession, batch: DataFrame,
-    batchId: Long, out: String): Unit = {
+    batchId: Long, out: String, plan: Option[PinnedPlan] = None): Unit = {
     // persist BEFORE the late/fresh split: the four downstream actions
     // (two isEmpty probes + two writes) would otherwise each re-execute
     // the stateful shard-assignment plan — 4× the batch's CPU/IO, and a
@@ -143,10 +173,36 @@ object StreamingCorpusBuild {
         .select(CorpusBuild.ChunkCols.map(col): _*)
       chunks.write.mode(SaveMode.Overwrite)
         .partitionBy("split", "shard").parquet(s"$out/data/batch=$batchId")
+      // planned stream: the SAME expansion kernel as batch q149 over this
+      // batch's fresh docs — O(batch) rows, idempotently overwritten
+      plan.foreach { p =>
+        AssemblyQueries.expandCopies(
+          fresh.select(col("docId").as("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("nt")),
+          p.toDF(s))
+          .withColumn("plan_id", lit(p.planId))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$out/plan/batch=$batchId")
+      }
       publish(s, out, batchId)
     }
     } finally batch.unpersist()
   }
+
+  /** The accumulated per-doc copy manifest of a planned stream (the q149
+    * table, built batch by batch). Empty-schema exception if no planned
+    * batch has landed yet.
+    */
+  def copyManifest(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(s"$out/plan/batch=*")
+
+  /** Manifest rows written under an EARLIER plan than `current` — the
+    * re-expansion queue after a late plan change (their copy counts
+    * followed a regime the loader no longer runs).
+    */
+  def staleCopyDocs(s: SparkSession, out: String,
+    current: PinnedPlan): DataFrame =
+    copyManifest(s, out).filter(col("plan_id") =!= current.planId)
 
   private def publish(s: SparkSession, out: String, batchId: Long): Unit = {
     import s.implicits._
@@ -217,15 +273,19 @@ object StreamingCorpusBuild {
 
   /** Start the appender: every micro-batch of kept docs is sharded at the
     * frontier, chunked (q131 geometry), written as an immutable data
-    * batch, and published as the next atomic version.
+    * batch, and published as the next atomic version. With a pinned
+    * up-sampling plan, each batch also lands its per-doc copy-count
+    * manifest (the streamed q149 — see [[copyManifest]]).
     */
   def route(docs: Dataset[SplitDoc], out: String, checkpointDir: String,
     numShards: Int = AssemblyQueries.NumShards,
-    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    trigger: Trigger = Trigger.AvailableNow(),
+    plan: Option[PinnedPlan] = None): StreamingQuery = {
     val s = docs.sparkSession
     assignShards(docs, numShards).toDF()
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => appendBatch(s, b, id, out) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatch(s, b, id, out, plan) }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()

@@ -101,6 +101,63 @@ class StreamingCorpusBuildSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("planned stream: streamed copy manifest == batch q149 kernel; plan change flags stale") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = keptDocs()
+    val mid = docs(docs.length / 2).docId
+    val plan = StreamingCorpusBuild.pinPlan(
+      SparkEntry.queries("q141_epoch_plan")(spark, sf0001))
+    val out = Files.createTempDirectory("graft-scb-plan").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-scb-pckpt").toString
+    val stream = MemoryStream[SplitDoc]
+    val query = StreamingCorpusBuild.route(stream.toDS(), out, ckpt,
+      trigger = Trigger.ProcessingTime(0), plan = Some(plan))
+    try {
+      stream.addData(docs.filter(_.docId < mid).toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(docs.filter(_.docId >= mid).toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "nt", "n_copies").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val streamed = StreamingCorpusBuild.copyManifest(spark, out)
+    // the law: streamed manifest across batch boundaries == the batch
+    // expansion kernel over the same kept docs under the same plan
+    val keptNt = spark.createDataset(docs.toSeq).toDF()
+      .select(col("docId").as("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.toks(col("text"))).cast("long")
+          .as("nt"))
+    assert(rows(streamed) ==
+      rows(graft.queries.AssemblyQueries.expandCopies(keptNt, plan.toDF(spark))),
+      "streamed expansion must equal the batch kernel exactly")
+    assert(streamed.select("plan_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(plan.planId))
+    assert(StreamingCorpusBuild.staleCopyDocs(spark, out, plan).isEmpty,
+      "nothing is stale under the original plan")
+
+    // late plan change: a new batch lands under a REVISED plan — its rows
+    // stamp the new id, and every earlier row becomes the re-expansion
+    // queue (flagged, never silently mixed into the new regime)
+    val plan2 = StreamingCorpusBuild.pinPlan(
+      plan.toDF(spark).withColumn("n_epochs", col("n_epochs") + 1))
+    assert(plan2.planId != plan.planId)
+    val newId = docs.map(_.docId).max + 1
+    val late = Seq((newId, docs.head.source, "en", "train", 7L, false,
+      "fresh doc under the revised plan"))
+      .toDF("docId", "source", "lang", "split", "shard", "late", "text")
+    StreamingCorpusBuild.appendBatch(spark, late, 99L, out, Some(plan2))
+    val stale = StreamingCorpusBuild.staleCopyDocs(spark, out, plan2)
+    assert(stale.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      docs.map(_.docId).toSet,
+      "every pre-change row must flag for re-expansion")
+    assert(StreamingCorpusBuild.copyManifest(spark, out).count() ==
+      docs.length + 1)
+  }
+
   test("appendBatch is idempotent under at-least-once batchId replay") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-scb-idem").toString + "/corpus"
