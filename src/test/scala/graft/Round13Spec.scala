@@ -96,6 +96,52 @@ class Round13Spec extends AnyFunSuite {
     assert(got.values.map(_._2).sum > 0, "window tails must trip the filter")
   }
 
+  test("q160 pmi: floor respected, descending, recompute within one quantum") {
+    val rows = q("q160_pmi_collocations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall(_._2 >= 10), "count floor")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sortBy(-_),
+      "top-K must come back PMI-descending")
+    // independent PMI recompute (±1 quantum: the quantization grid is the
+    // only thing the last-ulp of two log implementations can move)
+    val tks = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("split(trim(text), '\\\\s+') AS tk").collect()
+      .map(_.getSeq[String](0)).filter(_.size >= 2)
+    val uni = tks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = tks.flatMap(_.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = tks.map(_.size.toLong).sum.toDouble
+    val b = tks.map(_.size.toLong - 1).sum.toDouble
+    rows.foreach { case (bg, n, pmiQ) =>
+      assert(big(bg) == n, s"$bg count")
+      val Array(w1, w2) = bg.split(" ")
+      val exp = math.floor(
+        math.log(n.toDouble * t * t / (b * uni(w1) * uni(w2))) /
+          math.log(2.0) * 1e6).toLong
+      assert(math.abs(pmiQ - exp) <= 1, s"$bg: $pmiQ vs $exp")
+    }
+  }
+
+  test("q161 quality drift: doc conservation and exact mean recompute per source") {
+    val perDoc = graft.queries.TextQueries
+      .perpThresholdDocBuckets(spark, sf001, 1L, Long.MaxValue).collect()
+      .map(r => (r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("sq"))))
+    val rows = q("q161_source_quality_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._2).sum == perDoc.length, "every scored doc rolls up")
+    def fdiv(a: Long, n: Long) = (a - (((a % n) + n) % n)) / n
+    perDoc.groupBy(_._1).foreach { case (src, ds) =>
+      val (_, n, mean, best, worst) = rows.find(_._1 == src).get
+      assert(n == ds.length)
+      assert(best == ds.map(_._2).max && worst == ds.map(_._2).min)
+      assert(mean == fdiv(ds.map(d => fdiv(d._2, 1000L)).sum, n),
+        s"$src mean_q3")
+    }
+  }
+
   test("q159 zipf slope: negative everywhere; exact moment recompute for one source") {
     val rows = q("q159_zipf_slope").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
