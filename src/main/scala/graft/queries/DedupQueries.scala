@@ -487,6 +487,34 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // CROSS-SPLIT LINE LEAKAGE — the contamination metric at the C4 line
+    // granularity: how many of each held-out split's distinct lines ALSO
+    // appear in train (q67/q99 catch gram-span overlap per doc; q110
+    // flags whole leaked docs; this counts the verbatim line units the
+    // dedup pipeline itself operates on, over the SAME newline-aware
+    // geometry as q142). A high leak_frac on val/test means the
+    // cluster-aware split (q126) is routing around doc-level dedup but
+    // boilerplate still crosses the fence. Scale shape: the line mass
+    // collapses to distinct (split, h) in one pass; the train probe is an
+    // h-keyed equi-join of two distinct line sets; rollup is ≤ 2 rows.
+    "q162_split_line_leakage" -> ((s, dir) => {
+      val splits = queries("q126_cluster_split")(s, dir)
+        .select("doc_id", "split")
+      val sl = graft.queries.TextQueries.docLines(
+          docs(s, dir).select("doc_id", "text"))
+        .join(splits, "doc_id")
+        .select("split", "h").distinct()
+      val trainH = sl.filter(col("split") === "train").select("h")
+      sl.filter(col("split") =!= "train")
+        .join(trainH.withColumn("hit", lit(1L)), Seq("h"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+        .withColumn("leak_frac",
+          round(col("n_leaked").cast("double") / col("n_lines"), 6))
+        .orderBy("split")
+    }),
+
     // Corpus-side SQL surface (the LLM-pipeline twin of q123): the split ×
     // keep-reason census ROUTED THROUGH spark.sql over the mounted
     // CorpusSurface views — verifying a plain-SQL user of the pipeline
@@ -1048,6 +1076,26 @@ object DedupQueries extends QueryModule {
          $splitCte
          SELECT doc_id, rep_id, $splitCaseSql AS split
          FROM b ORDER BY doc_id""",
+
+    "q162_split_line_leakage" -> {
+      val lineHash = hash64Sql("array_to_string(lt, ' ')", 142)
+      s"""WITH RECURSIVE $tkCte, $shCte,
+         $labCtes,
+         $splitCte,
+         ${graft.queries.TextQueries.lineCtesSql("", "l")},
+         lh AS (SELECT doc_id, ($lineHash) AS h FROM lix),
+         sl AS (SELECT DISTINCT $splitCaseSql AS split, h
+           FROM lh JOIN b USING (doc_id)),
+         th AS (SELECT h FROM sl WHERE split = 'train')
+         SELECT split, count(*) AS n_lines,
+           CAST(sum(CASE WHEN th.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           round(CAST(sum(CASE WHEN th.h IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS leak_frac
+         FROM sl LEFT JOIN th ON sl.h = th.h
+         WHERE split <> 'train'
+         GROUP BY split ORDER BY split"""
+    },
     "q127_corpus_sql" ->
       s"""WITH RECURSIVE $tkCte, $shCte,
          $labCtes,

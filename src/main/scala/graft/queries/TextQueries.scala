@@ -1244,6 +1244,44 @@ object TextQueries extends QueryModule {
           col("best_q"), col("worst_q"))
         .orderBy("source")),
 
+    // SOURCE DISTRIBUTION DRIFT — symmetric KL divergence between every
+    // source pair's unigram distribution over the GLOBAL frequency head
+    // (add-one smoothed, renormalized within the head): the
+    // DISTRIBUTION-level member of the provenance family (q106 lexical
+    // doc near-dup, q140 semantic overlap, q152 verbatim line reuse —
+    // this catches two sources that share no content but the same
+    // generator). Scale shape: the corpus collapses to the (source,
+    // token) count table once (lineage-cut — vocabulary-sized); the head
+    // cut is TakeOrdered (a constant), the zero-filled grid is
+    // |sources|·HeadK rows, and the pair join fans out on TOKEN within
+    // the head — |sources|²·HeadK terms, all type-level. Per-term values
+    // quantize to a 1e-9 integer grid (the q143 rule) so the cross-row
+    // sum is exact at any partitioning.
+    "q163_source_kl" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .cutLineage()
+      val head = tf.groupBy("tok").agg(sum("c").as("gn"))
+        .orderBy(col("gn").desc, col("tok")).limit(KlHeadK).select("tok")
+      val grid = tf.select("source").distinct()
+        .crossJoin(broadcast(head))
+        .join(tf, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"), coalesce(col("c"), lit(0L)).as("c"))
+      val pa = grid.join(
+        broadcast(grid.groupBy("source").agg(sum("c").as("n"))), "source")
+      def p(side: String) =
+        (col(s"$side.c") + lit(1.0)) / (col(s"$side.n") + lit(KlHeadK))
+      pa.as("a").join(pa.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          (floor(p("a") * log2(p("a") / p("b")) * 1e9).cast("long") +
+            floor(p("b") * log2(p("b") / p("a")) * 1e9).cast("long")).as("t"))
+        .groupBy("source_a", "source_b")
+        .agg(sum("t").as("skl_q9"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // ZIPF RANK-FREQUENCY SLOPE per source — the vocabulary-health
     // diagnostic (natural text sits near −1; template/generated text runs
     // flatter, OCR noise steeper). Least-squares over (ln rank, ln freq)
@@ -1305,20 +1343,35 @@ object TextQueries extends QueryModule {
       perpScoresCore(s, dir).cache()
     })
 
-  private def perpScoresCore(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 2)
-    val bigrams = base.select(col("doc_id"), col("lang"), col("source"),
+  /** The bigram explode shared by the batch kernel and the streaming
+    * quality gate — every column except `tk` passes through.
+    */
+  private[graft] def docBigrams(d: DataFrame): DataFrame = {
+    val extras = d.columns.filter(_ != "tk").map(col)
+    d.select(extras :+
       explode(transform(sequence(lit(1), size(col("tk")) - 1),
         i => concat(element_at(col("tk"), i), lit(" "),
-          element_at(col("tk"), i + lit(1))))).as("bg"))
-    val corpusBg = bigrams.groupBy("bg").agg(count(lit(1)).as("cb"))
+          element_at(col("tk"), i + lit(1))))).as("bg"): _*)
+  }
+
+  /** The per-doc integer-average expression over (nb, tqs) — pmod form. */
+  private[graft] val SqExprSql = "(tqs - pmod(tqs, nb)) div nb"
+
+  /** The trained LM TABLE (bg → quantized log-prob): corpus bigram counts
+    * with add-one smoothing, the q79 model. Type-level (vocabulary-sized)
+    * — the artifact a fit-offline/serve-online deployment ships to the
+    * streaming gate.
+    */
+  private[graft] def lmTable(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val corpusBg = docBigrams(base.select(col("doc_id"), col("tk")))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
     val cw = base.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val v = cw.agg(count(lit(1)).as("v"))
-    val bgLp = corpusBg
+    corpusBg
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(cw, col("w1") === col("w"))
       .crossJoin(broadcast(v))
@@ -1326,13 +1379,20 @@ object TextQueries extends QueryModule {
         floor(log2((col("cb") + lit(1.0)) /
           (col("cw") + col("v").cast("double"))) * 1e9)
           .cast("long").as("lpq"))
+  }
+
+  private def perpScoresCore(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
     // same SHUFFLE_HASH pin as q79: the type-level side must build.
     // source rides the group keys for free (functionally dependent on
     // doc_id) so the q161 source rollup reads this table directly.
-    bigrams.join(bgLp.hint("shuffle_hash"), "bg")
+    docBigrams(base).join(lmTable(s, dir).hint("shuffle_hash"), "bg")
       .groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("nb"), sum("lpq").as("tqs"))
-      .withColumn("sq", expr("(tqs - pmod(tqs, nb)) div nb"))
+      .withColumn("sq", expr(SqExprSql))
   }
 
   /** q154's per-doc threshold assignment, parameterized on the sample so
@@ -1343,25 +1403,42 @@ object TextQueries extends QueryModule {
     */
   private[graft] def perpThresholdDocBuckets(s: SparkSession, dir: String,
     sampleMod: Long, sampleMax: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the score table feeds BOTH the threshold fit and the assignment;
     // perpScores is memoized/cached, so the bigram-LM kernel runs once
     // per session, not once per consumer (measured 2.5× at sf1 when the
     // first cut re-derived it per consumer)
     val scores = perpScores(s, dir)
+    scores.join(broadcast(perpThresholds(scores, sampleMod, sampleMax)), "lang")
+      .withColumn("bucket", perpBucketCol)
+  }
+
+  /** The fitted per-language tertile thresholds (lang, t1, t2) — the
+    * OTHER artifact a fit-offline/serve-online deployment ships (with
+    * [[lmTable]]) to the streaming gate.
+    */
+  private[graft] def perpThresholds(scores: DataFrame,
+    sampleMod: Long = PerpSampleMod,
+    sampleMax: Long = PerpSampleMax): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("sq").desc, col("doc_id"))
-    val thr = scores
+    scores
       .filter(col("doc_id") % sampleMod === 0 && col("doc_id") < sampleMax)
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("m", count(lit(1)).over(Window.partitionBy("lang")))
       .groupBy("lang")
       .agg(max(when(expr("rn = (m + 2) div 3"), col("sq"))).as("t1"),
         max(when(expr("rn = (2 * m + 2) div 3"), col("sq"))).as("t2"))
-    scores.join(broadcast(thr), "lang")
-      .withColumn("bucket",
-        when(col("sq") >= col("t1"), 0L)
-          .when(col("sq") >= col("t2"), 1L).otherwise(2L))
   }
+
+  /** Bucket from (sq, t1, t2): 0 = head, 1 = middle, 2 = tail. */
+  private[graft] def perpBucketCol: Column =
+    when(col("sq") >= col("t1"), 0L)
+      .when(col("sq") >= col("t2"), 1L).otherwise(2L)
+
+  /** Fit the full gate model for the streaming quality gate. */
+  private[graft] def perpGateModel(s: SparkSession, dir: String)
+    : (DataFrame, DataFrame) =
+    (lmTable(s, dir), perpThresholds(perpScores(s, dir)))
 
   /** q154's sample: every PerpSampleMod-th doc_id under PerpSampleMax —
     * deterministic, oracle-replayable, and FIXED-SIZE as the corpus grows
@@ -1377,6 +1454,8 @@ object TextQueries extends QueryModule {
   /** q160: bigram count floor + result size. */
   private val MinColloc = 10
   private val CollocTopK = 25
+  /** q163: the global frequency head the KL runs over (a constant). */
+  private val KlHeadK = 256
   /** q158: minimum tokens for a line to survive the short-line filter. */
   private val MinLineTokens = 5
   /** q159: Zipf fit surface — the global frequency head (a constant). */
@@ -1563,13 +1642,16 @@ object TextQueries extends QueryModule {
     * `extra` columns carried through: per doc, newline-split lines (empty
     * lines dropped) when the text contains `\n`, else the LineTokens
     * window fallback; `ix` zips each line token-array `lt` with its index
-    * `i` via DuckDB's parallel unnest.
+    * `i` via DuckDB's parallel unnest. `p` prefixes the CTE names for
+    * oracles that compose this chain with another module's CTEs (q162
+    * shares a WITH with the dedup-split chain, whose first CTE is also
+    * named `tk`).
     */
-  private def lineCtesSql(extra: String): String = {
+  private[graft] def lineCtesSql(extra: String, p: String = ""): String = {
     val ec = if (extra.isEmpty) "" else s", $extra"
-    raw"""tk AS (SELECT doc_id$ec, text,
+    raw"""${p}tk AS (SELECT doc_id$ec, text,
            string_split_regex(trim(text), '\s+') AS t FROM documents),
-       lns AS (SELECT doc_id$ec,
+       ${p}lns AS (SELECT doc_id$ec,
            CASE WHEN contains(text, chr(10)) THEN
              list_filter(list_transform(string_split(text, chr(10)),
                l -> list_filter(string_split_regex(trim(l), '\s+'),
@@ -1579,9 +1661,9 @@ object TextQueries extends QueryModule {
                CAST(ceil(len(t) / CAST($LineTokens AS DOUBLE)) AS BIGINT))),
              i -> list_slice(t, i*$LineTokens+1, i*$LineTokens+$LineTokens))
            END AS la
-         FROM tk),
-       ix AS (SELECT doc_id$ec, unnest(la) AS lt,
-           unnest(range(0, len(la))) AS i FROM lns)"""
+         FROM ${p}tk),
+       ${p}ix AS (SELECT doc_id$ec, unnest(la) AS lt,
+           unnest(range(0, len(la))) AS i FROM ${p}lns)"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -2228,6 +2310,33 @@ object TextQueries extends QueryModule {
            JOIN cw c2 ON string_split(bigram, ' ')[2] = c2.w
            CROSS JOIN tot
          ORDER BY pmi_q DESC, bigram LIMIT $CollocTopK""",
+
+    "q163_source_kl" ->
+      raw"""WITH tf AS (SELECT source, tok, count(*) AS c
+           FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents)
+           GROUP BY source, tok),
+         head AS (SELECT tok FROM
+           (SELECT tok, CAST(sum(c) AS BIGINT) AS gn FROM tf GROUP BY tok
+            ORDER BY gn DESC, tok LIMIT $KlHeadK)),
+         srcs AS (SELECT DISTINCT source FROM tf),
+         grid AS (SELECT s.source, h.tok, coalesce(tf.c, 0) AS c
+           FROM srcs s CROSS JOIN head h
+           LEFT JOIN tf ON tf.source = s.source AND tf.tok = h.tok),
+         ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+           FROM grid GROUP BY source),
+         pa AS (SELECT grid.source, tok, c, n FROM grid JOIN ns USING (source)),
+         t AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(floor(((a.c + 1.0) / (a.n + $KlHeadK))
+               * log2(((a.c + 1.0) / (a.n + $KlHeadK))
+                 / ((b.c + 1.0) / (b.n + $KlHeadK))) * 1000000000.0) AS BIGINT)
+             + CAST(floor(((b.c + 1.0) / (b.n + $KlHeadK))
+               * log2(((b.c + 1.0) / (b.n + $KlHeadK))
+                 / ((a.c + 1.0) / (a.n + $KlHeadK))) * 1000000000.0) AS BIGINT)
+               AS t
+           FROM pa a JOIN pa b ON a.tok = b.tok AND a.source < b.source)
+         SELECT source_a, source_b, CAST(sum(t) AS BIGINT) AS skl_q9
+         FROM t GROUP BY source_a, source_b ORDER BY source_a, source_b""",
 
     "q161_source_quality_drift" ->
       raw"""WITH $perpScoresCtes,

@@ -142,6 +142,74 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q162 line leakage: exact recompute from the line sets; leakage bites") {
+    val splits = SparkEntry.queries("q126_cluster_split")(spark, sf001)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = graft.queries.TextQueries.docLines(
+        spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text"))
+      .select("doc_id", "h").collect()
+      .map(r => (splits(r.getLong(0)), r.getLong(1)))
+    val bySplit = lines.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val train = bySplit("train")
+    val rows = q("q162_split_line_leakage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet == bySplit.keySet - "train")
+    rows.foreach { case (split, n, leaked, frac) =>
+      val s = bySplit(split)
+      assert(n == s.size, s"$split distinct lines")
+      assert(leaked == (s & train).size, s"$split leaked")
+      assert(math.abs(frac - leaked.toDouble / n) < 1e-6)
+    }
+    // the cluster-aware split EXISTS to prevent this: dup families route
+    // whole, so zero lines cross the fence here — while the naive
+    // doc_id-mod split on the SAME line sets leaks. The metric bites
+    // where leakage exists, and q126 is what keeps it at zero.
+    assert(rows.map(_._3).sum == 0,
+      "cluster-aware split must keep line leakage at zero on this corpus")
+    val naiveBySplit = graft.queries.TextQueries.docLines(
+        spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text"))
+      .select("doc_id", "h").collect()
+      .map(r => (r.getLong(0) % 3, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naiveLeak = (naiveBySplit(1L) & naiveBySplit(0L)).size +
+      (naiveBySplit(2L) & naiveBySplit(0L)).size
+    assert(naiveLeak > 0,
+      "a naive doc_id-mod split must leak on this corpus (the metric bites)")
+  }
+
+  test("q163 source KL: all pairs, near-non-negative, exact recompute for one pair") {
+    val rows = q("q163_source_kl").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val srcs = rows.keys.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.size == srcs.size * (srcs.size - 1) / 2, "every pair present")
+    // KL >= 0 up to quantization: each of the 2·HeadK floors loses < 1
+    rows.values.foreach(v => assert(v >= -2L * 256,
+      s"symmetric KL must be non-negative up to floor loss: $v"))
+    // exact recompute for the lexicographically first pair
+    val (pa, pb) = rows.keys.minBy(identity)
+    val tf = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("source", "explode(split(trim(text), '\\\\s+')) AS tok")
+      .groupBy("source", "tok").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val head = tf.groupBy(_._1._2).view.mapValues(_.values.sum).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(256).map(_._1)
+    def dist(src: String) = {
+      val cs = head.map(t => tf.getOrElse((src, t), 0L))
+      (cs, cs.sum)
+    }
+    val ((ca, na), (cb, nb)) = (dist(pa), dist(pb))
+    val exp = head.indices.map { i =>
+      val p = (ca(i) + 1.0) / (na + 256)
+      val qq = (cb(i) + 1.0) / (nb + 256)
+      math.floor(p * (math.log(p / qq) / math.log(2.0)) * 1e9).toLong +
+        math.floor(qq * (math.log(qq / p) / math.log(2.0)) * 1e9).toLong
+    }.sum
+    // ±1 quantum per floored term (two log implementations' last ulp)
+    assert(math.abs(rows((pa, pb)) - exp) <= 2L * 256,
+      s"($pa,$pb): ${rows((pa, pb))} vs $exp")
+  }
+
   test("q159 zipf slope: negative everywhere; exact moment recompute for one source") {
     val rows = q("q159_zipf_slope").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

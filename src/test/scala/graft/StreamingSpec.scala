@@ -1161,6 +1161,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming quality gate == batch q154 per-doc buckets across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingQualityGate._
+    // fit ONCE on the reference corpus (the type-level LM + thresholds),
+    // then stream the same docs in two batches: every scorable doc must
+    // land in exactly the bucket batch q154's kernel assigns it
+    val model = fit(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getString(2)))
+    val out = tmpDir("graft-qgate")
+    val ckpt = tmpDir("graft-qgate-ckpt")
+    val stream = MemoryStream[Doc]
+    val query = route(stream.toDS(), model, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      stream.addData(b1.toIndexedSeq); query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = verdicts(spark, out)
+      .filter(col("bucket") >= 0)
+      .select("doc_id", "nb", "sq", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.queries.TextQueries
+      .perpThresholdDocBuckets(spark, sf0001,
+        graft.queries.TextQueries.PerpSampleMod,
+        graft.queries.TextQueries.PerpSampleMax)
+      .select("doc_id", "nb", "sq", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"gate verdicts must equal the batch kernel (${streamed.size} vs ${batch.size})")
+    // nothing vanishes: unscorable docs surface with bucket = -1
+    assert(verdicts(spark, out).count() == docs.length)
+  }
+
   test("streaming line dedup: out-of-order arrival keeps arrival-first and flags") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
