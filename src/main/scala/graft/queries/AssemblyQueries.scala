@@ -241,6 +241,26 @@ object AssemblyQueries extends QueryModule {
         .orderBy("tau_pct", "source")
     }),
 
+    // PAD-WASTE WINDOW SWEEP — q153 reports padding waste at the FIXED
+    // ChunkLen; this sweeps the context-window size (the decision study:
+    // how much token mass does a pad-to-window loader burn at 64/128/
+    // 256/512, read BEFORE choosing the training sequence length and
+    // whether cross-doc packing pays). All-integer per-doc arithmetic
+    // (the q132 floorDiv rule — positive operands, so `div` is exact on
+    // both engines) into one 4-key map-side-combined agg.
+    "q165_pad_window_sweep" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(size(toks(col("text"))).cast("long").as("nt"))
+        .crossJoin(Seq(64L, 128L, 256L, 512L).toDF("win"))
+        .groupBy("win")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum(expr("((nt + win - 1) div win) * win - nt"))
+            .as("pad_tokens"))
+        .withColumn("waste_frac", round(col("pad_tokens").cast("double") /
+          (col("n_tokens") + col("pad_tokens")).cast("double"), 6))
+        .orderBy("win")
+    }),
+
     // Epoch-plan EXECUTION — materialize q141's per-source plan as the
     // per-DOC copy-count manifest the data loader actually consumes:
     // every doc repeats n_epochs times plus one more iff its
@@ -422,6 +442,20 @@ object AssemblyQueries extends QueryModule {
            round(CAST(target_tokens - (target_tokens // n_tokens) * n_tokens AS DOUBLE)
              / CAST(n_tokens AS DOUBLE), 9) AS rem_rate
          FROM t ORDER BY source""",
+
+    "q165_pad_window_sweep" ->
+      raw"""WITH d AS (SELECT CAST(len(string_split_regex(trim(text), '\s+'))
+               AS BIGINT) AS nt FROM documents),
+         w AS (SELECT unnest([CAST(64 AS BIGINT), CAST(128 AS BIGINT),
+             CAST(256 AS BIGINT), CAST(512 AS BIGINT)]) AS win)
+         SELECT win, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(((nt + win - 1) // win) * win - nt) AS BIGINT)
+             AS pad_tokens,
+           round(CAST(sum(((nt + win - 1) // win) * win - nt)
+               AS DOUBLE)
+             / (sum(nt) + sum(((nt + win - 1) // win) * win - nt)),
+             6) AS waste_frac
+         FROM d CROSS JOIN w GROUP BY win ORDER BY win""",
 
     "q157_mixture_temperature" ->
       raw"""WITH d AS (SELECT source,

@@ -487,6 +487,32 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // DEDUP THRESHOLD-SENSITIVITY CURVE — the dial study you read BEFORE
+    // fixing the near-dup threshold (q27/q65 fix est-J ≥ 0.5): the
+    // histogram of LSH candidate pairs by minhash match count k, with the
+    // cumulative pairs-at-or-above column — n_pairs_at_or_above(k) IS the
+    // dup-pair count the pipeline would act on at threshold k/NumHashes,
+    // so the curve shows exactly how much dedup each threshold notch
+    // buys. Scale shape: the candidate kernel is the SAME banded equi-
+    // join every LSH consumer rides; the histogram is ≤ NumHashes+1 rows
+    // and the cumulative window runs over that constant.
+    "q164_dedup_threshold_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sig = signatures(s, dir)
+      val eqCount = (0 until NumHashes)
+        .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      lshCandidatePairs(sig)
+        .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+        .select(eqCount.cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_pairs_at_or_above",
+          sum("n_pairs").over(Window.orderBy(col("k").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("k")
+    }),
+
     // CROSS-SPLIT LINE LEAKAGE — the contamination metric at the C4 line
     // granularity: how many of each held-out split's distinct lines ALSO
     // appear in train (q67/q99 catch gram-span overlap per doc; q110
@@ -1076,6 +1102,20 @@ object DedupQueries extends QueryModule {
          $splitCte
          SELECT doc_id, rep_id, $splitCaseSql AS split
          FROM b ORDER BY doc_id""",
+
+    "q164_dedup_threshold_curve" ->
+      s"""WITH $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         pairs AS ($pairUnionsSql),
+         km AS (SELECT CAST(($eqSql) AS BIGINT) AS k
+           FROM pairs JOIN sig sa ON sa.doc_id = a_id
+             JOIN sig sb ON sb.doc_id = b_id),
+         h AS (SELECT k, count(*) AS n_pairs FROM km GROUP BY k)
+         SELECT k, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY k DESC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_at_or_above
+         FROM h ORDER BY k""",
 
     "q162_split_line_leakage" -> {
       val lineHash = hash64Sql("array_to_string(lt, ' ')", 142)

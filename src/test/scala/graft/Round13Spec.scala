@@ -210,6 +210,40 @@ class Round13Spec extends AnyFunSuite {
       s"($pa,$pb): ${rows((pa, pb))} vs $exp")
   }
 
+  test("q164 threshold curve: cumulative law and agreement with q27's fixed cut") {
+    val rows = q("q164_dedup_threshold_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // cumulative = suffix sum of the histogram, monotone non-increasing in k
+    val byK = rows.sortBy(_._1)
+    byK.zipWithIndex.foreach { case ((k, _, cum), i) =>
+      val expCum = byK.drop(i).map(_._2).sum
+      assert(cum == expCum, s"k=$k cumulative")
+    }
+    // the curve at k = NumHashes/2 IS q27's pair count (est-J >= 0.5)
+    val q27n = q("q27_minhash_lsh").count()
+    val at6 = byK.filter(_._1 >= 6).map(_._2).sum
+    assert(at6 == q27n, s"curve at 0.5 ($at6) must equal q27 ($q27n)")
+    assert(byK.exists(_._1 < 6), "sub-threshold candidates must be visible")
+  }
+
+  test("q165 window sweep: exact recompute; waste grows with window on short docs") {
+    val nts = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("size(split(trim(text), '\\\\s+')) AS nt").collect()
+      .map(_.getInt(0).toLong)
+    val rows = q("q165_pad_window_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(64L, 128L, 256L, 512L))
+    rows.foreach { case (w, nd, tok, pad, frac) =>
+      assert(nd == nts.length && tok == nts.sum)
+      val expPad = nts.map(nt => (nt + w - 1) / w * w - nt).sum
+      assert(pad == expPad, s"window $w pad")
+      assert(math.abs(frac - pad.toDouble / (tok + pad)) < 1e-6)
+    }
+    assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted,
+      "waste must grow with the window on this short-doc corpus")
+  }
+
   test("q159 zipf slope: negative everywhere; exact moment recompute for one source") {
     val rows = q("q159_zipf_slope").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
