@@ -1141,22 +1141,13 @@ object TextQueries extends QueryModule {
     // production twin swaps countDistinct for approx_count_distinct (HLL,
     // map-side mergeable sketch, no distinct shuffle) at ~2% relative
     // error; the exact form here is what the oracle can replay.
-    "q156_ngram_diversity" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("source"), toks(col("text")).as("tk"))
-      val grams = DiversityNs.map { n =>
-        base.filter(size(col("tk")) >= n)
-          .select(col("source"), lit(n.toLong).as("n"),
-            explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-              i => hash64(concat_ws(" ", slice(col("tk"), i, lit(n))), GramDivSeed)))
-              .as("gh"))
-      }.reduce(_ unionByName _)
-      grams.groupBy("source", "n")
+    "q156_ngram_diversity" -> ((s, dir) =>
+      diversityGrams(s, dir).groupBy("source", "n")
         .agg(count(lit(1)).as("total_grams"),
           countDistinct("gh").as("distinct_grams"))
         .withColumn("diversity",
           round(col("distinct_grams").cast("double") / col("total_grams"), 6))
-        .orderBy("source", "n")
-    }),
+        .orderBy("source", "n")),
 
     // SHORT-LINE FILTER report — the RefinedWeb/C4 line-level quality rule
     // this corpus supports (terminal-punctuation rules need punctuation):
@@ -1451,6 +1442,36 @@ object TextQueries extends QueryModule {
   /** q156 probe orders and gram-hash seed. */
   private val DiversityNs = Seq(1, 2, 3)
   private val GramDivSeed = 157
+
+  /** q156's hashed gram stream — (source, n, gh) for n ∈ DiversityNs. */
+  private def diversityGrams(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("source"), toks(col("text")).as("tk"))
+    DiversityNs.map { n =>
+      base.filter(size(col("tk")) >= n)
+        .select(col("source"), lit(n.toLong).as("n"),
+          explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => hash64(concat_ws(" ", slice(col("tk"), i, lit(n))), GramDivSeed)))
+            .as("gh"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q156's 100 TB PRODUCTION twin, as runnable code rather than a
+    * comment: approx_count_distinct (HyperLogLog++) replaces the exact
+    * distinct — the sketch merges map-side, so the gram mass never
+    * shuffles as distinct keys and the query stays one partial-agg pass
+    * at any corpus size. Not oracle-bound (DuckDB's approx sketch is a
+    * different implementation); Round13Spec pins it within relative
+    * error of the exact form and pins the shuffle count below the exact
+    * plan's.
+    */
+  private[graft] def ngramDiversityApprox(s: SparkSession, dir: String,
+    rsd: Double = 0.02): DataFrame =
+    diversityGrams(s, dir).groupBy("source", "n")
+      .agg(count(lit(1)).as("total_grams"),
+        approx_count_distinct("gh", rsd).as("distinct_grams"))
+      .withColumn("diversity",
+        round(col("distinct_grams").cast("double") / col("total_grams"), 6))
+      .orderBy("source", "n")
   /** q160: bigram count floor + result size. */
   private val MinColloc = 10
   private val CollocTopK = 25

@@ -58,6 +58,30 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q156 approx twin: within HLL error of exact, with fewer shuffles") {
+    val exact = q("q156_ngram_diversity").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    val approxDf = graft.queries.TextQueries.ngramDiversityApprox(spark, sf001)
+    approxDf.collect().foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val (a, e) = (r.getLong(3), exact(key))
+      assert(math.abs(a - e).toDouble / e <= 0.10,
+        s"$key: approx $a vs exact $e beyond HLL tolerance")
+    }
+    // the production claim, stated structurally: the exact form must
+    // shuffle the GRAM MASS (an exchange hash-partitioned on the gram
+    // key), the approx form must never — its sketch merges map-side and
+    // only the (source, n) rollup crosses the network
+    val gramShuffle = "hashpartitioning\\([^)]*gh#".r
+    val exactPlan = SparkEntry.queries("q156_ngram_diversity")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val approxPlan = approxDf.queryExecution.executedPlan.toString
+    assert(gramShuffle.findFirstIn(exactPlan).isDefined,
+      "exact distinct is expected to shuffle on the gram key")
+    assert(gramShuffle.findFirstIn(approxPlan).isEmpty,
+      s"approx form must never shuffle the gram mass:\n$approxPlan")
+  }
+
   test("q157 temperature sweep: shares conserve; lower tau flattens the mixture") {
     val rows = q("q157_mixture_temperature").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4)))
