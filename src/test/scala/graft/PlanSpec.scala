@@ -470,6 +470,32 @@ class PlanSpec extends AnyFunSuite {
       s"q145 must probe via band equi-joins:\n$plan")
   }
 
+  test("q160 PMI: TakeOrdered cut; unigram joins broadcast-keyed") {
+    val plan = planOf("q160_pmi_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K collocations must be TakeOrdered, not a global sort:\n$plan")
+    // the 1-row totals ride a broadcast CROSS (BNLJ-Cross of a 1-row side
+    // is the house pattern); what must never appear is an UNKEYED pairing
+    // of two unbounded sides
+    assert(!plan.contains("CartesianProduct"),
+      s"q160 must never plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the c1/c2 unigram joins must be keyed broadcast joins:\n$plan")
+  }
+
+  test("q163 source KL: corpus collapses once; pair join keys on the token") {
+    val plan = planOf("q163_source_kl")
+    // the (sources × head) grid is a broadcast cross of a CONSTANT dim
+    // (TakeOrdered head) — fine; a cartesian of unbounded sides is not
+    assert(!plan.contains("CartesianProduct"),
+      s"q163 must never plan a cartesian:\n$plan")
+    // the corpus collapsed into the lineage-cut (source, token) table at
+    // construction: the executed plan must not rescan the parquet corpus
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"post-cut plan must not rescan the corpus (saw $scans scans):\n$plan")
+  }
+
   test("q154 threshold fit: every window sits above the bounded sample filter") {
     // the production contract vs q143's rank form: NO window over the
     // corpus-extent score table — the only windows in the plan rank the
