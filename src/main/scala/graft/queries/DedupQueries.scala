@@ -30,6 +30,38 @@ object DedupQueries extends QueryModule {
   private val NumHashes = 12
   private val NumBands = 3 // 4 rows per band
   private val RowsPerBand = NumHashes / NumBands
+  // ADAPTIVE band sharding (the engine's analog of the reference's learned
+  // supernode split, mvstore/SuperNodeMvMap.scala:18-248 — skew/saturation
+  // handling as a first-class citizen): above BandTargetDocs docs, every
+  // band key gains shardBits low bits of a DISCRIMINATOR minhash (the
+  // first row of the NEXT band), doubling the key space per bit so
+  // band-bucket occupancy stays ~constant as the corpus grows — without
+  // it, chance 4-row coincidences on a small effective vocabulary make
+  // the candidate mass superlinear (measured: q106 4.8×/decade and q164
+  // 6.2×/decade at sf10 on the fixed 3×4 keys). The dial is the standard
+  // LSH recall trade: a qualifying pair must also agree on the extra bits
+  // (probability ≥ J + (1−J)·2^−bits per band), so recall at the 0.5
+  // threshold decays gently while false-candidate mass halves per bit.
+  // Both engines derive bits from the SAME count(documents) ladder, so
+  // the oracle replays the dial exactly; at or below BandTargetDocs
+  // (every oracle-gated scale) bits = 0 and the candidate sets are
+  // byte-identical to the fixed-band form.
+  private[graft] val BandTargetDocs = 65536L // 2^16: bits=0 through sf1
+  private[graft] val MaxShardBits = 12
+  private[graft] def bandShardBits(nDocs: Long): Int = {
+    var b = 0
+    while (b < MaxShardBits && nDocs > (BandTargetDocs << b)) b += 1
+    b
+  }
+  // one footer-cheap count per (session, dir) sizes the dial (q113/q140's
+  // bounded-driver-count precedent)
+  private val nDocsMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+  Memos.register(s => nDocsMemo.keys.filter(_._1 eq s)
+    .foreach(nDocsMemo.remove))
+  private def shardBits(s: SparkSession, dir: String): Int =
+    bandShardBits(nDocsMemo.getOrElseUpdate((s, dir),
+      { Memos.hook(s); docs(s, dir).count() }))
   // 64-bit fingerprint (Manku et al.'s width): with 8-bit blocks the
   // blocking key space per band is 256 — candidate volume O(n²/2^8) instead
   // of the O(n²/2^5) a 32-bit hash allows, and the bits come free from the
@@ -178,7 +210,7 @@ object DedupQueries extends QueryModule {
   private def dupLabels(s: SparkSession, dir: String): DataFrame =
     labelMemo.getOrElseUpdate((s, dir), {
       Memos.hook(s)
-      val pairs = lshNearDupPairs(signatures(s, dir))
+      val pairs = lshNearDupPairs(signatures(s, dir), shardBits(s, dir))
         .select("a_id", "b_id").cutLineage()
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -280,7 +312,7 @@ object DedupQueries extends QueryModule {
     // of matching signature rows ≥ 0.5. The scale path for q26: candidate
     // generation is 3 equi-joins on 128-bit band keys — no all-pairs stage.
     "q27_minhash_lsh" -> ((s, dir) => {
-      lshNearDupPairs(signatures(s, dir))
+      lshNearDupPairs(signatures(s, dir), shardBits(s, dir))
         .select(col("a_id"), col("b_id"), round(col("est_j"), 4).as("est_j"))
         .orderBy("a_id", "b_id")
     }),
@@ -291,7 +323,7 @@ object DedupQueries extends QueryModule {
     // hash); no stage is all-pairs. Trades bounded recall (an LSH miss is a
     // missed pair) for linear scaling; q26 is the exact-recall form.
     "q59_jaccard_lsh_bucketed" -> ((s, dir) => {
-      val cand = lshCandidatePairs(signatures(s, dir))
+      val cand = lshCandidatePairs(signatures(s, dir), shardBits(s, dir))
       exactJaccard(cand, shingleArrays(s, dir))
     }),
 
@@ -371,7 +403,7 @@ object DedupQueries extends QueryModule {
     // linear-scaling LSH pipeline — no new pairwise stage.
     "q106_source_dup_matrix" -> ((s, dir) => {
       val src = docs(s, dir).select(col("doc_id"), col("source"))
-      lshNearDupPairs(signatures(s, dir))
+      lshNearDupPairs(signatures(s, dir), shardBits(s, dir))
         .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
         .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
         .select(least(col("sa"), col("sb")).as("source_a"),
@@ -502,7 +534,7 @@ object DedupQueries extends QueryModule {
       val eqCount = (0 until NumHashes)
         .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
         .reduce(_ + _)
-      lshCandidatePairs(sig)
+      lshCandidatePairs(sig, shardBits(s, dir))
         .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
         .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
         .select(eqCount.cast("long").as("k"))
@@ -758,7 +790,7 @@ object DedupQueries extends QueryModule {
     // corpus × corpus.
     "q145_dedup_incremental" -> ((s, dir) => {
       val sig = signatures(s, dir)
-      val banded = bandedSig(sig)
+      val banded = bandedSig(sig, shardBits(s, dir))
       val isNew = col("doc_id") % IncrMod === IncrRes
       val newB = banded.filter(isNew)
       val oldB = banded.filter(!isNew)
@@ -810,11 +842,11 @@ object DedupQueries extends QueryModule {
   /** Near-dup pairs with est_j ≥ 0.5 (q27's pair set) — shared by q27 and
     * q65 so the clusters are exactly the components of the reported graph.
     */
-  private def lshNearDupPairs(sig: DataFrame): DataFrame = {
+  private def lshNearDupPairs(sig: DataFrame, bits: Int): DataFrame = {
     val eqCount = (0 until NumHashes)
       .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
       .reduce(_ + _)
-    lshCandidatePairs(sig)
+    lshCandidatePairs(sig, bits)
       .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
       .withColumn("est_j", eqCount.cast("double") / NumHashes)
@@ -824,12 +856,18 @@ object DedupQueries extends QueryModule {
 
   /** doc_id + NumBands md5 band keys from a signature table — the bucket
     * layout every LSH consumer (q27/q59 pair generation, q145's
-    * new-vs-corpus probe) joins on.
+    * new-vs-corpus probe) joins on. `bits` (from [[bandShardBits]]) folds
+    * the adaptive shard — the discriminator minhash's low bits — INTO each
+    * band md5, so every consumer inherits the dial through plain key
+    * equality; at bits = 0 the shard term is the constant ",0" and the
+    * equality classes are exactly the fixed 3×4 bands'.
     */
-  private def bandedSig(sig: DataFrame): DataFrame = {
+  private def bandedSig(sig: DataFrame, bits: Int): DataFrame = {
+    val mod = lit(1L << bits)
     val bandCols = (0 until NumBands).map { b =>
       val ms = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      md5(concat_ws(",", ms: _*)).as(s"band$b")
+      val disc = col(s"mh${((b + 1) * RowsPerBand) % NumHashes}") % mod
+      md5(concat_ws(",", (ms :+ disc): _*)).as(s"band$b")
     }
     sig.select(col("doc_id") +: bandCols: _*)
   }
@@ -837,8 +875,8 @@ object DedupQueries extends QueryModule {
   /** LSH candidate pairs (a_id < b_id, distinct) from banded signatures —
     * shared by q27 (estimated-J verify) and q59 (exact-J verify).
     */
-  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
-    val banded = bandedSig(sig)
+  private def lshCandidatePairs(sig: DataFrame, bits: Int): DataFrame = {
+    val banded = bandedSig(sig, bits)
     (0 until NumBands).map { b =>
       banded.as("a")
         .join(banded.as("b"),
@@ -899,9 +937,22 @@ object DedupQueries extends QueryModule {
     (0 until NumHashes)
       .map(k => s"min(${hash64Sql("s", 0)} + $k * (${hash64Sql("s", 1)} % $DoubleHashMod)) AS mh$k")
       .mkString(", ")
+  /** The shard-bits dial as a DuckDB scalar CTE — the SAME
+    * count(documents) ladder [[bandShardBits]] walks, so the two engines
+    * can never disagree on the dial (exact integer comparisons on both
+    * sides; no float log2 whose boundary rounding could diverge).
+    */
+  private val sbCte = {
+    val ladder = (0 until MaxShardBits)
+      .map(i => s"WHEN n <= ${BandTargetDocs << i} THEN $i").mkString(" ")
+    s"sb AS (SELECT CASE $ladder ELSE $MaxShardBits END AS bits " +
+      "FROM (SELECT count(*) AS n FROM documents))"
+  }
   private val bandsSql = (0 until NumBands).map { b =>
     val ms = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-    s"md5(${ms.mkString(" || ',' || ")}) AS band$b"
+    val disc = s"mh${((b + 1) * RowsPerBand) % NumHashes}"
+    s"md5(${ms.mkString(" || ',' || ")} || ',' || " +
+      s"CAST($disc % (CAST(1 AS BIGINT) << bits) AS VARCHAR)) AS band$b"
   }.mkString(", ")
   private val pairUnionsSql = (0 until NumBands).map { b =>
     s"SELECT a.doc_id a_id, b.doc_id b_id FROM banded a JOIN banded b " +
@@ -920,7 +971,8 @@ object DedupQueries extends QueryModule {
     */
   private val labCtes =
     s"""sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         $sbCte,
+         banded AS (SELECT doc_id, $bandsSql FROM sig, sb),
          pairs AS ($pairUnionsSql),
          jp AS (SELECT a_id, b_id FROM pairs
            JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
@@ -1037,7 +1089,8 @@ object DedupQueries extends QueryModule {
     "q27_minhash_lsh" ->
       s"""WITH $tkCte, $shCte,
          sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         $sbCte,
+         banded AS (SELECT doc_id, $bandsSql FROM sig, sb),
          pairs AS ($pairUnionsSql)
          SELECT a_id, b_id, round(($eqSql) / 12.0, 4) AS est_j
          FROM pairs JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
@@ -1046,7 +1099,8 @@ object DedupQueries extends QueryModule {
     "q106_source_dup_matrix" ->
       s"""WITH $tkCte, $shCte,
          sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         $sbCte,
+         banded AS (SELECT doc_id, $bandsSql FROM sig, sb),
          pairs AS ($pairUnionsSql),
          np AS (SELECT a_id, b_id
                 FROM pairs JOIN sig sa ON sa.doc_id = a_id
@@ -1071,7 +1125,8 @@ object DedupQueries extends QueryModule {
          shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         $sbCte,
+         banded AS (SELECT doc_id, $bandsSql FROM sig, sb),
          pairs AS ($pairUnionsSql),
          inter AS (SELECT p.a_id, p.b_id, count(*) c FROM pairs p
            JOIN shh xa ON xa.doc_id = p.a_id
@@ -1106,7 +1161,8 @@ object DedupQueries extends QueryModule {
     "q164_dedup_threshold_curve" ->
       s"""WITH $tkCte, $shCte,
          sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         $sbCte,
+         banded AS (SELECT doc_id, $bandsSql FROM sig, sb),
          pairs AS ($pairUnionsSql),
          km AS (SELECT CAST(($eqSql) AS BIGINT) AS k
            FROM pairs JOIN sig sa ON sa.doc_id = a_id
@@ -1247,7 +1303,8 @@ object DedupQueries extends QueryModule {
       }.mkString(" UNION ")
       s"""WITH $tkCte, $shCte,
          sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-         banded AS (SELECT doc_id, $bandsSql FROM sig),
+         $sbCte,
+         banded AS (SELECT doc_id, $bandsSql FROM sig, sb),
          cand AS ($probeUnions),
          v AS (SELECT new_id, count(*) AS n_candidates,
              CAST(sum(CASE WHEN ($eqSql) * 2 >= $NumHashes THEN 1 ELSE 0 END)
