@@ -839,6 +839,28 @@ object DedupQueries extends QueryModule {
     (0 until nBlocks).map(i => (i * w, w))
   }
 
+  /** Diagnostics for the adaptive band dial (the K6 hot-key-report analog:
+    * measure the skew before turning the dial): candidate-pair count and
+    * band-bucket occupancy at an explicit bits setting. Driver-side use
+    * only (graft.BandAudit); the counts are the SCALEPROOF evidence that
+    * sizes BandTargetDocs.
+    */
+  private[graft] def candidatePairCount(s: SparkSession, dir: String,
+    bits: Int): Long =
+    lshCandidatePairs(signatures(s, dir), bits).count()
+  private[graft] def bucketOccupancy(s: SparkSession, dir: String,
+    bits: Int): DataFrame = {
+    val banded = bandedSig(signatures(s, dir), bits)
+    (0 until NumBands).map { b =>
+      banded.select(lit(b).as("band"), col(s"band$b").as("key"))
+    }.reduce(_ unionByName _)
+      .groupBy("band", "key").agg(count(lit(1)).as("occ"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"), max("occ").as("max_occ"),
+        sum(col("occ") * (col("occ") - 1) / 2).as("pair_mass"))
+      .orderBy("band")
+  }
+
   /** Near-dup pairs with est_j ≥ 0.5 (q27's pair set) — shared by q27 and
     * q65 so the clusters are exactly the components of the reported graph.
     */
