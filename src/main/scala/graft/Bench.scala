@@ -208,10 +208,14 @@ object Bench {
     // the committed quiet-box reference rate indexes the host, and
     // total_hostadj = total · host_index is the drift-corrected total, so
     // round-over-round comparisons self-normalize instead of being
-    // re-adjudicated by hand. Reference rate: the r12 closing committed
-    // pair's steady-state replay (BENCH_sf1_r12c).
-    val HostRefRate = 6073.0
-    val hostIdx = mainnetPerS.map(_ / HostRefRate)
+    // re-adjudicated by hand. The reference rate lives in HostRef (one
+    // named constant, spec-pinned against the committed baseline artifact
+    // so a baseline refresh cannot silently desynchronize the index).
+    // CAVEAT (r13 ADVICE): the correction assumes each query's wall time
+    // scales linearly with the pure-JVM replay rate — it overcorrects
+    // I/O-bound queries; read total_hostadj as a drift INDEX, not a
+    // per-query renormalization.
+    val hostIdx = mainnetPerS.map(_ / HostRef.Rate)
     val hostJson = hostIdx.map(h =>
       f""","host_index":$h%.4f,"total_hostadj":${total * h}%.3f""").getOrElse("")
     val extra = blocksPerS.map(b => s""","backfill_blocks_per_s":$b""").getOrElse("") +

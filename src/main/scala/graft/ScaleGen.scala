@@ -19,14 +19,36 @@ import org.apache.spark.sql.functions._
   *     near-dup threshold while each replica keeps sf0.1's geometry.
   * Dimension tables (region/nation) stay single-copy, as in TPC-H scaling.
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> <replicas>
+  * REALISTIC-VOCABULARY mode (r13 verdict item 5): the driver corpus's
+  * 31-token vocabulary is the binding constraint on measurement fidelity —
+  * it degenerates the NB classifier to majority-class, makes the Zipf/PMI
+  * heads trivially small, and gives MinHash bands an unrealistically dense
+  * candidate graph. With a 4th argument V > 0, `documents.text` is
+  * REGENERATED instead of replica-suffixed: every doc keeps its id, lang,
+  * source, and token COUNT, but draws tokens from a V-type vocabulary
+  * with a Zipf(1) rank-frequency law (rank = ⌊exp(u·ln V)⌋ over a
+  * deterministic per-(doc, position) hash — log-uniform IS Zipf s=1), with
+  * the head ROTATED per source so sources genuinely diverge (KL > 0,
+  * distinct slopes), and with controlled dup structure injected: in every
+  * block of [[FamMod]] ids, ordinal 1 is an exact copy of the block head
+  * and ordinal 2 a near-dup (first token replaced — J ≈ (nt−2)/(nt+2) on
+  * distinct shingles, well above the 0.5 near-dup cut for typical doc
+  * lengths). Everything is hash-derived — stable under retries, never
+  * rand().
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> <replicas> [zipfVocab]
   */
 object ScaleGen {
 
+  /** Zipf mode: dup-family block size (ordinal 1 = exact, 2 = near dup). */
+  private val FamMod = 25
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcSfDir> <dstDir> <replicas>")
-    val Array(src, dst, nStr) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcSfDir> <dstDir> <replicas> [zipfVocab]")
+    val Array(src, dst, nStr) = args.take(3)
     val n = nStr.toInt
+    val zipfV = args.drop(3).headOption.map(_.toInt).getOrElse(0)
     require(n >= 1, s"replicas must be >= 1, got $n")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -36,11 +58,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, dst, n)
+    try generate(spark, src, dst, n, zipfV)
     finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, n: Int,
+    zipfVocab: Int = 0): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
     // key strides: one power-of-ten above each table's max key, so shifted
@@ -104,7 +127,13 @@ object ScaleGen {
         shifted(r, userS)("user_id"), col("event_type"), col("value"),
         col("props"))
     })
-    write("documents", rep(read("documents")) { (df, r) =>
+    if (zipfVocab > 0) {
+      val base = rep(read("documents")) { (df, r) =>
+        df.select(shifted(r, docS)("doc_id"), col("text"), col("lang"),
+          col("source"))
+      }
+      write("documents", zipfRewrite(base, zipfVocab))
+    } else write("documents", rep(read("documents")) { (df, r) =>
       // suffix every token with the replica ordinal: same token count, all
       // shingles/fingerprints replica-distinct; n_chars re-derived to stay
       // consistent with the rewritten text
@@ -123,6 +152,49 @@ object ScaleGen {
             .cast("double") / lit(5000.0)))).cast("float"))
       df.select(shifted(r, vecS)("vec_id"), noisy.as("embedding"), col("label"))
     })
-    println(s"[scalegen] done: $dst = $src x$n")
+    println(s"[scalegen] done: $dst = $src x$n" +
+      (if (zipfVocab > 0) s" (zipf vocab $zipfVocab)" else ""))
+  }
+
+  /** Zipf-vocabulary text regeneration (see the object note): one pass
+    * generates every doc's base text from deterministic per-(doc_id,
+    * position) hash draws; one self-join on the family head injects the
+    * exact/near-dup ordinals. All map-side arithmetic plus one keyed join —
+    * scales to any replica count.
+    */
+  private[graft] def zipfRewrite(base: DataFrame, v: Int): DataFrame = {
+    // token count preserved from the source doc (floor 3 so every doc
+    // shingles); the draw: rank = ⌊exp(u·ln V)⌋ clamped to [0, V),
+    // u ∈ (0,1) from a 1e-6 grid over murmur(doc_id, pos, seed); per-source
+    // head rotation via a source-hash offset
+    val nt = greatest(size(split(trim(col("text")), "\\s+")), lit(3))
+    val gen = base.withColumn("gtext",
+      concat_ws(" ", transform(sequence(lit(1), nt), p => {
+        val u = (pmod(hash(col("doc_id"), p, lit(77)).cast("long"),
+          lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+        val rank = least(lit(v - 1),
+          floor(exp(u * log(lit(v.toDouble)))).cast("int"))
+        val rot = pmod(rank + pmod(hash(col("source")), lit(97)), lit(v))
+        format_string("w%05d", rot)
+      })))
+    val g = gen.select(col("doc_id"), col("gtext"), col("lang"), col("source"))
+    val ord = pmod(col("doc_id"), lit(FamMod.toLong))
+    val members = g.filter(ord.isin(1L, 2L))
+      .select(col("doc_id"), col("lang"), col("source"), col("gtext"),
+        ord.as("o"), (col("doc_id") - ord).as("head"))
+      // LEFT join: a member whose block head id does not exist (sparse id
+      // range) keeps its own generated text instead of vanishing
+      .join(g.select(col("doc_id").as("head"), col("gtext").as("htext")),
+        Seq("head"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("htext").isNull, col("gtext"))
+          .when(col("o") === 1L, col("htext"))
+          .otherwise(regexp_replace(col("htext"), lit("^\\S+"),
+            concat(lit("nd"), pmod(col("doc_id"), lit(100L))))).as("text"))
+    val rest = g.filter(!ord.isin(1L, 2L))
+      .select(col("doc_id"), col("lang"), col("source"), col("gtext").as("text"))
+    rest.unionByName(members)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
   }
 }

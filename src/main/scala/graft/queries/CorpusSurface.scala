@@ -127,4 +127,28 @@ object CorpusSurface {
         graft.GraftEngine.swapSnapshotView(s, prefix + n, df, s"$snapRoot/$n")
       }
     }
+
+  /** Mount the STREAMING-side output surfaces as catalog views (r13
+    * verdict item 6): the drift monitor's finalized windows, the quality
+    * gate's per-batch verdicts, and the ANN router's per-batch route
+    * tables were parquet dirs without catalog names — a second session
+    * (JDBC/Thrift, `newSession()`) had to know the paths and the
+    * `batch=*` layout. Views over `parquet.` path globs re-resolve the
+    * file listing per query, so a reader always sees every batch the
+    * stream has committed so far — the freshness semantics an always-on
+    * monitor wants — with zero Scala and zero copies. Pass only the dirs
+    * a deployment actually runs; each registers independently.
+    */
+  def mountStreams(s: SparkSession, prefix: String = "corpus_",
+    driftDir: Option[String] = None,
+    gateDir: Option[String] = None,
+    annRoutesDir: Option[String] = None): Unit =
+    s.synchronized {
+      def view(name: String, glob: String): Unit =
+        s.sql(s"CREATE OR REPLACE VIEW $prefix$name AS " +
+          s"SELECT * FROM parquet.`$glob`")
+      driftDir.foreach(d => view("drift_windows", d))
+      gateDir.foreach(d => view("gate_verdicts", s"$d/batch=*"))
+      annRoutesDir.foreach(d => view("ann_routes", s"$d/batch=*"))
+    }
 }

@@ -672,12 +672,19 @@ object DedupQueries extends QueryModule {
 
     // Embedding-cosine near-dup: same-label blocking (the IVF bucket analog)
     // then pairwise cosine ≥ 0.4 in double precision. Blocking key join →
-    // keyed shuffle, never a global cross join.
+    // keyed shuffle, never a global cross join. STRIPE-BOUNDED (r13 verdict
+    // item 2 — the q113 rule): this is the exact-recall diagnostic
+    // companion of q31/q129/q130; fixed `label` blocking makes its pair
+    // kernel quadratic per label at corpus scale, so beyond bench scale it
+    // runs on the same fixed id stripe q113 uses (at and below sf0.1 the
+    // stripe covers the whole corpus — oracle semantics unchanged) while
+    // the production twins ride the full corpus at n·√K.
     "q30_embedding_neardup" -> ((s, dir) => {
       // norms are precomputed per vector (not per pair): the pairwise kernel
       // is then one native vec_dot, a 3× flop cut on the O(pairs) stage.
       graft.functions.DotProductExpression.register(s)
       val e = embs(s, dir)
+        .filter(col("vec_id") < SimilarityQueries.NearDupStripeMax)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
         .withColumn("n", l2NormNative(col("v")))
       e.as("a")
@@ -845,9 +852,12 @@ object DedupQueries extends QueryModule {
     * only (graft.BandAudit); the counts are the SCALEPROOF evidence that
     * sizes BandTargetDocs.
     */
+  private[graft] def candidatePairs(s: SparkSession, dir: String,
+    bits: Int): DataFrame =
+    lshCandidatePairs(signatures(s, dir), bits)
   private[graft] def candidatePairCount(s: SparkSession, dir: String,
     bits: Int): Long =
-    lshCandidatePairs(signatures(s, dir), bits).count()
+    candidatePairs(s, dir, bits).count()
   private[graft] def bucketOccupancy(s: SparkSession, dir: String,
     bits: Int): DataFrame = {
     val banded = bandedSig(signatures(s, dir), bits)
@@ -1244,7 +1254,9 @@ object DedupQueries extends QueryModule {
          SELECT doc_id, lang FROM u
          WHERE u * nl < $SampleThreshold ORDER BY doc_id""",
     "q30_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+           FROM embeddings
+           WHERE vec_id < ${SimilarityQueries.NearDupStripeMax})
          SELECT a.vec_id a_id, b.vec_id b_id,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -32,7 +32,7 @@ object SimilarityQueries extends QueryModule {
   private val NearDupProbes = 2  // q113 multi-probe width (clusters per vector)
   // q113's fixed diagnostic stripe: the whole corpus at bench scale
   // (sf ≤ 0.1), a constant-work sample beyond it
-  private val NearDupStripeMax = 5000L
+  private[graft] val NearDupStripeMax = 5000L
   // q113 blocking-K target: K = max(KMeansK, n / NearDupClusterSize), so the
   // expected cluster stays ~constant as the corpus grows and the
   // within-cluster pairwise kernel stays LINEAR in n (fixed K would make it

@@ -1149,6 +1149,17 @@ object TextQueries extends QueryModule {
           round(col("distinct_grams").cast("double") / col("total_grams"), 6))
         .orderBy("source", "n")),
 
+    // q156's HLL production twin as a TIMED bench entry (r13 verdict item
+    // 7): the same rollup with approx_count_distinct (HyperLogLog++)
+    // replacing the exact distinct — map-side-mergeable sketch, so the
+    // gram mass never shuffles as distinct keys. Deliberately NOT
+    // oracle-bound (DuckDB's approx sketch is a different implementation —
+    // the driver records the weaker rows-only check); Round13Spec pins it
+    // within HLL relative error of q156 and pins its shuffle count below
+    // the exact plan's, and the bench pair q156/q166 is the measured
+    // exact-vs-sketch decade evidence.
+    "q166_diversity_hll" -> ((s, dir) => ngramDiversityApprox(s, dir)),
+
     // SHORT-LINE FILTER report — the RefinedWeb/C4 line-level quality rule
     // this corpus supports (terminal-punctuation rules need punctuation):
     // lines under MinLineTokens tokens are boilerplate fragments (nav
@@ -1280,20 +1291,22 @@ object TextQueries extends QueryModule {
     // grid so every cross-row moment is an exact long sum (the q143
     // quantized-log precedent; slope = (m·Σxy − ΣxΣy)/(m·Σxx − Σx²) is
     // then one deterministic double division). Scale shape: the corpus
-    // collapses to the per-source vocab in one agg; the fit surface is
-    // capped to the GLOBAL top-ZipfMaxK tokens (TakeOrdered cut, a
-    // constant), so the per-source rank window extends over ≤ ZipfMaxK
-    // rows at any corpus size.
+    // collapses to the per-source vocab in one agg; each source is then
+    // ranked over ITS OWN frequency order (r13 ADVICE: ranking only
+    // inside the global head compressed a divergent source's ranks and
+    // biased exactly the slopes the diagnostic exists to flag) and the
+    // fit keeps the source's top ZipfMaxK points. The rank window runs
+    // over the per-source VOCABULARY (type-level — bounded by distinct
+    // word types, never by corpus row count).
     "q159_zipf_slope" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tf = docs(s, dir)
         .select(col("source"), explode(toks(col("text"))).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("n"))
-      val head = tf.groupBy("tok").agg(sum("n").as("gn"))
-        .orderBy(col("gn").desc, col("tok")).limit(ZipfMaxK).select("tok")
       val w = Window.partitionBy("source").orderBy(col("n").desc, col("tok"))
-      val pts = tf.join(broadcast(head), "tok")
+      val pts = tf
         .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= ZipfMaxK)
         .select(col("source"),
           floor(log(col("rnk").cast("double")) * 1e6).cast("long").as("x"),
           floor(log(col("n").cast("double")) * 1e6).cast("long").as("y"))
@@ -1399,8 +1412,16 @@ object TextQueries extends QueryModule {
     // per session, not once per consumer (measured 2.5× at sf1 when the
     // first cut re-derived it per consumer)
     val scores = perpScores(s, dir)
-    scores.join(broadcast(perpThresholds(scores, sampleMod, sampleMax)), "lang")
-      .withColumn("bucket", perpBucketCol)
+    // LEFT join + bucket −1 for unfitted languages (r13 ADVICE): the fit
+    // sample is fixed and non-stratified, so a language with zero docs in
+    // the sample id range has no threshold row — an inner join would drop
+    // its entire population from the census silently. −1 matches the
+    // streaming twin (StreamingQualityGate.bucketBatch), which surfaces
+    // the same docs as unscorable rather than vanishing them.
+    scores.join(broadcast(perpThresholds(scores, sampleMod, sampleMax)),
+        Seq("lang"), "left")
+      .withColumn("bucket",
+        when(col("t1").isNull, lit(-1L)).otherwise(perpBucketCol))
   }
 
   /** The fitted per-language tertile thresholds (lang, t1, t2) — the
@@ -1476,11 +1497,11 @@ object TextQueries extends QueryModule {
   private val MinColloc = 10
   private val CollocTopK = 25
   /** q163: the global frequency head the KL runs over (a constant). */
-  private val KlHeadK = 256
+  private[graft] val KlHeadK = 256
   /** q158: minimum tokens for a line to survive the short-line filter. */
   private val MinLineTokens = 5
   /** q159: Zipf fit surface — the global frequency head (a constant). */
-  private val ZipfMaxK = 64
+  private[graft] val ZipfMaxK = 64
 
   // q128 probe hyperparameters: the weak teacher IS q108's keep floor —
   // one shared constant, so a threshold change cannot desynchronize the
@@ -2290,16 +2311,14 @@ object TextQueries extends QueryModule {
            FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
                  FROM documents)
            GROUP BY source, tok),
-         head AS (SELECT tok FROM
-           (SELECT tok, CAST(sum(n) AS BIGINT) AS gn FROM tf GROUP BY tok
-            ORDER BY gn DESC, tok LIMIT $ZipfMaxK)),
          pts AS (SELECT source,
              CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
              CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
            FROM (SELECT source, n,
                    row_number() OVER (PARTITION BY source
                      ORDER BY n DESC, tok) AS rnk
-                 FROM tf WHERE tok IN (SELECT tok FROM head))),
+                 FROM tf)
+           WHERE rnk <= $ZipfMaxK),
          a AS (SELECT source, count(*) AS m,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
              CAST(sum(x * y) AS BIGINT) AS sxy,
@@ -2385,9 +2404,10 @@ object TextQueries extends QueryModule {
              max(CASE WHEN rn = (2 * m + 2) // 3 THEN sq END) AS t2
            FROM r GROUP BY lang),
          b AS (SELECT q.lang,
-             CASE WHEN sq >= t1 THEN 0 WHEN sq >= t2 THEN 1 ELSE 2 END AS bucket,
+             CASE WHEN t1 IS NULL THEN -1
+                  WHEN sq >= t1 THEN 0 WHEN sq >= t2 THEN 1 ELSE 2 END AS bucket,
              nb, sq
-           FROM q JOIN thr ON q.lang = thr.lang)
+           FROM q LEFT JOIN thr ON q.lang = thr.lang)
          SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
            CAST(sum(nb) AS BIGINT) AS n_bigrams,
            CAST(max(sq) AS BIGINT) AS best_q, CAST(min(sq) AS BIGINT) AS worst_q

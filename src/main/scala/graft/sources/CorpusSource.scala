@@ -50,28 +50,37 @@ object CorpusSource {
   /** Decoded good rows + the quarantine frame (raw line, reason). */
   case class Decoded(docs: DataFrame, quarantined: DataFrame)
 
-  // decode caches live for the session, not the JVM: registered once with
-  // the Memos eviction registry (same discipline as the query-module
-  // fixture memos)
-  private val cachedDecodes =
-    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
-  Memos.register { s =>
-    val it = cachedDecodes.iterator()
-    while (it.hasNext) {
-      val (sess, df) = it.next()
-      if (sess eq s) { df.unpersist(); it.remove() }
-    }
-  }
+  // decode caches are keyed per (session, kind:path) — a re-ingest of the
+  // same dump reuses the cached decode instead of pinning a second copy,
+  // and a long-lived service can RELEASE one dump's decode when it is done
+  // with it (r13 ADVICE: the previous queue form offered only all-or-
+  // nothing eviction, and its evict() nuked every unrelated query-module
+  // memo with it). The Memos registration stays as the application-end
+  // backstop (session teardown still clears everything).
+  private val cachedDecodes = scala.collection.concurrent
+    .TrieMap[(SparkSession, String), DataFrame]()
+  Memos.register(s => cachedDecodes.keys.filter(_._1 eq s)
+    .foreach(k => cachedDecodes.remove(k).foreach(_.unpersist())))
 
-  /** Explicitly drop this session's cached decodes (long-lived services). */
-  def evict(s: SparkSession): Unit = Memos.evict(s)
+  /** This session's cached decode keys (spec surface). */
+  private[graft] def cachedKeys(s: SparkSession): Set[String] =
+    cachedDecodes.keys.filter(_._1 eq s).map(_._2).toSet
 
-  private def cacheTracked(s: SparkSession, df: DataFrame): DataFrame = {
-    val c = df.cache()
-    cachedDecodes.add((s, c))
-    Memos.hook(s)
-    c
-  }
+  /** Drop ONE ingested path's cached decode (both wire formats). */
+  def release(s: SparkSession, path: String): Unit =
+    Seq("jsonl:", "csv:").foreach(k =>
+      cachedDecodes.remove((s, k + path)).foreach(_.unpersist()))
+
+  /** Drop this session's cached DECODES only — unrelated query-module
+    * memos (fixture tables, signatures, score tables) stay warm.
+    */
+  def evict(s: SparkSession): Unit =
+    cachedDecodes.keys.filter(_._1 eq s)
+      .foreach(k => cachedDecodes.remove(k).foreach(_.unpersist()))
+
+  private def cacheTracked(s: SparkSession, key: String,
+    df: => DataFrame): DataFrame =
+    cachedDecodes.getOrElseUpdate((s, key), { Memos.hook(s); df.cache() })
 
   /** JSONL corpus dump → documents frame + quarantine.
     *
@@ -84,7 +93,7 @@ object CorpusSource {
     quarantineDir: Option[String] = None): Decoded = {
     // text + from_json, NOT the json reader: the raw line survives next to
     // the parse result, so the quarantine is verbatim for EVERY bad shape
-    val raw = cacheTracked(spark, spark.read.text(path)
+    val raw = cacheTracked(spark, "jsonl:" + path, spark.read.text(path)
       .select(col("value"), from_json(col("value"), readSchema,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> Corrupt)).as("p")))
@@ -112,7 +121,7 @@ object CorpusSource {
     */
   def fromCsv(spark: SparkSession, path: String,
     quarantineDir: Option[String] = None): Decoded = {
-    val raw = cacheTracked(spark, spark.read
+    val raw = cacheTracked(spark, "csv:" + path, spark.read
       .schema(readSchema)
       .option("header", "true")
       .option("mode", "PERMISSIVE")

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.functions.TextFunctions.{qualityScore, toks}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming corpus-drift monitor: the operational companion to the batch
   * coverage checks (q118 OOV rate, q22 quality). A training-data ingest that
@@ -48,4 +49,25 @@ object CorpusDriftMonitor {
       .withColumn("low_quality_rate",
         round(col("n_low_quality").cast("double") / col("n_docs"), 6))
   }
+
+  /** Land finalized drift windows as an append-only parquet table (the
+    * SQL-mountable form — see `CorpusSurface.mountStreams`): watermarked
+    * tumbling windows emit exactly once in APPEND mode, so the sink is a
+    * plain parquet stream sink (exactly-once via the sink's own log), and
+    * the window struct flattens to (win_start, win_end) — `window` is a
+    * reserved word downstream, per the house column-naming rule.
+    */
+  def route(docs: DataFrame, vocab: Seq[String], width: String,
+    qualityMin: Double, out: String, checkpointDir: String,
+    watermark: String = "1 hour",
+    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    drift(docs, vocab, width, qualityMin, watermark)
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("n_docs"), col("n_tokens"), col("n_oov"), col("n_low_quality"),
+        col("oov_rate"), col("low_quality_rate"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger).start()
 }

@@ -283,10 +283,14 @@ class Round13Spec extends AnyFunSuite {
       .groupBy("tok").count().collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (t, n) => (-n, t) }
-    val pts = freqs.zipWithIndex.map { case ((_, n), i) =>
-      (math.floor(math.log(i + 1.0) * 1e6).toLong,
-        math.floor(math.log(n.toDouble) * 1e6).toLong)
-    }
+    // apply the SAME per-source head cut the query applies (r13 ADVICE);
+    // inactive on this 31-type vocabulary — Round14Spec's wide-vocab
+    // fixture exercises the active branch
+    val pts = freqs.take(graft.queries.TextQueries.ZipfMaxK)
+      .zipWithIndex.map { case ((_, n), i) =>
+        (math.floor(math.log(i + 1.0) * 1e6).toLong,
+          math.floor(math.log(n.toDouble) * 1e6).toLong)
+      }
     val m = pts.length.toLong
     val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
     val sxy = pts.map(p => p._1 * p._2).sum
