@@ -1195,25 +1195,31 @@ object TextQueries extends QueryModule {
     "q160_pmi_collocations" -> ((s, dir) => {
       val base = docs(s, dir).select(toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
-      // each TYPE-level count table is consumed twice (the join arm + its
-      // total), so cut their lineage — vocabulary-sized tables, bytes at
-      // any corpus scale — or the corpus-mass gram explode re-runs per
-      // consumer (measured 4× at sf10 uncut)
-      val cbAll = base.select(
+      // the bigram count table is consumed ONCE (post-floor join arm), so
+      // it is NOT cut: at a realistic vocabulary the PRE-floor table is
+      // O(distinct bigrams) ≈ the corpus's bigram mass — materializing it
+      // for its total alone cost 25M checkpointed rows at 500k docs on
+      // the 50k-type fixture (measured 36 s min / 76 s GC-contended med;
+      // totals-from-scan below took the query to ~1/5th of that)
+      val cb = base.select(
           explode(transform(sequence(lit(1), size(col("tk")) - 1),
             i => concat(element_at(col("tk"), i), lit(" "),
               element_at(col("tk"), i + lit(1))))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .cutLineage()
-      val cb = cbAll.filter(col("n") >= MinColloc)
+        .filter(col("n") >= MinColloc)
+      // the unigram table IS consumed twice (w1/w2 join arms hash-partition
+      // differently, so exchange reuse cannot kick in) — cut its lineage;
+      // vocabulary-sized, bytes at any corpus scale
       val cw = base.select(explode(col("tk")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cw"))
         .cutLineage()
-      // totals DERIVE from the two type-level tables (Σcw = tokens,
-      // Σn = bigram slots) — the corpus is scanned exactly twice, never a
-      // third time just for the denominators
-      val tot = broadcast(cw.agg(sum("cw").as("t"))
-        .crossJoin(cbAll.agg(sum("n").as("b"))))
+      // totals come from ONE NARROW agg pass over the doc lengths (Σ|tk|
+      // tokens, Σ(|tk|−1) bigram slots — identical values to summing the
+      // type-level tables, without materializing the pre-floor bigram
+      // mass); no explode, no shuffle beyond the 1-row agg
+      val tot = broadcast(base.agg(
+        sum(size(col("tk"))).cast("long").as("t"),
+        (sum(size(col("tk"))) - count(lit(1))).cast("long").as("b")))
       cb.withColumn("w1", split(col("bigram"), " ").getItem(0))
         .withColumn("w2", split(col("bigram"), " ").getItem(1))
         .join(cw.select(col("w").as("w1"), col("cw").as("c1")), "w1")
@@ -1486,13 +1492,29 @@ object TextQueries extends QueryModule {
     * plan's.
     */
   private[graft] def ngramDiversityApprox(s: SparkSession, dir: String,
-    rsd: Double = 0.02): DataFrame =
-    diversityGrams(s, dir).groupBy("source", "n")
+    rsd: Double = 0.02): DataFrame = {
+    // xxhash64, NOT the house md5 hash: the twin is deliberately not
+    // oracle-bound, and the sketch only needs a uniform 64-bit key — the
+    // md5 kernel was the twin's dominant cost at scale (90M grams at the
+    // 500k-doc fixture), while xxhash64 is whole-stage-codegen'd. The
+    // exact form keeps md5 (its distinct counts must replay in DuckDB).
+    val base = docs(s, dir).select(col("source"), toks(col("text")).as("tk"))
+    DiversityNs.map { n =>
+      base.filter(size(col("tk")) >= n)
+        .select(col("source"), lit(n.toLong).as("n"),
+          explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            // hash the token ARRAY slice directly — no gram string is ever
+            // built; xxhash64 folds the array elements natively
+            i => xxhash64(slice(col("tk"), i, lit(n)))))
+            .as("gh"))
+    }.reduce(_ unionByName _)
+      .groupBy("source", "n")
       .agg(count(lit(1)).as("total_grams"),
         approx_count_distinct("gh", rsd).as("distinct_grams"))
       .withColumn("diversity",
         round(col("distinct_grams").cast("double") / col("total_grams"), 6))
       .orderBy("source", "n")
+  }
   /** q160: bigram count floor + result size. */
   private val MinColloc = 10
   private val CollocTopK = 25
