@@ -69,6 +69,47 @@ class ScaleGenSpec extends AnyFunSuite {
     assert(docs.filter(length(col("text")) =!= col("n_chars")).count() == 0)
   }
 
+  test("zipf mode: counts preserved, wide vocab, injected dup families") {
+    val zd = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    ScaleGen.generate(spark, sf0001, zd, 2, zipfVocab = 5000)
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+    val docs = spark.read.parquet(s"$zd/documents.parquet")
+    assert(docs.count() == 2 * src.count())
+    // ids/lang/source preserved; token count preserved (floor 3)
+    val both = docs.select(col("doc_id"), col("lang").as("l2"),
+        size(split(trim(col("text")), "\\s+")).as("nt2"))
+      .join(src.select(col("doc_id"), col("lang").as("l1"),
+        greatest(size(split(trim(col("text")), "\\s+")), lit(3)).as("nt1")),
+        "doc_id")
+    assert(both.filter(col("l1") =!= col("l2")).count() == 0)
+    // ordinal-0/3+ docs keep their exact token count; family members (1, 2)
+    // inherit the HEAD's count instead — assert on the non-members
+    assert(both.filter(!pmod(col("doc_id"), lit(25L)).isin(1L, 2L) &&
+      col("nt1") =!= col("nt2")).count() == 0, "token counts must carry over")
+    // vocabulary is Zipf-wide: far beyond the 31-token source vocab
+    val vocab = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(countDistinct("t")).head().getLong(0)
+    assert(vocab > 1000, s"vocab $vocab too narrow")
+    // dup families: ordinal 1 = exact copy of the block head, ordinal 2 =
+    // near-dup (identical except the first token)
+    val withHead = docs
+      .filter(pmod(col("doc_id"), lit(25L)).isin(1L, 2L))
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(25L)).as("o"),
+        (col("doc_id") - pmod(col("doc_id"), lit(25L))).as("head"))
+      .join(docs.select(col("doc_id").as("head"), col("text").as("htext")),
+        "head")
+    assert(withHead.filter(col("o") === 1L).count() > 0)
+    assert(withHead.filter(col("o") === 1L)
+      .filter(col("text") =!= col("htext")).count() == 0,
+      "ordinal 1 must be an exact copy of the head")
+    val near = withHead.filter(col("o") === 2L)
+      .select(regexp_replace(col("text"), lit("^\\S+"), lit("X")).as("a"),
+        regexp_replace(col("htext"), lit("^\\S+"), lit("X")).as("b"))
+    assert(near.count() > 0 && near.filter(col("a") =!= col("b")).count() == 0,
+      "ordinal 2 must differ from the head only in the first token")
+  }
+
   test("embedding noise keeps replicas apart without moving replica 0") {
     val e = spark.read.parquet(s"$dst/embeddings.parquet")
     val srcE = spark.read.parquet(s"$sf0001/embeddings.parquet")
