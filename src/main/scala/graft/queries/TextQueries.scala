@@ -1149,6 +1149,62 @@ object TextQueries extends QueryModule {
           round(col("distinct_grams").cast("double") / col("total_grams"), 6))
         .orderBy("source", "n")),
 
+    // HEAPS-LAW VOCABULARY GROWTH — the type-accumulation curve V(n)
+    // (Heaps/Herdan): distinct types vs cumulative tokens at 8 doc-id
+    // checkpoints. Natural corpora grow V ∝ n^β with β ≈ 0.4–0.6; a
+    // flattening curve means the crawl is re-reading the same material
+    // (dedup is overdue), a superlinear one means OCR/generator noise is
+    // minting junk types. Scale shape: each token type collapses to its
+    // FIRST-occurrence doc id (one type-level agg), each doc to its
+    // checkpoint bucket via exact integer arithmetic (b = ⌈8·(d+1)/M⌉ —
+    // closed form, no corpus×checkpoint join), and the curve is a prefix
+    // sum over the 8-row rollup (constant-extent window, the q164 rule).
+    "q167_heaps_law" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val m = broadcast(d.agg((max("doc_id") + 1).cast("long").as("mm")))
+      def bucketOf(idName: String): Column =
+        expr(s"(8 * ($idName + 1) + mm - 1) div mm")
+      val docTok = d.select(col("doc_id"), size(toks(col("text"))).cast("long").as("nt"))
+        .crossJoin(m)
+        .select(bucketOf("doc_id").as("ck"), col("nt"))
+        .groupBy("ck").agg(count(lit(1)).as("bd"), sum("nt").as("bt"))
+      val firstSeen = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("fd"))
+        .crossJoin(m)
+        .select(bucketOf("fd").as("ck"))
+        .groupBy("ck").agg(count(lit(1)).as("bv"))
+      val w = Window.orderBy("ck")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docTok.join(firstSeen, Seq("ck"), "left")
+        .select(col("ck"), col("bd"), col("bt"),
+          coalesce(col("bv"), lit(0L)).as("bv"))
+        .withColumn("n_docs", sum("bd").over(w))
+        .withColumn("n_tokens", sum("bt").over(w))
+        .withColumn("n_types", sum("bv").over(w))
+        .select("ck", "n_docs", "n_tokens", "n_types")
+        .orderBy("ck")
+    }),
+
+    // TOKEN BURSTINESS (Church–Gale): for the global frequency head,
+    // mean occurrences per CONTAINING doc (cf/df, quantized). Function
+    // words sit near uniform (burstiness ≈ corpus mean); content words
+    // and template artifacts "burst" — high cf/df flags boilerplate
+    // tokens that repetition filters (q68) should see. One exploded
+    // pass collapses to the (token, cf, df) type-level table; the head
+    // cut is TakeOrdered (a constant).
+    "q168_token_burstiness" -> ((s, dir) => {
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      perDoc.groupBy("tok")
+        .agg(sum("c").as("cf"), count(lit(1)).as("df"))
+        .withColumn("burst_q6",
+          expr("(cf * 1000000 - pmod(cf * 1000000, df)) div df"))
+        .orderBy(col("cf").desc, col("tok")).limit(BurstTopK)
+        .select("tok", "cf", "df", "burst_q6")
+    }),
+
     // q156's HLL production twin as a TIMED bench entry (r13 verdict item
     // 7): the same rollup with approx_count_distinct (HyperLogLog++)
     // replacing the exact distinct — map-side-mergeable sketch, so the
@@ -1524,6 +1580,8 @@ object TextQueries extends QueryModule {
   private val MinLineTokens = 5
   /** q159: Zipf fit surface — the global frequency head (a constant). */
   private[graft] val ZipfMaxK = 64
+  /** q168: burstiness head size (a constant). */
+  private val BurstTopK = 40
 
   // q128 probe hyperparameters: the weak teacher IS q108's keep floor —
   // one shared constant, so a threshold change cannot desynchronize the
@@ -2327,6 +2385,38 @@ object TextQueries extends QueryModule {
            round(CAST(sum(CASE WHEN ntk < $MinLineTokens THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 6) AS short_frac
          FROM ln GROUP BY source ORDER BY source""",
+
+    "q167_heaps_law" ->
+      raw"""WITH m AS (SELECT max(doc_id) + 1 AS mm FROM documents),
+         tkh AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents),
+         dt AS (SELECT (8 * (doc_id + 1) + mm - 1) // mm AS ck,
+                  len(t) AS nt FROM tkh, m),
+         db AS (SELECT ck, count(*) AS bd, CAST(sum(nt) AS BIGINT) AS bt
+                FROM dt GROUP BY ck),
+         fs AS (SELECT tok, min(doc_id) AS fd FROM
+                  (SELECT doc_id, unnest(t) AS tok FROM tkh)
+                GROUP BY tok),
+         vb AS (SELECT ck, count(*) AS bv FROM
+                  (SELECT (8 * (fd + 1) + mm - 1) // mm AS ck FROM fs, m)
+                GROUP BY ck)
+         SELECT ck,
+           CAST(sum(bd) OVER w AS BIGINT) AS n_docs,
+           CAST(sum(bt) OVER w AS BIGINT) AS n_tokens,
+           CAST(sum(coalesce(bv, 0)) OVER w AS BIGINT) AS n_types
+         FROM db LEFT JOIN vb USING (ck)
+         WINDOW w AS (ORDER BY ck ROWS UNBOUNDED PRECEDING)
+         ORDER BY ck""",
+
+    "q168_token_burstiness" ->
+      raw"""WITH pd AS (SELECT tok, doc_id, count(*) AS c FROM
+             (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+           GROUP BY tok, doc_id),
+         t AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df
+               FROM pd GROUP BY tok)
+         SELECT tok, cf, df, (cf * 1000000) // df AS burst_q6
+         FROM t ORDER BY cf DESC, tok LIMIT 40""",
 
     "q159_zipf_slope" ->
       raw"""WITH tf AS (SELECT source, tok, count(*) AS n

@@ -151,6 +151,45 @@ class Round14Spec extends AnyFunSuite {
       s"($pa,$pb): ${rows((pa, pb))} vs $exp")
   }
 
+  test("q167 heaps law: monotone curve, totals close the corpus, wide-vocab recompute") {
+    val rows = SparkEntry.queries("q167_heaps_law")(spark, wideDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 8L))
+    Seq(rows.map(_._2), rows.map(_._3), rows.map(_._4)).foreach(cum =>
+      assert(cum.toSeq == cum.sorted.toSeq,
+        "cumulative columns must be monotone"))
+    // the final checkpoint closes the corpus exactly
+    val docs = spark.read.parquet(s"$wideDir/documents.parquet")
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val last = rows.last
+    assert(last._2 == docs.length)
+    assert(last._3 == docs.map(_._2.length.toLong).sum)
+    assert(last._4 == docs.flatMap(_._2).distinct.length.toLong)
+    // type accumulation must genuinely bend (Heaps): the first checkpoint
+    // already holds a large share of types on a Zipf corpus
+    assert(rows.head._4 > last._4 / 4, "head checkpoint types too few")
+  }
+
+  test("q168 burstiness: head recompute, cf >= df, quantized ratio exact") {
+    val rows = SparkEntry.queries("q168_token_burstiness")(spark, wideDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { case (t, cf, df, q6) =>
+      assert(cf >= df && df >= 1, s"$t")
+      assert(q6 == cf * 1000000L / df, s"$t quantized ratio")
+    }
+    // exact head recompute
+    val perDoc = spark.read.parquet(s"$wideDir/documents.parquet")
+      .selectExpr("doc_id", "explode(split(trim(text), '\\\\s+')) AS tok")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byTok = perDoc.groupBy(_._2).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.map(_._1).distinct.length.toLong) }.toSeq
+    val head = byTok.sortBy { case (t, cf, _) => (-cf, t) }.take(40)
+      .map { case (t, cf, df) => (t, cf, df, cf * 1000000L / df) }
+    assert(rows.toSeq == head)
+  }
+
   test("HostRef.Rate is pinned to the committed baseline artifact") {
     val line = scala.io.Source.fromFile(s"/root/repo/${HostRef.Artifact}")
       .getLines().next()
