@@ -144,9 +144,20 @@ object CorpusSurface {
     gateDir: Option[String] = None,
     annRoutesDir: Option[String] = None): Unit =
     s.synchronized {
-      def view(name: String, glob: String): Unit =
+      def view(name: String, glob: String): Unit = {
+        // fail FAST with a contract error instead of letting every later
+        // SELECT throw schema-inference AnalysisExceptions: a `parquet.`
+        // path view cannot carry an explicit schema, so the stream must
+        // have committed at least once before its surface mounts
+        try s.read.parquet(glob).schema
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"mountStreams($prefix$name): no committed stream output at " +
+              s"$glob yet — mount after the stream's first commit", e)
+        }
         s.sql(s"CREATE OR REPLACE VIEW $prefix$name AS " +
           s"SELECT * FROM parquet.`$glob`")
+      }
       driftDir.foreach(d => view("drift_windows", d))
       gateDir.foreach(d => view("gate_verdicts", s"$d/batch=*"))
       annRoutesDir.foreach(d => view("ann_routes", s"$d/batch=*"))

@@ -1526,17 +1526,27 @@ object TextQueries extends QueryModule {
   private val DiversityNs = Seq(1, 2, 3)
   private val GramDivSeed = 157
 
-  /** q156's hashed gram stream — (source, n, gh) for n ∈ DiversityNs. */
-  private def diversityGrams(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE gram-stream enumeration q156 and its q166 twin share —
+    * (source, n, gh) for n ∈ DiversityNs; only the hash of the token-array
+    * slice is pluggable (md5-derived for the oracle-bound exact form,
+    * native xxhash64 for the sketch twin). Keeping the filter/sequence/
+    * slice geometry in one definition is what makes Round13Spec's
+    * exact-vs-sketch relative-error pin meaningful.
+    */
+  private def gramStream(s: SparkSession, dir: String,
+    hashOf: Column => Column): DataFrame = {
     val base = docs(s, dir).select(col("source"), toks(col("text")).as("tk"))
     DiversityNs.map { n =>
       base.filter(size(col("tk")) >= n)
         .select(col("source"), lit(n.toLong).as("n"),
           explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-            i => hash64(concat_ws(" ", slice(col("tk"), i, lit(n))), GramDivSeed)))
-            .as("gh"))
+            i => hashOf(slice(col("tk"), i, lit(n))))).as("gh"))
     }.reduce(_ unionByName _)
   }
+
+  /** q156's gram stream: the house md5 hash (DuckDB-replayable). */
+  private def diversityGrams(s: SparkSession, dir: String): DataFrame =
+    gramStream(s, dir, sl => hash64(concat_ws(" ", sl), GramDivSeed))
 
   /** q156's 100 TB PRODUCTION twin, as runnable code rather than a
     * comment: approx_count_distinct (HyperLogLog++) replaces the exact
@@ -1549,21 +1559,14 @@ object TextQueries extends QueryModule {
     */
   private[graft] def ngramDiversityApprox(s: SparkSession, dir: String,
     rsd: Double = 0.02): DataFrame = {
-    // xxhash64, NOT the house md5 hash: the twin is deliberately not
-    // oracle-bound, and the sketch only needs a uniform 64-bit key — the
-    // md5 kernel was the twin's dominant cost at scale (90M grams at the
-    // 500k-doc fixture), while xxhash64 is whole-stage-codegen'd. The
-    // exact form keeps md5 (its distinct counts must replay in DuckDB).
-    val base = docs(s, dir).select(col("source"), toks(col("text")).as("tk"))
-    DiversityNs.map { n =>
-      base.filter(size(col("tk")) >= n)
-        .select(col("source"), lit(n.toLong).as("n"),
-          explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-            // hash the token ARRAY slice directly — no gram string is ever
-            // built; xxhash64 folds the array elements natively
-            i => xxhash64(slice(col("tk"), i, lit(n)))))
-            .as("gh"))
-    }.reduce(_ unionByName _)
+    // xxhash64 over the array slice directly, NOT the house md5 hash: the
+    // twin is deliberately not oracle-bound, and the sketch only needs a
+    // uniform 64-bit key — the md5 kernel (and the gram-string concat it
+    // needs) was the twin's dominant cost at scale (90M grams at the
+    // 500k-doc fixture), while xxhash64 folds array elements natively in
+    // whole-stage codegen. The exact form keeps md5 (its distinct counts
+    // must replay in DuckDB). Same gramStream enumeration as q156.
+    gramStream(s, dir, xxhash64(_))
       .groupBy("source", "n")
       .agg(count(lit(1)).as("total_grams"),
         approx_count_distinct("gh", rsd).as("distinct_grams"))
@@ -1580,7 +1583,10 @@ object TextQueries extends QueryModule {
   private val MinLineTokens = 5
   /** q159: Zipf fit surface — the global frequency head (a constant). */
   private[graft] val ZipfMaxK = 64
-  /** q168: burstiness head size (a constant). */
+  /** q168: burstiness head size (one constant, interpolated into BOTH the
+    * Spark limit and the oracle's LIMIT so a retune cannot desynchronize
+    * them — the q159/q163 convention).
+    */
   private val BurstTopK = 40
 
   // q128 probe hyperparameters: the weak teacher IS q108's keep floor —
@@ -2416,7 +2422,7 @@ object TextQueries extends QueryModule {
          t AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df
                FROM pd GROUP BY tok)
          SELECT tok, cf, df, (cf * 1000000) // df AS burst_q6
-         FROM t ORDER BY cf DESC, tok LIMIT 40""",
+         FROM t ORDER BY cf DESC, tok LIMIT $BurstTopK""",
 
     "q159_zipf_slope" ->
       raw"""WITH tf AS (SELECT source, tok, count(*) AS n

@@ -66,9 +66,16 @@ object CorpusSource {
   private[graft] def cachedKeys(s: SparkSession): Set[String] =
     cachedDecodes.keys.filter(_._1 eq s).map(_._2).toSet
 
+  // cache-key prefixes, ONE definition for the writers and release() — a
+  // third wire format added to one list but not the other would leave its
+  // decodes permanently pinned (review r14)
+  private val JsonlKey = "jsonl:"
+  private val CsvKey = "csv:"
+  private val KeyPrefixes = Seq(JsonlKey, CsvKey)
+
   /** Drop ONE ingested path's cached decode (both wire formats). */
   def release(s: SparkSession, path: String): Unit =
-    Seq("jsonl:", "csv:").foreach(k =>
+    KeyPrefixes.foreach(k =>
       cachedDecodes.remove((s, k + path)).foreach(_.unpersist()))
 
   /** Drop this session's cached DECODES only — unrelated query-module
@@ -93,7 +100,7 @@ object CorpusSource {
     quarantineDir: Option[String] = None): Decoded = {
     // text + from_json, NOT the json reader: the raw line survives next to
     // the parse result, so the quarantine is verbatim for EVERY bad shape
-    val raw = cacheTracked(spark, "jsonl:" + path, spark.read.text(path)
+    val raw = cacheTracked(spark, JsonlKey + path, spark.read.text(path)
       .select(col("value"), from_json(col("value"), readSchema,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> Corrupt)).as("p")))
@@ -121,7 +128,7 @@ object CorpusSource {
     */
   def fromCsv(spark: SparkSession, path: String,
     quarantineDir: Option[String] = None): Decoded = {
-    val raw = cacheTracked(spark, "csv:" + path, spark.read
+    val raw = cacheTracked(spark, CsvKey + path, spark.read
       .schema(readSchema)
       .option("header", "true")
       .option("mode", "PERMISSIVE")

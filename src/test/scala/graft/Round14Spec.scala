@@ -191,8 +191,10 @@ class Round14Spec extends AnyFunSuite {
   }
 
   test("HostRef.Rate is pinned to the committed baseline artifact") {
-    val line = scala.io.Source.fromFile(s"/root/repo/${HostRef.Artifact}")
-      .getLines().next()
+    // relative path: sbt runs tests with cwd = repo root, so the pin works
+    // from any checkout location
+    val line = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(HostRef.Artifact)).linesIterator.next()
     val m = """"mainnet_blocks_per_s":([0-9.]+)""".r
       .findFirstMatchIn(line)
     assert(m.isDefined, s"${HostRef.Artifact} lacks mainnet_blocks_per_s")
