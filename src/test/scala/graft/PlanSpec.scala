@@ -517,4 +517,25 @@ class PlanSpec extends AnyFunSuite {
     assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
       "thresholds must broadcast back to the corpus side")
   }
+
+  test("q167 heaps law: windows rank only the 8-row checkpoint rollup") {
+    // the curve's prefix sums must run over the post-aggregation rollup
+    // (≤ 8 rows), never the corpus: every Window's child must contain an
+    // Aggregate below it (the per-checkpoint collapse) — the closed-form
+    // integer bucketing means there is no corpus×checkpoint join either
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val qe = SparkEntry.queries("q167_heaps_law")(spark, sf0001).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the prefix-sum window")
+    windows.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"window input is not the checkpoint rollup:\n${qe.optimizedPlan}")
+    }
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no corpus-extent cross join")
+  }
+
+  test("q168 burstiness head plans as TakeOrderedAndProject") {
+    assert(planOf("q168_token_burstiness").contains("TakeOrderedAndProject"))
+  }
 }
