@@ -246,6 +246,16 @@ class Round14Spec extends AnyFunSuite {
       s"window-1 counters wrong: ${drift.toSeq}")
   }
 
+  test("mountStreams fails fast on a not-yet-committed stream surface") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-nostream").toString
+    val e = intercept[IllegalStateException] {
+      graft.queries.CorpusSurface.mountStreams(spark,
+        gateDir = Some(s"$empty/gate"))
+    }
+    assert(e.getMessage.contains("no committed stream output"),
+      s"wrong contract error: ${e.getMessage}")
+  }
+
   test("corpus decode cache: keyed per path, released per path") {
     import graft.sources.CorpusSource
     val dir = java.nio.file.Files.createTempDirectory("graft-cs").toString
