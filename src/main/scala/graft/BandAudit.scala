@@ -40,7 +40,7 @@ object BandAudit {
         .collect().foreach { r =>
           println(s"[audit] bits=$bits band=${r.getInt(0)} " +
             s"buckets=${r.getLong(1)} max_occ=${r.getLong(2)} " +
-            s"pair_mass=${r.getDouble(3).toLong}")
+            s"pair_mass=${r.getLong(3)}")
         }
     }
     spark.stop()

@@ -291,6 +291,75 @@ object MediaFunctions {
     img.getWidth.toLong * img.getHeight
   }
 
+  /** dHash GRID geometry: 8 rows × 9 luma samples per row → 64 bits
+    * (each bit compares a sample to its right neighbor) — the standard
+    * difference-hash layout, gradient-based so it is invariant to global
+    * brightness/contrast shifts (every pixel moving together preserves
+    * the < relations), which is exactly what a perceptual near-dup wants.
+    */
+  val DHashRows = 8
+  val DHashCols = 9
+
+  /** 64-bit difference hash over the decoded luma grid — the image
+    * perceptual fingerprint the banded-Hamming kernel pairs on (r14
+    * verdict item 2: the two halves the repo already owned, joined).
+    *
+    *  - REAL images: decode through ImageIO, Graphics2D-rescale to the
+    *    9×8 grid, take each pixel's luma via the same (299·R + 587·G +
+    *    114·B)/1000 integer formula as [[lumInto]];
+    *  - GRFT containers (the oracle fixture format): the "decoded luma
+    *    grid" is DEFINED as the first 72 payload bytes row-major — a
+    *    deterministic stand-in DuckDB replays byte-for-byte from the raw
+    *    blob (`substr(hex(content), …)`), the q41/q42 fixture contract.
+    *
+    * Bit k = r·8 + c is set iff L(r, c) < L(r, c+1); ascending k keeps
+    * the Spark/DuckDB bit-weight sums in identical BIGINT partial sums.
+    */
+  private[graft] def dHash(content: Array[Byte]): Long = {
+    val grid: Array[Int] =
+      if (isGrft(content)) {
+        require(content.length >= 13 + DHashRows * DHashCols,
+          s"GRFT payload too short for the ${DHashRows}x$DHashCols luma grid")
+        Array.tabulate(DHashRows * DHashCols)(i => content(13 + i) & 0xff)
+      } else {
+        val img = readImage(content)
+        val small = new java.awt.image.BufferedImage(DHashCols, DHashRows,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try g.drawImage(img, 0, 0, DHashCols, DHashRows, null)
+        finally g.dispose()
+        Array.tabulate(DHashRows * DHashCols) { i =>
+          val rgb = small.getRGB(i % DHashCols, i / DHashCols)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+      }
+    var h = 0L
+    var r = 0
+    while (r < DHashRows) {
+      var c = 0
+      while (c < DHashCols - 1) {
+        if (grid(r * DHashCols + c) < grid(r * DHashCols + c + 1))
+          h |= 1L << (r * (DHashCols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash stage: (mediaId, phash) per image row, batched per
+    * partition like every other decode stage.
+    */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[MediaPhash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.map(m => MediaPhash(m.mediaId, dHash(m.content)))
+      }
+    }
+  }
+
   /** Decode stage: one header parse per row, batched per partition. */
   def decodeFrames(media: Dataset[MediaRow]): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
@@ -468,6 +537,48 @@ object MediaFixture {
         MediaMeta(s"x-graft/$kind", w, h,
           if (kind == "audio") 16000 else -1,
           if (kind == "image") -1 else 1000L + i))
+    }
+  }
+
+  /** Near-dup fixture family width for [[generatePhash]] (block head +
+    * two perturbed members per [[PhashFamMod]] ids).
+    */
+  val PhashFamMod = 10
+
+  /** Image fixture WITH CONTROLLED NEAR-DUPS for the perceptual-hash
+    * pairing query: all rows are GRFT images (so the DuckDB oracle can
+    * recompute the dHash byte-for-byte); in every block of [[PhashFamMod]]
+    * ids, ordinal 1 perturbs ONE luma-grid byte of the block head
+    * (≤ 2 dHash bits move — a near dup) and ordinal 2 perturbs two
+    * distant bytes (≤ 4 bits); all other rows are sha256-independent
+    * (expected Hamming ≈ 32, far above the pairing threshold).
+    * Deterministic — pure functions of the id, stable under retries.
+    */
+  def generatePhash(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val ord = (i % PhashFamMod).toInt
+      val head = i - ord
+      val w = 64 + (head % 8).toInt * 16
+      val h = 48 + (head % 5).toInt * 16
+      val base = payload(if (ord == 1 || ord == 2) head else i, "image",
+        w, h, 128)
+      val content = ord match {
+        case 1 =>
+          val c = base.clone()
+          val p = 13 + (i % 59).toInt // inside the 72-byte luma grid
+          c(p) = ((c(p) & 0xff) + 17).toByte
+          c
+        case 2 =>
+          val c = base.clone()
+          val p1 = 13 + (i % 31).toInt
+          val p2 = 13 + 40 + (i % 29).toInt
+          c(p1) = ((c(p1) & 0xff) + 23).toByte
+          c(p2) = ((c(p2) & 0xff) + 41).toByte
+          c
+        case _ => base
+      }
+      MediaRow(i, "image", content, MediaMeta("x-graft/image", w, h, -1, -1))
     }
   }
 }

@@ -32,3 +32,7 @@ case class MediaFeatures(
   kind: String,
   embedding: Array[Float],
   nBytes: Int)
+
+case class MediaPhash(
+  mediaId: Long,
+  phash: Long)

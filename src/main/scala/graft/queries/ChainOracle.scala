@@ -93,6 +93,11 @@ object ChainOracle {
     write(graft.multimodal.MediaFunctions.extractFeatures(media).toDF(), "media_features")
     write(graft.multimodal.MediaFunctions.sampleFrames(media,
       MultimodalQueries.FrameStride).toDF(), "media_frames")
+    // the perceptual-hash near-dup fixture (q170): raw blobs only — the
+    // oracle recomputes the dHash byte-by-byte from the luma grid, so the
+    // hash kernel AND the Manku banding are verified, not echoed
+    write(graft.multimodal.MediaFixture.generatePhash(
+      s, MultimodalQueries.PhashRows).toDF(), "media_phash")
     // Raw per-block facts for BOTH fork branches: the oracle re-resolves the
     // winner itself (recursive CTE), so ForkResolver is verified, not echoed.
     import s.implicits._

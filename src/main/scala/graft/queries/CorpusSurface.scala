@@ -142,7 +142,9 @@ object CorpusSurface {
   def mountStreams(s: SparkSession, prefix: String = "corpus_",
     driftDir: Option[String] = None,
     gateDir: Option[String] = None,
-    annRoutesDir: Option[String] = None): Unit =
+    annRoutesDir: Option[String] = None,
+    sketchesDir: Option[String] = None,
+    bandAuditDir: Option[String] = None): Unit =
     s.synchronized {
       def view(name: String, glob: String): Unit = {
         // fail FAST with a contract error instead of letting every later
@@ -161,5 +163,11 @@ object CorpusSurface {
       driftDir.foreach(d => view("drift_windows", d))
       gateDir.foreach(d => view("gate_verdicts", s"$d/batch=*"))
       annRoutesDir.foreach(d => view("ann_routes", s"$d/batch=*"))
+      // the streaming appender's per-batch diversity-sketch rows (r15):
+      // a SQL user merges them with plain hll_union_agg/hll_sketch_estimate
+      sketchesDir.foreach(d => view("diversity_sketches", s"$d/batch=*"))
+      // the persisted band-skew report (the K6 hot-key-counter analog at
+      // the dedup tier, r14 verdict item 5): per-run occupancy counters
+      bandAuditDir.foreach(d => view("band_audit", s"$d/run=*"))
     }
 }

@@ -62,6 +62,14 @@ object DedupQueries extends QueryModule {
   private def shardBits(s: SparkSession, dir: String): Int =
     bandShardBits(nDocsMemo.getOrElseUpdate((s, dir),
       { Memos.hook(s); docs(s, dir).count() }))
+  // q26's fixed diagnostic stripe (the q30/q113 law, r14 verdict item 6):
+  // the whole corpus at every oracle/bench scale (doc_id < 5000 covers
+  // sf ≤ 0.1 entirely, so results there are byte-identical to the
+  // pre-stripe form), constant work beyond — the exact-recall census is a
+  // RECALL ORACLE for the LSH path, not the production dedup (q27/q59
+  // ride the full corpus at any scale). Interpolated into the DuckDB
+  // oracle so the two engines can never disagree on the population.
+  private[graft] val Q26StripeMax = 5000L
   // 64-bit fingerprint (Manku et al.'s width): with 8-bit blocks the
   // blocking key space per band is 256 — candidate volume O(n²/2^8) instead
   // of the O(n²/2^5) a 32-bit hash allows, and the bits come free from the
@@ -275,8 +283,17 @@ object DedupQueries extends QueryModule {
     // candidate pairs.
     "q26_shingle_jaccard" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = distinctShingleHashes(s, dir)
-      val arrs = shingleArrays(s, dir)
+      // the q30/q113 STRIPE LAW applied to the exact-recall shingle census
+      // (r14 verdict item 6): the exact all-qualifying-pairs form exists as
+      // the recall oracle for the LSH production path (q27/q59 ride the
+      // full corpus), so it runs on a FIXED doc_id stripe — the whole
+      // corpus at every oracle/bench scale (sf ≤ 0.1 has doc_id < 5000),
+      // constant work beyond. Shingle rarity (df) is computed within the
+      // stripe: the stripe IS the census population, exactly as q30's
+      // pinned stripe is its own distance population.
+      val stripe = col("doc_id") < Q26StripeMax
+      val sh = distinctShingleHashes(s, dir).filter(stripe)
+      val arrs = shingleArrays(s, dir).filter(stripe)
       val sz = arrs.select("doc_id", "n")
       val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       // rank within doc by (df, hs); prefix p = n − ceil(0.5·n) + 1.
@@ -866,8 +883,11 @@ object DedupQueries extends QueryModule {
     }.reduce(_ unionByName _)
       .groupBy("band", "key").agg(count(lit(1)).as("occ"))
       .groupBy("band")
+      // integer `div`, not `/`: double division loses exactness above ~2^53
+      // total pair mass, against the deterministic-integer-numerics house
+      // rule (r14 ADVICE) — occ·(occ−1) is always even, so div 2 is exact
       .agg(count(lit(1)).as("n_buckets"), max("occ").as("max_occ"),
-        sum(col("occ") * (col("occ") - 1) / 2).as("pair_mass"))
+        sum(expr("(occ * (occ - 1)) div 2")).as("pair_mass"))
       .orderBy("band")
   }
 
@@ -1097,7 +1117,11 @@ object DedupQueries extends QueryModule {
            round(k.q, 4) AS best_quality
          FROM keep k JOIN cnt c USING (fp) ORDER BY k.fp""",
     "q26_shingle_jaccard" ->
-      s"""WITH $tkCte, $shCte,
+      // the stripe predicate replays on the raw table (same constant the
+      // Spark side filters on), so the census population is pinned on both
+      // engines — at oracle scale (≤ sf0.1) it selects every doc
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS t
+           FROM documents WHERE doc_id < $Q26StripeMax), $shCte,
          shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c FROM shh a

@@ -19,6 +19,12 @@ object MultimodalQueries extends QueryModule {
   private[queries] val MediaRows = 90
   private[queries] val FrameStride = 4
   private[queries] val ResizeFactor = 2
+  /** q170 fixture size and pairing threshold (Manku blocking: maxHamming+1
+    * = 8 blocks of 8 bits over the 64-bit dHash, so block-equality joins
+    * are a lossless candidate generator — the q29 theorem re-used).
+    */
+  private[graft] val PhashRows = 240
+  private[graft] val PhashMaxHamming = 7
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decode stage: header parse per row, batched mapPartitions.
@@ -74,6 +80,34 @@ object MultimodalQueries extends QueryModule {
         length(col("content")).as("nBytes"),
         md5(lower(hex(col("content")))).as("fp"))
         .orderBy("mediaId")
+    }),
+
+    // IMAGE PERCEPTUAL-HASH NEAR-DUP (r14 verdict item 2 — the multimodal
+    // dedup first-class citizen): dHash over the decoded luma grid
+    // (MediaFunctions.dHash — real ImageIO decode+rescale for real image
+    // bytes, the byte-defined GRFT grid for the oracle fixture), paired by
+    // the same Manku multi-block banding as q29: 8 equi-join blocks of 8
+    // bits, ≤ 7 differing bits must share a whole block, true Hamming
+    // verified inside the join — result-identical to all-pairs with NO
+    // cartesian stage. The DuckDB oracle RECOMPUTES the dHash bit-by-bit
+    // from the dumped raw blobs and pairs by brute force, independently
+    // verifying both the hash kernel and the banding's losslessness.
+    "q170_image_phash_pairs" -> ((s, _) => {
+      val ph = MediaFunctions.perceptualHash(
+        MediaFixture.generatePhash(s, PhashRows)).toDF()
+      val keyed = ph.select(col("mediaId"), col("phash"),
+        posexplode(array((0 until PhashMaxHamming + 1).map(b =>
+          shiftright(col("phash"), b * 8).bitwiseAND(lit(0xffL))): _*))
+          .as(Seq("blk", "bk")))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bk") === col("b.bk") &&
+            col("a.mediaId") < col("b.mediaId"))
+        .select(col("a.mediaId").as("a_id"), col("b.mediaId").as("b_id"),
+          bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .distinct()
+        .orderBy("a_id", "b_id")
     }),
 
     // Native Catalyst expression in the hot path: token_count(text) without
@@ -158,6 +192,29 @@ object MultimodalQueries extends QueryModule {
          SELECT mediaId, kind, width, height,
            CAST(len(rhx) // 2 AS INTEGER) AS nBytes, md5(rhx) AS fp
          FROM rz ORDER BY mediaId"""
+    },
+    // dHash recomputed INDEPENDENTLY from the raw blob: luma(r, c) is the
+    // payload byte at 13 + r·9 + c (the GRFT grid definition), each of the
+    // 64 bits is a byte comparison on hex substrings, bit weights are
+    // precomputed Long literals in ascending k (the simBitsSql rule: every
+    // partial sum stays inside BIGINT; the k=63 weight is Long.MinValue
+    // added last). Pairing is brute-force all-pairs — at 240 fixture rows
+    // DuckDB verifies the banding's losslessness, not just the hash.
+    "q170_image_phash_pairs" -> {
+      val bitsSql = (for (r <- 0 until 8; c <- 0 until 8) yield {
+        val j1 = 13 + r * 9 + c
+        def byteAt(j: Int) =
+          s"CAST(('0x' || substr(hex(content), ${j * 2 + 1}, 2)) AS INTEGER)"
+        s"(CASE WHEN ${byteAt(j1)} < ${byteAt(j1 + 1)} " +
+          s"THEN CAST(${1L << (r * 8 + c)} AS BIGINT) ELSE 0 END)"
+      }).mkString(" + ")
+      s"""WITH ph AS (SELECT mediaId, $bitsSql AS phash
+           FROM read_parquet('${ChainOracle.p("media_phash")}'))
+         SELECT a.mediaId a_id, b.mediaId b_id,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+         FROM ph a JOIN ph b ON a.mediaId < b.mediaId
+         WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+         ORDER BY a_id, b_id"""
     },
     "q44_token_count_native" ->
       """SELECT lang, count(*) AS n_docs,

@@ -179,14 +179,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("NB classifier broadcasts the model grid; scoring stays keyed") {
+  test("NB classifier broadcasts the model; scoring is one narrow pass") {
     val plan = planOf("q102_nb_classifier")
-    // the only nested loops allowed are 1-row broadcast totals
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
-      s"q102's lang×bucket grid must join as a broadcast HASH join:\n$plan")
+    // the only nested loops allowed are 1-ROW broadcasts: the seed-count
+    // totals crossJoin and the folded one-row model (langs array) the
+    // r15 rewrite scores against in-row — never a row-per-bucket grid
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 2,
+      s"q102 may only cross-join 1-row broadcasts:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
-      s"model grid join must broadcast:\n$plan")
+      s"the fit-side joins must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+    // the non-seed token mass must never be exploded through an exchange:
+    // no hash partitioning on a bucket column survives in the score path
+    assert(!plan.contains("Window"),
+      s"argmax must be the in-row array sort, not a window:\n$plan")
   }
 
   test("blocklist dictionary joins as a broadcast, not an isin chain or loop") {

@@ -191,10 +191,17 @@ class Round14Spec extends AnyFunSuite {
   }
 
   test("HostRef.Rate is pinned to the committed baseline artifact") {
-    // relative path: sbt runs tests with cwd = repo root, so the pin works
-    // from any checkout location
+    // resolve the artifact against the repo ROOT (nearest ancestor with
+    // build.sbt — the ChainOracle.Dir rule), not the process cwd: a forked
+    // test JVM or IDE runner with a different working directory must fail
+    // on a real desynchronization, never on path resolution (r14 ADVICE)
+    @annotation.tailrec
+    def findRoot(d: java.io.File): java.io.File =
+      if (new java.io.File(d, "build.sbt").isFile || d.getParentFile == null) d
+      else findRoot(d.getParentFile)
+    val root = findRoot(new java.io.File(sys.props("user.dir")))
     val line = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(HostRef.Artifact)).linesIterator.next()
+      new java.io.File(root, HostRef.Artifact).toPath).linesIterator.next()
     val m = """"mainnet_blocks_per_s":([0-9.]+)""".r
       .findFirstMatchIn(line)
     assert(m.isDefined, s"${HostRef.Artifact} lacks mainnet_blocks_per_s")

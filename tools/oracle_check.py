@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [--json <artifact>]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the same sf tables,
@@ -48,7 +48,8 @@ def type_family(t):
         return "DECIMAL"
     return t  # HUGEINT, UBIGINT, DOUBLE, FLOAT, VARCHAR, DATE, ... distinct
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -63,13 +64,20 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(d):
             continue
         got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
+        def record(rows_m, schema_m, hash_m, oracle_rows, err):
+            results[name] = {
+                "rows_match": rows_m, "schema_match": schema_m,
+                "hash_match": hash_m, "spark_rows": len(got),
+                "oracle_rows": oracle_rows, "err": err}
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")
+            record(None, None, None, None, "no_oracle")
             continue
         exp = con.execute(oracle[name]).fetchdf()
         gcols, ecols = sorted(got.columns), sorted(exp.columns)
         if gcols != ecols:
             print(f"[FAIL-schema] {name}: spark={gcols} duck={ecols}")
+            record(None, False, None, len(exp), "schema")
             n_fail += 1
             continue
         gt = decl_types(con, f"SELECT * FROM read_parquet('{d}/*.parquet')")
@@ -79,6 +87,7 @@ def main(sf_dir, out_dir):
         if bad_t:
             print(f"[FAIL-type] {name}: " + ", ".join(
                 f"{c}: spark={a} duck={b}" for c, a, b in bad_t))
+            record(None, False, None, len(exp), "type")
             n_fail += 1
             continue
         g = [tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False)]
@@ -86,16 +95,28 @@ def main(sf_dir, out_dir):
         g.sort(); e.sort()
         if g == e:
             print(f"[PASS] {name}: {len(g)} rows")
+            record(True, True, True, len(e), None)
             n_pass += 1
         else:
             n_fail += 1
             print(f"[FAIL-values] {name}: {len(g)} spark rows vs {len(e)} duck rows")
+            record(len(g) == len(e), True, False, len(e), "values")
             diff_g = [r for r in g if r not in set(e)][:3]
             diff_e = [r for r in e if r not in set(g)][:3]
             print(f"  spark-only: {diff_g}")
             print(f"  duck-only:  {diff_e}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(results.items())), f, indent=2)
+        print(f"[artifact] {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    jo = None
+    if "--json" in args:
+        i = args.index("--json")
+        jo = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], jo))
