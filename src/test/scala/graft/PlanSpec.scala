@@ -195,6 +195,12 @@ class PlanSpec extends AnyFunSuite {
       s"argmax must be the in-row array sort, not a window:\n$plan")
   }
 
+  test("image phash pairing is block-keyed equi-joins — never a cartesian") {
+    val plan = planOf("q170_image_phash_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q170 must pair via (block, key) equi-joins:\n$plan")
+  }
+
   test("blocklist dictionary joins as a broadcast, not an isin chain or loop") {
     val plan = planOf("q103_blocklist_filter")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
