@@ -69,7 +69,11 @@ object CorpusSurface {
         // per-source dataset card — tiny oracle-checked rollups a reader
         // expects to SELECT, not recompute
         "dedup_roi" -> SparkEntry.queries("q147_dedup_roi")(s, sfDir),
-        "dataset_card" -> SparkEntry.queries("q151_dataset_card")(s, sfDir)
+        "dataset_card" -> SparkEntry.queries("q151_dataset_card")(s, sfDir),
+        // the sketch-tier diversity rollup (r15): |sources|×3 rows merged
+        // from the materialized sketch table — the q156 answer a reader
+        // SELECTs without ever rescanning the gram mass
+        "diversity" -> SparkEntry.queries("q169_diversity_sketch")(s, sfDir)
       ).map { case (n, df) =>
         val c = df.cache()
         c.createOrReplaceTempView(prefix + n)
@@ -122,7 +126,8 @@ object CorpusSurface {
         "clean" -> SparkEntry.queries("q108_clean_export")(s, sfDir),
         "splits" -> SparkEntry.queries("q126_cluster_split")(s, sfDir),
         "dedup_roi" -> SparkEntry.queries("q147_dedup_roi")(s, sfDir),
-        "dataset_card" -> SparkEntry.queries("q151_dataset_card")(s, sfDir)
+        "dataset_card" -> SparkEntry.queries("q151_dataset_card")(s, sfDir),
+        "diversity" -> SparkEntry.queries("q169_diversity_sketch")(s, sfDir)
       ).foreach { case (n, df) =>
         graft.GraftEngine.swapSnapshotView(s, prefix + n, df, s"$snapRoot/$n")
       }

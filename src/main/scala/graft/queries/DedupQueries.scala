@@ -62,14 +62,21 @@ object DedupQueries extends QueryModule {
   private def shardBits(s: SparkSession, dir: String): Int =
     bandShardBits(nDocsMemo.getOrElseUpdate((s, dir),
       { Memos.hook(s); docs(s, dir).count() }))
-  // q26's fixed diagnostic stripe (the q30/q113 law, r14 verdict item 6):
-  // the whole corpus at every oracle/bench scale (doc_id < 5000 covers
-  // sf ≤ 0.1 entirely, so results there are byte-identical to the
-  // pre-stripe form), constant work beyond — the exact-recall census is a
-  // RECALL ORACLE for the LSH path, not the production dedup (q27/q59
-  // ride the full corpus at any scale). Interpolated into the DuckDB
-  // oracle so the two engines can never disagree on the population.
-  private[graft] val Q26StripeMax = 5000L
+  // The EXACT-CENSUS stripe (the q30/q113 law, r14 verdict item 6),
+  // shared by q26 (exact Jaccard) and q120 (exact containment): the whole
+  // corpus at every oracle/bench scale (doc_id < 5000 covers sf ≤ 0.1
+  // entirely, so results there are byte-identical to the pre-stripe
+  // form), constant work beyond. Both are RECALL ORACLES for the
+  // production paths, not the production dedup itself — symmetric
+  // near-dup rides q27/q59's banded LSH and quote/superset detection
+  // rides q98's window-hash substring dup, all full-corpus and linear at
+  // any scale; the exact censuses exist to measure those paths' recall,
+  // and a recall measurement needs a pinned population, not the whole
+  // corpus (q120 was the largest absolute entry of the sf10 surface —
+  // 41 s of lossless-but-linear candidate verification — before this).
+  // Interpolated into the DuckDB oracles so the two engines can never
+  // disagree on the population.
+  private[graft] val CensusStripeMax = 5000L
   // 64-bit fingerprint (Manku et al.'s width): with 8-bit blocks the
   // blocking key space per band is 256 — candidate volume O(n²/2^8) instead
   // of the O(n²/2^5) a 32-bit hash allows, and the bits come free from the
@@ -291,7 +298,7 @@ object DedupQueries extends QueryModule {
       // constant work beyond. Shingle rarity (df) is computed within the
       // stripe: the stripe IS the census population, exactly as q30's
       // pinned stripe is its own distance population.
-      val stripe = col("doc_id") < Q26StripeMax
+      val stripe = col("doc_id") < CensusStripeMax
       val sh = distinctShingleHashes(s, dir).filter(stripe)
       val arrs = shingleArrays(s, dir).filter(stripe)
       val sz = arrs.select("doc_id", "n")
@@ -357,8 +364,15 @@ object DedupQueries extends QueryModule {
     // threshold is the cross-multiplied 5·shared ≥ 4·n).
     "q120_containment" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = distinctShingleHashes(s, dir)
-      val arrs = shingleArrays(s, dir)
+      // the same CENSUS-STRIPE law as q26 (see CensusStripeMax): the
+      // exact containment census is the recall oracle for quote/superset
+      // detection — q98's window-hash substring dup is the full-corpus
+      // linear production path — so it runs on the pinned stripe (the
+      // whole corpus at every oracle/bench scale, constant beyond; df
+      // within the stripe)
+      val stripe = col("doc_id") < CensusStripeMax
+      val sh = distinctShingleHashes(s, dir).filter(stripe)
+      val arrs = shingleArrays(s, dir).filter(stripe)
       val sz = arrs.select("doc_id", "n")
       val dfreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       // ONE ranked table (global (df, hs) total order within each doc)
@@ -1121,7 +1135,7 @@ object DedupQueries extends QueryModule {
       // Spark side filters on), so the census population is pinned on both
       // engines — at oracle scale (≤ sf0.1) it selects every doc
       s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS t
-           FROM documents WHERE doc_id < $Q26StripeMax), $shCte,
+           FROM documents WHERE doc_id < $CensusStripeMax), $shCte,
          shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c FROM shh a
@@ -1131,7 +1145,9 @@ object DedupQueries extends QueryModule {
          WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5
          ORDER BY a_id, b_id""",
     "q120_containment" ->
-      s"""WITH $tkCte, $shCte,
+      // same stripe replay as q26 — the census population is pinned
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS t
+           FROM documents WHERE doc_id < $CensusStripeMax), $shCte,
          shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c

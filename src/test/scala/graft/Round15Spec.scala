@@ -264,6 +264,18 @@ class Round15Spec extends AnyFunSuite {
       s"non-seed scoring must not shuffle on doc_id:\n$plan")
   }
 
+  test("corpus surface publishes the sketch-tier diversity rollup") {
+    graft.queries.CorpusSurface.mount(spark, sf001, "r15div_")
+    val viaSql = spark.sql(
+      "SELECT source, n, total_grams, distinct_grams FROM r15div_diversity")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val direct = q("q169_diversity_sketch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(viaSql == direct)
+  }
+
   // ---- the zipf correctness gate cannot rot (r14 verdict item 3) ----
 
   test("ZipfGate: every pinned query exists and is oracle-bound") {
@@ -280,8 +292,8 @@ class Round15Spec extends AnyFunSuite {
 
   // ---- q26 stripe law (r14 verdict item 6) ----
 
-  test("q26: census population is pinned to the stripe — docs at or " +
-    "beyond Q26StripeMax never enter pairs") {
+  test("q26/q120: census population is pinned to the stripe — docs at or " +
+    "beyond CensusStripeMax never enter pairs") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q26s").toString
     // two identical docs inside the stripe (one qualifying pair) and two
@@ -290,13 +302,19 @@ class Round15Spec extends AnyFunSuite {
     val txtA = (1 to 12).map(i => s"tok$i").mkString(" ")
     val txtB = (1 to 12).map(i => s"other$i").mkString(" ")
     Seq(mk(1L, txtA), mk(2L, txtA),
-      mk(DedupQueries.Q26StripeMax + 1, txtB),
-      mk(DedupQueries.Q26StripeMax + 2, txtB))
+      mk(DedupQueries.CensusStripeMax + 1, txtB),
+      mk(DedupQueries.CensusStripeMax + 2, txtB))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val pairs = SparkEntry.queries("q26_shingle_jaccard")(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)),
       s"stripe must keep exactly the in-stripe pair, got ${pairs.toSeq}")
+    // identical docs are mutual 100% containers — both directed pairs
+    // inside the stripe, none across/beyond it (q120 rides the same law)
+    val cont = SparkEntry.queries("q120_containment")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cont.toSeq == Seq((1L, 2L), (2L, 1L)),
+      s"q120 stripe must keep exactly the in-stripe pairs, got ${cont.toSeq}")
   }
 }
