@@ -95,6 +95,14 @@ object DiversitySketches {
     val next = latest(s, out)
       .flatMap(_.split("=").last.toLongOption).map(_ + 1).getOrElse(0L)
     val (dest, _) = graft.GraftEngine.claimVersion(fs, outPath, tmp, next)
+    // GC versions older than one swap (the swapSnapshotView rule): a
+    // re-materializing session would otherwise leak one ~MB dir per run;
+    // the newest-1 stays for any in-flight reader of the previous version
+    val kept = dest.getName.stripPrefix("v=").toLong
+    fs.listStatus(outPath).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        p.getName.drop(2).toLongOption.exists(_ < kept - 1))
+      .foreach(p => fs.delete(p, true))
     dest.toString
   }
 

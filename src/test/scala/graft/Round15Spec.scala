@@ -128,6 +128,15 @@ class Round15Spec extends AnyFunSuite {
       "aligned stream must append byte-identical sketch rows")
   }
 
+  test("sketch materializer keeps one prior version and GCs the rest") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dsk-gc").toString
+    (1 to 3).foreach(_ => DiversitySketches.materialize(spark, sf0001, out))
+    val vs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).sorted.toSeq
+    assert(vs == Seq("v=1", "v=2"),
+      s"exactly the newest and one prior version must remain, got $vs")
+  }
+
   // ---- persisted band-skew report (r14 verdict item 5) ----
 
   test("band-skew report persists on the maintenance cadence and mounts " +
