@@ -41,25 +41,38 @@ object BandSkewReport {
         "n_docs", "adaptive_bits")
   }
 
-  /** Append one run's counters under `out/run=<k>` (idempotent per run id:
-    * a re-write of the same run overwrites its own dir — the house
-    * at-least-once contract). Returns the run id written.
+  /** Write one run's counters under `out/run=<runId>`, idempotent per
+    * run id: a re-write of the same run OVERWRITES its own dir — the
+    * house at-least-once contract, which is why callers on a replayable
+    * cadence must derive `runId` from their batch id (see
+    * [[maintainEvery]]), never from directory state. Returns the run id.
     */
-  def persist(s: SparkSession, dir: String, out: String): Long = {
-    val runId = nextRun(s, out)
+  def persist(s: SparkSession, dir: String, out: String, runId: Long): Long = {
     report(s, dir).coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/run=$runId")
     runId
   }
 
+  /** Ad-hoc append (an operator running the report by hand): next free
+    * run id from directory state. NOT replay-idempotent — streaming
+    * callers must go through [[maintainEvery]].
+    */
+  def persist(s: SparkSession, dir: String, out: String): Long =
+    persist(s, dir, out, nextRun(s, out))
+
   /** Maintenance-cadence hook for a streaming ingest's foreachBatch: runs
     * [[persist]] every `cadence` micro-batches (batch 0 included, so a
     * fresh pipeline has a report from its first maintenance window) —
-    * the ChainIngest hot-key-report rhythm applied here.
+    * the ChainIngest hot-key-report rhythm applied here. The run id is
+    * `batchId / cadence`, a pure function of the batch, so an
+    * at-least-once REPLAY of a batch overwrites its own run dir instead
+    * of appending a duplicate (r15 review finding: deriving the id from
+    * nextRun() double-counted a replayed maintenance batch).
     */
   def maintainEvery(s: SparkSession, dir: String, out: String,
     batchId: Long, cadence: Long): Option[Long] =
-    if (cadence > 0 && batchId % cadence == 0) Some(persist(s, dir, out))
+    if (cadence > 0 && batchId % cadence == 0)
+      Some(persist(s, dir, out, batchId / cadence))
     else None
 
   private def nextRun(s: SparkSession, out: String): Long = {

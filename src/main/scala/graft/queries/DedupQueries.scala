@@ -993,8 +993,16 @@ object DedupQueries extends QueryModule {
 
   // ---- oracle SQL (DuckDB dialect), generated from the same constants ----
 
-  private val tkCte =
-    raw"tk AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM documents)"
+  // ONE tokenization definition for every dedup oracle — the optional
+  // WHERE is how the census-stripe oracles (q26/q120) pin their
+  // population without copying the gram expression (r15 review finding:
+  // an inlined duplicate could silently drift from the shared form)
+  private def tkCteWhere(where: String) =
+    raw"tk AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM documents" +
+      (if (where.isEmpty) ")" else s" $where)")
+  private val tkCte = tkCteWhere("")
+  private def tkCteStriped =
+    tkCteWhere(s"WHERE doc_id < $CensusStripeMax")
   private val shCte =
     "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), " +
       "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM tk)"
@@ -1134,8 +1142,7 @@ object DedupQueries extends QueryModule {
       // the stripe predicate replays on the raw table (same constant the
       // Spark side filters on), so the census population is pinned on both
       // engines — at oracle scale (≤ sf0.1) it selects every doc
-      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS t
-           FROM documents WHERE doc_id < $CensusStripeMax), $shCte,
+      s"""WITH $tkCteStriped, $shCte,
          shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c FROM shh a
@@ -1146,8 +1153,7 @@ object DedupQueries extends QueryModule {
          ORDER BY a_id, b_id""",
     "q120_containment" ->
       // same stripe replay as q26 — the census population is pinned
-      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS t
-           FROM documents WHERE doc_id < $CensusStripeMax), $shCte,
+      s"""WITH $tkCteStriped, $shCte,
          shh AS (SELECT DISTINCT doc_id, ${hash64Sql("s", 0)} AS hs FROM sh),
          sz AS (SELECT doc_id, count(*) n FROM shh GROUP BY 1),
          shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c

@@ -127,12 +127,26 @@ object DiversitySketches {
   Memos.register(s => tableMemo.keys.filter(_._1 eq s)
     .foreach(tableMemo.remove))
 
-  private[graft] def table(s: SparkSession, dir: String): String =
-    tableMemo.getOrElseUpdate((s, dir), {
-      Memos.hook(s)
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val root = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/_graft_diversity_sketches/$safe"
-      materialize(s, dir, root)
-    })
+  private[graft] def table(s: SparkSession, dir: String): String = {
+    // validate a memoized path before serving it: a concurrent session
+    // re-materializing the same root can GC the version this session
+    // memoized (GC keeps only newest+1), so a vanished path transparently
+    // re-materializes instead of failing the read mid-session (r15
+    // review finding)
+    tableMemo.get((s, dir)).filter(exists(s, _)).getOrElse {
+      tableMemo.remove((s, dir))
+      tableMemo.getOrElseUpdate((s, dir), {
+        Memos.hook(s)
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val root = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+          s"/_graft_diversity_sketches/$safe"
+        materialize(s, dir, root)
+      })
+    }
+  }
+
+  private def exists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
 }

@@ -61,9 +61,15 @@ object StreamingMediaNearDup {
   }
 
   /** Near-dup image pairs (aId < bId) from a media stream; threshold
-    * defaults to batch q170's.
+    * defaults to batch q170's. The pigeonhole exactness guarantee needs
+    * maxHamming + 1 ≤ NumBlocks (≤ maxHamming differing bits cannot
+    * touch all blocks), so a wider threshold fails loudly instead of
+    * silently dropping recall (r15 review finding).
     */
   def pairs(media: Dataset[MediaRow], maxHamming: Int = 7): Dataset[PhashPair] = {
+    require(maxHamming >= 0 && maxHamming < NumBlocks,
+      s"exact block pigeonhole needs 0 <= maxHamming < $NumBlocks blocks, " +
+        s"got $maxHamming — widen NumBlocks/BlockBits together to raise it")
     val spark = media.sparkSession
     import spark.implicits._
     MediaFunctions.perceptualHash(media)

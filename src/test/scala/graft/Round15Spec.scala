@@ -162,6 +162,12 @@ class Round15Spec extends AnyFunSuite {
       // max·(max−1)/2, so pair_mass ≥ that single bucket's term
       assert(pm >= mx * (mx - 1) / 2)
     }
+    // at-least-once REPLAY of a maintenance batch overwrites its own run
+    // dir (run id = batchId/cadence, a pure function of the batch) —
+    // never appends a duplicate that would double-count the counters
+    assert(BandSkewReport.maintainEvery(spark, sf001, out, 0L, 3L).contains(0L))
+    assert(BandSkewReport.runs(spark, out).count() == rows.length.toLong,
+      "replayed maintenance batch must not append a duplicate run")
     // two cadence hits → two run dirs, both readable through the view
     graft.queries.CorpusSurface.mountStreams(spark, "r15bsr_",
       bandAuditDir = Some(out))
@@ -257,6 +263,11 @@ class Round15Spec extends AnyFunSuite {
     assert(streamed == batch,
       s"stream/batch pair sets must be identical " +
         s"(stream-only: ${streamed -- batch}, batch-only: ${batch -- streamed})")
+    // a threshold the 8-block pigeonhole cannot guarantee must fail
+    // loudly, never silently drop recall
+    intercept[IllegalArgumentException] {
+      StreamingMediaNearDup.pairs(ms.toDS(), StreamingMediaNearDup.NumBlocks)
+    }
   }
 
   // ---- q102 broadcast scoring (r14 verdict item 4) ----

@@ -117,6 +117,10 @@ if __name__ == "__main__":
     jo = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: oracle_check.py <sfDir> <verifyOutDir> [--json <artifact>]")
         jo = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if len(args) < 2:
+        sys.exit("usage: oracle_check.py <sfDir> <verifyOutDir> [--json <artifact>]")
     sys.exit(main(args[0], args[1], jo))
