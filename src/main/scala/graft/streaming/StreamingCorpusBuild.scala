@@ -277,15 +277,27 @@ object StreamingCorpusBuild {
     * up-sampling plan, each batch also lands its per-doc copy-count
     * manifest (the streamed q149 — see [[copyManifest]]).
     */
+  /** Optional maintenance sidecar for [[route]]: every `cadence` batches
+    * the band-skew counters of `sfDir` are persisted under `auditOut`
+    * (the K6 hot-key-report rhythm — see
+    * [[graft.queries.BandSkewReport.maintainEvery]]; run id derives from
+    * the batch id, so replays overwrite, never duplicate).
+    */
+  case class Maintenance(sfDir: String, auditOut: String, cadence: Long)
+
   def route(docs: Dataset[SplitDoc], out: String, checkpointDir: String,
     numShards: Int = AssemblyQueries.NumShards,
     trigger: Trigger = Trigger.AvailableNow(),
-    plan: Option[PinnedPlan] = None): StreamingQuery = {
+    plan: Option[PinnedPlan] = None,
+    maintenance: Option[Maintenance] = None): StreamingQuery = {
     val s = docs.sparkSession
     assignShards(docs, numShards).toDF()
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendBatch(s, b, id, out, plan) }
+        appendBatch(s, b, id, out, plan)
+        maintenance.foreach(m => graft.queries.BandSkewReport
+          .maintainEvery(s, m.sfDir, m.auditOut, id, m.cadence))
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()

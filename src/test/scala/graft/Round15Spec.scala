@@ -176,6 +176,31 @@ class Round15Spec extends AnyFunSuite {
     assert(viaSql.getLong(1) == rows.length.toLong)
   }
 
+  test("corpus-build route drives the band-skew maintenance sidecar") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCorpusBuild
+    import graft.streaming.StreamingCorpusBuild.{Maintenance, SplitDoc}
+    val docs = (0L until 6L).map(i =>
+      SplitDoc(i, "s0", "en", "train", s"alpha beta gamma delta tok$i"))
+    val out = java.nio.file.Files.createTempDirectory("graft-scbm").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scbm-ck").toString
+    val audit = java.nio.file.Files.createTempDirectory("graft-scbm-au").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SplitDoc]
+    val qy = StreamingCorpusBuild.route(ms.toDS(), out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50),
+      maintenance = Some(Maintenance(sf001, audit, 2L)))
+    try {
+      ms.addData(docs.take(3)); qy.processAllAvailable() // batch 0: writes
+      ms.addData(docs.drop(3)); qy.processAllAvailable() // batch 1: skips
+    } finally qy.stop()
+    val runDirs = new java.io.File(audit).listFiles()
+      .map(_.getName).filter(_.startsWith("run=")).toSeq
+    assert(runDirs == Seq("run=0"),
+      s"cadence-2 over two batches must persist exactly run=0, got $runDirs")
+    assert(BandSkewReport.runs(spark, audit).count() > 0)
+  }
+
   test("mountStreams exposes streaming sketch rows for plain-SQL merge") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-dsk2").toString
