@@ -164,19 +164,22 @@ object ScaleGen {
     */
   private[graft] def zipfRewrite(base: DataFrame, v: Int): DataFrame = {
     // token count preserved from the source doc (floor 3 so every doc
-    // shingles); the draw: rank = ⌊exp(u·ln V)⌋ − 1 ∈ [0, V−2] (the −1
-    // maps the floor's natural [1, V−1] range onto ranks starting at 0, so
-    // rank 0 — the head of the Zipf(1) law — is actually drawn and the
-    // stated rank-frequency law matches the generator; r14 ADVICE),
-    // u ∈ (0,1) from a 1e-6 grid over murmur(doc_id, pos, seed); per-source
-    // head rotation via a source-hash offset
+    // shingles); the draw: rank = ⌊exp(u·ln(V+1))⌋ − 1 ∈ [0, V−1] — the
+    // −1 maps the floor's natural range onto ranks starting at 0 so rank
+    // 0 (the Zipf(1) head) is drawn (r14 ADVICE), and the log base is
+    // V+1, not V, so the TOP rank V−1 is reachable too and every source's
+    // rotated vocabulary covers all V types (r15 ADVICE: with ln V the
+    // floor tops out at V−1 pre-shift, leaving one unreachable type per
+    // source). u ∈ (0,1) from a 1e-6 grid over murmur(doc_id, pos, seed);
+    // per-source head rotation via a source-hash offset. The least()
+    // clamp is a guard only — u < 1 already bounds the floor at V.
     val nt = greatest(size(split(trim(col("text")), "\\s+")), lit(3))
     val gen = base.withColumn("gtext",
       concat_ws(" ", transform(sequence(lit(1), nt), p => {
         val u = (pmod(hash(col("doc_id"), p, lit(77)).cast("long"),
           lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
         val rank = least(lit(v - 1),
-          floor(exp(u * log(lit(v.toDouble)))).cast("int")) - 1
+          floor(exp(u * log(lit(v.toDouble + 1.0)))).cast("int") - 1)
         val rot = pmod(rank + pmod(hash(col("source")), lit(97)), lit(v))
         format_string("w%05d", rot)
       })))

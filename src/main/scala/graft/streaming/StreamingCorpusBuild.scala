@@ -155,8 +155,14 @@ object StreamingCorpusBuild {
     // (two isEmpty probes + two writes) would otherwise each re-execute
     // the stateful shard-assignment plan — 4× the batch's CPU/IO, and a
     // re-read of state-store versions foreachBatch reuse rules say to
-    // avoid (the standard persist-on-reuse contract)
-    batch.persist()
+    // avoid (the standard persist-on-reuse contract). When the caller
+    // already holds a persist (route() does, to share the batch with its
+    // sidecars), leave the caller's cache alone — unpersist() is not
+    // ref-counted, and dropping it here would silently recompute the
+    // stateful plan for every action the caller runs afterwards.
+    val ownPersist =
+      batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPersist) batch.persist()
     try {
     val late = batch.filter(col("late"))
     if (!late.isEmpty)
@@ -186,7 +192,7 @@ object StreamingCorpusBuild {
       }
       publish(s, out, batchId)
     }
-    } finally batch.unpersist()
+    } finally { if (ownPersist) batch.unpersist(); () }
   }
 
   /** The accumulated per-doc copy manifest of a planned stream (the q149
@@ -285,18 +291,44 @@ object StreamingCorpusBuild {
     */
   case class Maintenance(sfDir: String, auditOut: String, cadence: Long)
 
+  /** With `sketchOut` set, every micro-batch ALSO lands its diversity-
+    * sketch rows (r15 verdict item 2 — the spent-at-index-time rule
+    * applied to the corpus the stream is actually building): the batch's
+    * fresh docs run the SAME per-(bucket, source, n) HLL kernel the batch
+    * materializer and [[StreamingDiversitySketch]] run, written
+    * idempotently under `sketchOut/batch=<id>`. A production corpus then
+    * has its sketch table AS IT BUILDS — q169's question answers from
+    * `CorpusSurface.mountStreams(sketchesDir = …)` with zero corpus
+    * rescan and zero materialize call in the reading session. Late docs
+    * (shard −1, surfaced under `_late/`, not in the corpus) are NOT
+    * sketched — the sketch table describes what corpus readers see; the
+    * offline re-pack that admits them appends their rows.
+    */
   def route(docs: Dataset[SplitDoc], out: String, checkpointDir: String,
     numShards: Int = AssemblyQueries.NumShards,
     trigger: Trigger = Trigger.AvailableNow(),
     plan: Option[PinnedPlan] = None,
-    maintenance: Option[Maintenance] = None): StreamingQuery = {
+    maintenance: Option[Maintenance] = None,
+    sketchOut: Option[String] = None): StreamingQuery = {
     val s = docs.sparkSession
     assignShards(docs, numShards).toDF()
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendBatch(s, b, id, out, plan)
-        maintenance.foreach(m => graft.queries.BandSkewReport
-          .maintainEvery(s, m.sfDir, m.auditOut, id, m.cadence))
+        // one persist shared by appendBatch's actions AND the sidecars —
+        // re-executing the transformWithState plan per action is both the
+        // CPU and the state-store-reuse hazard appendBatch documents
+        b.persist()
+        try {
+          appendBatch(s, b, id, out, plan)
+          sketchOut.foreach { so =>
+            graft.queries.DiversitySketches.sketchRows(
+              b.filter(!col("late")).select(col("docId").as("doc_id"),
+                col("source"), col("text")))
+              .write.mode(SaveMode.Overwrite).parquet(s"$so/batch=$id")
+          }
+          maintenance.foreach(m => graft.queries.BandSkewReport
+            .maintainEvery(s, m.sfDir, m.auditOut, id, m.cadence))
+        } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -73,6 +73,13 @@ object StreamingMediaNearDup {
     val spark = media.sparkSession
     import spark.implicits._
     MediaFunctions.perceptualHash(media)
+      // degenerate-fingerprint quarantine (batch q170's exact rule, so
+      // the stream==batch pair law survives): an all-0/all-1 dHash is a
+      // whole visual class — its bucket state would grow with every flat
+      // image ever ingested and each arrival would emit a pair against
+      // ALL of them (N² emission AND N² state). Withheld from routing;
+      // the mass stays visible via BandSkewReport.maintainPhashEvery.
+      .filter(p => !MediaFunctions.isDegenerate(p.phash))
       .flatMap(p => (0 until NumBlocks).map { b =>
         val bk = (p.phash >>> (b * BlockBits)) & ((1L << BlockBits) - 1)
         BlockDoc(s"$b:$bk", p.mediaId, p.phash)
