@@ -19,12 +19,21 @@ package graft
   * }}}
   */
 object ZipfGate {
+  /** Round 16 (r15 verdict item 6) widened the tier to the full dedup
+    * family: the simhash pairing (q29 — sign votes over shingle hashes
+    * are exactly what a degenerate vocabulary distorts), the substring/
+    * containment pair q98/q120, the line-level dedup+filter surfaces
+    * (q142/q158/q162), and the cluster-leakage audit q110.
+    */
   val Queries: Seq[String] = Seq(
     "q25_exact_dedup", "q26_shingle_jaccard", "q27_minhash_lsh",
-    "q59_jaccard_lsh_bucketed", "q65_dedup_clusters", "q102_nb_classifier",
-    "q106_source_dup_matrix", "q120_containment", "q126_cluster_split",
+    "q29_simhash_pairs", "q59_jaccard_lsh_bucketed", "q65_dedup_clusters",
+    "q98_substring_dup", "q102_nb_classifier",
+    "q106_source_dup_matrix", "q110_split_leakage", "q120_containment",
+    "q126_cluster_split", "q142_line_dedup",
     "q145_dedup_incremental", "q154_perplexity_thresholds",
-    "q155_dedup_attribution", "q156_ngram_diversity", "q159_zipf_slope",
-    "q160_pmi_collocations", "q163_source_kl", "q164_dedup_threshold_curve",
-    "q167_heaps_law", "q168_token_burstiness")
+    "q155_dedup_attribution", "q156_ngram_diversity", "q158_line_filter",
+    "q159_zipf_slope",
+    "q160_pmi_collocations", "q162_split_line_leakage", "q163_source_kl",
+    "q164_dedup_threshold_curve", "q167_heaps_law", "q168_token_burstiness")
 }

@@ -27,6 +27,13 @@ object VectorFunctions {
     */
   def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** The native `vec_dot_i8` integer-dot expression over two
+    * `array<tinyint>` columns — the q140 prefilter kernel; requires
+    * `Int8DotExpression.register(spark)` first.
+    */
+  def dotI8Native(a: Column, b: Column): Column =
+    call_function("vec_dot_i8", a, b)
+
   def l2NormNative(a: Column): Column = sqrt(dotNative(a, a))
 
   def l2Norm(a: Column): Column =

@@ -735,68 +735,10 @@ object SimilarityQueries extends QueryModule {
       deconFlagBatch(s, rows, deconEvalSurface(s, dir)).orderBy("vec_id")
     }),
 
-    // Semantic source-overlap matrix — the embedding twin of q106's
-    // lexical provenance matrix, and the end-to-end proof that the q139
-    // hash embedder feeds the vector dedup stack with NO model
-    // embeddings anywhere: docs → hash embeddings → AND-OR banded codes
-    // (q135's scheme, self-joined) → exact-cosine threshold → per
-    // source-pair counts. Scale shape: candidate generation is a
-    // (band, code) self equi-join — Bands·n²/2^Bits expected candidate
-    // mass, the standard banded-LSH bound with Bits as the dial — and
-    // the matrix rollup collapses to |sources|² rows.
-    "q140_semantic_src_matrix" -> ((s, dir) => {
-      graft.functions.DotProductExpression.register(s)
-      // cut: the embedder (two md5 kernels per token) feeds the mean,
-      // the coding, AND the cosine verify — one compute, not three
-      val e = TextQueries.hashEmbedDense(s, dir)
-        .select(col("doc_id").as("vec_id"), col("source"), col("v"))
-        .withColumn("n", l2NormNative(col("v")))
-        .cutLineage()
-      // adaptive band width: ~64-doc buckets at any corpus size (one
-      // bounded metadata count on the driver, q113's ivf2KG precedent)
-      val bits = adaptiveBandBits(graft.Tables.load(s, dir, "documents").count())
-      // codes over mean-centered vectors (see SemSrcBands note); the
-      // cosine itself stays in the ORIGINAL space
-      // per-dimension mean via a QUANTIZED INTEGER sum (floor to a 1e-9
-      // grid, sum longs, divide once): a plain avg() is an order-dependent
-      // cross-row double sum — a last-ulp difference from a different
-      // partitioning can flip the 9-dp rounding, flip sign bits for docs
-      // near the mean, and change n_pairs run-to-run (r11 ADVICE). The
-      // integer sum is exact and order-independent at any partitioning,
-      // and — unlike a sorted collect_list fold — never materializes n
-      // values per dimension, so it holds at 100 TB. The oracle quantizes
-      // identically (hmean CTE).
-      val mean = broadcast(e.select(posexplode(col("v")))
-        .groupBy(col("pos").cast("long").as("pos"))
-        .agg(round(
-          sum(floor(col("col") * 1e9).cast("long")).cast("double")
-            / 1e9 / count(lit(1)), 9).as("m"))
-        .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("mm"))
-        .select(transform(sequence(lit(0L), lit(63L)),
-          d => element_at(col("mm"), d)).as("mv")))
-      // cut: the interpreted zip_with would otherwise re-evaluate per
-      // plane row inside the coding crossJoin (bands·bits× per doc)
-      val ec = e.crossJoin(mean)
-        .withColumn("vc", zip_with(col("v"), col("mv"), (a, b) => a - b))
-        .cutLineage()
-      val coded = deconCoded(s, ec, bits, SemSrcBands, "vc")
-      val a = coded.select(col("vec_id").as("a_id"), col("source").as("src_a"),
-        col("v").as("va"), col("n").as("na"), col("band"), col("code"))
-      val b = coded.select(col("vec_id").as("b_id"), col("source").as("src_b"),
-        col("v").as("vb"), col("n").as("nb"),
-        col("band").as("band_b"), col("code").as("code_b"))
-      val cand = a.join(b,
-          col("band") === col("band_b") && col("code") === col("code_b") &&
-            col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("src_a"), col("src_b"),
-          (dotNative(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-        .distinct()
-        .filter(round(col("cos"), 4) >= SemSrcTau)
-      cand.groupBy(least(col("src_a"), col("src_b")).as("source_a"),
-          greatest(col("src_a"), col("src_b")).as("source_b"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("source_a", "source_b")
-    }),
+    // Semantic source-overlap matrix with the int8 two-stage candidate
+    // verify — see [[semSrc]] for the pipeline and the losslessness
+    // argument.
+    "q140_semantic_src_matrix" -> ((s, dir) => semSrc(s, dir).matrix),
 
     // ANN index quality monitor: recall@k of the LSH ANN (q50) against the
     // exact top-k (q31) per query — the eval loop every production ANN
@@ -849,24 +791,43 @@ object SimilarityQueries extends QueryModule {
     * (vector, band), code = the band's `bits` sign bits over `codeCol`.
     * Same md5 plane family as `lshCoded` (planes 0 until bands·bits),
     * one extra `band` group key.
+    *
+    * The planes are md5-derived CONSTANTS, so they are computed at plan
+    * build and unrolled into per-band literal-dot expressions — the whole
+    * coding is one map-side projection + posexplode (r16: the previous
+    * form crossJoined every doc with bands·bits plane ROWS, shuffled
+    * n·bands·bits rows through a groupBy(vec_id, band) and joined the
+    * codes back by id — two corpus-extent exchanges for values that are a
+    * pure function of the row). Bit-identical codes: same plane values
+    * (Round16Spec pins the literal == SQL-md5 derivation), same ≥ 0 sign
+    * rule, and integer bit sums commute.
     */
   private def deconCoded(s: SparkSession, e: DataFrame,
     bits: Int = DeconBandBits, bands: Int = DeconBands,
     codeCol: String = "v"): DataFrame = {
-    val dim = 64
-    val total = bands * bits
-    val planes = broadcast(s.range(total).toDF("plane").select(
-      col("plane"),
-      array((0 until dim).map(d =>
-        (conv(substring(md5(concat(lit(s"pl:$d:"), col("plane"))), 1, 8), 16, 10)
-          .cast("long").cast("double") / 4294967296.0) - 0.5): _*).as("pv")))
-    val coded = e.crossJoin(planes)
-      .withColumn("band", (col("plane") / bits).cast("long"))
-      .withColumn("bit",
-        when(dotNative(col(codeCol), col("pv")) >= 0,
-          expr(s"shiftleft(1L, cast(plane % $bits as int))")).otherwise(0L))
-      .groupBy("vec_id", "band").agg(sum("bit").as("code"))
-    e.join(coded, "vec_id")
+    val codeCols = (0 until bands).map { bnd =>
+      (0 until bits).map { bit =>
+        when(dotNative(col(codeCol),
+          typedLit(planeVector(bnd * bits + bit))) >= 0,
+          lit(1L << bit)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    e.select(col("*"), posexplode(array(codeCols: _*)).as(Seq("bandp", "code")))
+      .withColumn("band", col("bandp").cast("long")).drop("bandp")
+  }
+
+  /** Plane `p`'s 64 components, computed driver-side — EXACTLY the SQL
+    * derivation (`planeComp`: first 8 md5 hex chars of "pl:<d>:<p>" as a
+    * 32-bit integer / 2^32 − 0.5) so the DuckDB oracle and any historic
+    * coded output replay bit-for-bit.
+    */
+  private[graft] def planeVector(p: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(64) { d =>
+      val hex = md.digest(s"pl:$d:$p".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
   }
 
   /** The q135 benchmark PROBE SURFACE — eval vectors with their banded
@@ -933,6 +894,134 @@ object SimilarityQueries extends QueryModule {
   private[graft] def adaptiveBandBits(nDocs: Long): Int = {
     val m = math.max(1L, (nDocs + 63) / 64 - 1)
     math.min(16, math.max(DeconBandBits, java.lang.Long.toBinaryString(m).length))
+  }
+
+  /** The q140 pipeline, exposed stage-by-stage so Round16Spec can pin the
+    * two-stage-verify laws (candidate mass vs survivor mass; prefilter
+    * losslessness as RESULT EQUALITY with `prefilter = false`).
+    */
+  private[graft] case class SemSrc(candidates: DataFrame,
+    survivors: DataFrame, matrix: DataFrame)
+
+  /** Semantic source-overlap matrix — the embedding twin of q106's
+    * lexical provenance matrix, and the end-to-end proof that the q139
+    * hash embedder feeds the vector dedup stack with NO model embeddings
+    * anywhere: docs → hash embeddings → AND-OR banded codes (q135's
+    * scheme, self-joined) → int8 PREFILTER → exact-cosine threshold → per
+    * source-pair counts. Scale shape: candidate generation is a
+    * (band, code) self equi-join — Bands·n²/2^Bits expected candidate
+    * mass, the standard banded-LSH bound with Bits as the dial — and the
+    * matrix rollup collapses to |sources|² rows.
+    *
+    * TWO-STAGE CANDIDATE VERIFY (r15 verdict item 4): each side of the
+    * banded self-join carries symmetric-int8 quantization columns — q_i =
+    * round(v_i/sc) at sc = max|v|/127, the EXACT residual norm er =
+    * ‖v − sc·q‖ from the very q that shipped, and ‖v‖ — so a candidate
+    * costs one integer `vec_dot_i8` (64 byte multiply-adds) instead of a
+    * 64-double dot, and, the larger win at scale, the join shuffles
+    * ~70-byte code rows instead of 512-byte double arrays. The full
+    * vectors join back by id for the SURVIVORS only (late
+    * materialization, the q27/q59 array-form precedent). The prune is
+    * PROVABLY LOSSLESS, not a recall trade: dot(a,b) = dot(qa',qb') +
+    * dot(qa',eb) + dot(ea,b) with qx' = sx·qx, so dot(a,b) ≤ sa·sb·dotq +
+    * (na+era)·erb + era·nb (Cauchy–Schwarz on the residual terms, every
+    * norm a carried scalar) — a pair is dropped only when this certified
+    * upper bound cannot reach the 0.89995·na·nb threshold even in
+    * principle (1e-9 slack absorbs double rounding in the bound itself).
+    * The final predicate and the DuckDB oracle are therefore UNCHANGED;
+    * Round16Spec pins bound soundness, result equality with the
+    * unfiltered pipeline, and that the filter actually bites.
+    */
+  private[graft] def semSrc(s: SparkSession, dir: String,
+    prefilter: Boolean = true): SemSrc = {
+    graft.functions.DotProductExpression.register(s)
+    graft.functions.Int8DotExpression.register(s)
+    // cut: the embedder (two md5 kernels per token) feeds the mean,
+    // the coding, AND the cosine verify — one compute, not three
+    val e = TextQueries.hashEmbedDense(s, dir)
+      .select(col("doc_id").as("vec_id"), col("source"), col("v"))
+      .withColumn("n", l2NormNative(col("v")))
+      .cutLineage()
+    // adaptive band width: ~64-doc buckets at any corpus size (one
+    // bounded metadata count on the driver, q113's ivf2KG precedent)
+    val bits = adaptiveBandBits(graft.Tables.load(s, dir, "documents").count())
+    // codes over mean-centered vectors (see SemSrcBands note); the
+    // cosine itself stays in the ORIGINAL space.
+    // per-dimension mean via a QUANTIZED INTEGER sum (floor to a 1e-9
+    // grid, sum longs, divide once): a plain avg() is an order-dependent
+    // cross-row double sum — a last-ulp difference from a different
+    // partitioning can flip the 9-dp rounding, flip sign bits for docs
+    // near the mean, and change n_pairs run-to-run (r11 ADVICE). The
+    // integer sum is exact and order-independent at any partitioning,
+    // and — unlike a sorted collect_list fold — never materializes n
+    // values per dimension, so it holds at 100 TB. The oracle quantizes
+    // identically (hmean CTE).
+    val mean = broadcast(e.select(posexplode(col("v")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(round(
+        sum(floor(col("col") * 1e9).cast("long")).cast("double")
+          / 1e9 / count(lit(1)), 9).as("m"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("mm"))
+      .select(transform(sequence(lit(0L), lit(63L)),
+        d => element_at(col("mm"), d)).as("mv")))
+    // cut: the interpreted zip_with must not re-evaluate downstream
+    val ec = e.crossJoin(mean)
+      .withColumn("vc", zip_with(col("v"), col("mv"), (a, b) => a - b))
+      .cutLineage()
+    val qz = ec
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("sc", col("ma") / lit(127.0))
+      .withColumn("q", when(col("ma") > 0,
+          transform(col("v"), x => round(x / col("sc")).cast("byte")))
+        .otherwise(transform(col("v"), _ => lit(0).cast("byte"))))
+      .withColumn("er", when(col("ma") > 0, sqrt(aggregate(
+          zip_with(col("v"), col("q"),
+            (x, qq) => pow(x - qq.cast("double") * col("sc"), lit(2))),
+          lit(0.0), (acc, z) => acc + z))).otherwise(col("n")))
+      // cut: the interpreted quantization HOFs must not re-evaluate
+      // under the band explode (8x per doc) or on both join sides
+      .cutLineage()
+    // NORMALIZED per-side scalars so the banded join carries the bare
+    // minimum — id, q (64 int8), u = sc/‖v‖, e' = er/‖v‖, band, code; the
+    // bound divided through by na·nb > 0 becomes ua·ub·dotq + (1+ea')·eb'
+    // + ea' ≥ 0.89995 − 2e-9 (the 2e-9 relaxation dominates 1e-9/(na·nb)
+    // for the unit-normalized embeddings and only ever ADMITS more).
+    // Sources and vectors both join back by id for survivors only.
+    val qn = qz.withColumn("u", col("sc") / col("n"))
+      .withColumn("err", col("er") / col("n"))
+    val coded = deconCoded(s, qn, bits, SemSrcBands, "vc")
+    val a = coded.select(col("vec_id").as("a_id"), col("q").as("qa"),
+      col("u").as("ua"), col("err").as("ea"), col("band"), col("code"))
+    val b = coded.select(col("vec_id").as("b_id"), col("q").as("qb"),
+      col("u").as("ub"), col("err").as("eb"),
+      col("band").as("band_b"), col("code").as("code_b"))
+    val eqCond = col("band") === col("band_b") &&
+      col("code") === col("code_b") && col("a_id") < col("b_id")
+    val prefCond = col("ua") * col("ub") * dotI8Native(col("qa"), col("qb")) +
+      (lit(1.0) + col("ea")) * col("eb") + col("ea") >=
+      lit(0.89995) - lit(2e-9)
+    val cands = a.join(b, eqCond)
+    // the prefilter runs INSIDE the join condition: a failing candidate
+    // is dropped before its output row is ever projected downstream
+    val surv = (if (prefilter) a.join(b, eqCond && prefCond) else cands)
+      .select("a_id", "b_id")
+      .distinct()
+    // exact verify on prefilter survivors only — the 64-double arrays
+    // (and the source labels) enter the plan here, keyed by id, never
+    // through the banded shuffle
+    val cand = surv
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("n").as("na"), col("source").as("src_a")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("n").as("nb"), col("source").as("src_b")), "b_id")
+      .withColumn("cos",
+        dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(round(col("cos"), 4) >= SemSrcTau)
+    val matrix = cand.groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+    SemSrc(cands, surv, matrix)
   }
 
   /** Shared top-k tail of the oracle SQL (rank by rounded cosine, nbr tie). */

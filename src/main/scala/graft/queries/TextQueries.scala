@@ -1237,16 +1237,16 @@ object TextQueries extends QueryModule {
         .select("tok", "cf", "df", "burst_q6")
     }),
 
-    // q156's HLL production twin as a TIMED bench entry (r13 verdict item
-    // 7): the same rollup with approx_count_distinct (HyperLogLog++)
-    // replacing the exact distinct — map-side-mergeable sketch, so the
-    // gram mass never shuffles as distinct keys. Deliberately NOT
-    // oracle-bound (DuckDB's approx sketch is a different implementation —
-    // the driver records the weaker rows-only check); Round13Spec pins it
-    // within HLL relative error of q156 and pins its shuffle count below
-    // the exact plan's, and the bench pair q156/q166 is the measured
-    // exact-vs-sketch decade evidence.
-    "q166_diversity_hll" -> ((s, dir) => ngramDiversityApprox(s, dir)),
+    // q166_diversity_hll RETIRED from the query surface (r15 verdict item
+    // 5): its measurement role — the exact-vs-rescan-HLL-vs-sketch-table
+    // three-way that motivated the q169 tier — completed across two
+    // rounds of SCALEPROOF tables, and keeping a deliberately
+    // linear-rescan twin on the timed surface meant re-adjudicating a
+    // 28 s sf10 entry every round for no new information. The operator
+    // lives on as the [[ngramDiversityApprox]] library function
+    // (Round13Spec pins its HLL tolerance vs exact q156 and its
+    // no-gram-shuffle plan); the production answer to the question is
+    // q169's materialized sketch table.
 
     // The MATERIALIZED-SKETCH answer to the same question (r14 verdict
     // item 1 — the last >7×/decade tail killed by design): q156/q166 both

@@ -209,6 +209,77 @@ class Round16Spec extends AnyFunSuite {
     assert(merged(("s0", 1L))._2 == uniTypes)
   }
 
+  // ---- q140 int8 two-stage verify (r15 verdict item 4) ----
+
+  test("int8 prefilter bound is SOUND: certified UB >= true dot for " +
+    "adversarial and random vector pairs") {
+    val rnd = new scala.util.Random(1607)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def quant(v: Array[Double]): (Array[Byte], Double, Double) = {
+      val ma = v.map(math.abs).max
+      val sc = ma / 127.0
+      val q = v.map(x => math.round(x / sc).toByte)
+      val er = math.sqrt(v.zip(q).map { case (x, qq) =>
+        val d = x - qq * sc; d * d }.sum)
+      (q, sc, er)
+    }
+    (0 until 500).foreach { i =>
+      val a = unit()
+      // adversarial mix: near-identical pairs (the ones losing a pair
+      // would corrupt), plus random ones
+      val b = if (i % 3 == 0) {
+        val eps = unit(); val mixed = a.zip(eps).map { case (x, y) => x + 0.01 * y }
+        val n = math.sqrt(mixed.map(x => x * x).sum); mixed.map(_ / n)
+      } else unit()
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (qa, sa, era) = quant(a); val (qb, sb, erb) = quant(b)
+      val dotq = qa.zip(qb).map { case (x, y) => x.toLong * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      val ub = sa * sb * dotq + (na + era) * erb + era * nb
+      assert(ub + 1e-9 >= dot,
+        f"pair $i: certified UB $ub%.6f below true dot $dot%.6f")
+    }
+  }
+
+  test("q140 prefilter is lossless at oracle scale AND actually bites") {
+    import graft.queries.SimilarityQueries
+    val withF = SimilarityQueries.semSrc(spark, sf001)
+    val withoutF = SimilarityQueries.semSrc(spark, sf001, prefilter = false)
+    val m1 = withF.matrix.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val m0 = withoutF.matrix.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(m1 == m0, "the certified-bound prune must never change the matrix")
+    val nCand = withF.candidates.count()
+    val nSurv = withF.survivors.count()
+    assert(nSurv * 10 <= nCand,
+      s"prefilter must prune >=90% of the candidate mass " +
+        s"(candidates=$nCand survivors=$nSurv)")
+    // plan shape: the exact vec_dot runs AFTER the survivor distinct —
+    // the banded join itself carries only the int8 kernel
+    val plan = withF.matrix.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_dot_i8"), "prefilter kernel missing from plan")
+  }
+
+  test("plan-time plane literals equal the SQL md5 derivation the oracle " +
+    "replays") {
+    val viaSql = spark.range(8).toDF("plane").select(col("plane"),
+      array((0 until 64).map(d =>
+        (conv(substring(md5(concat(lit(s"pl:$d:"), col("plane"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0) - 0.5): _*).as("pv"))
+      .collect()
+    viaSql.foreach { r =>
+      val p = r.getLong(0).toInt
+      assert(r.getSeq[Double](1) ==
+        graft.queries.SimilarityQueries.planeVector(p).toSeq,
+        s"plane $p literal diverges from the SQL derivation")
+    }
+  }
+
   // ---- full-vocabulary Zipf draw (r15 ADVICE) ----
 
   test("zipf generator reaches every one of the V types per source") {
