@@ -35,5 +35,6 @@ object ZipfGate {
     "q155_dedup_attribution", "q156_ngram_diversity", "q158_line_filter",
     "q159_zipf_slope",
     "q160_pmi_collocations", "q162_split_line_leakage", "q163_source_kl",
-    "q164_dedup_threshold_curve", "q167_heaps_law", "q168_token_burstiness")
+    "q164_dedup_threshold_curve", "q167_heaps_law", "q168_token_burstiness",
+    "q171_hamming_skew_audit")
 }

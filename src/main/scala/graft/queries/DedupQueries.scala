@@ -480,6 +480,18 @@ object DedupQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // THE SKEW AUDIT AS A FIRST-CLASS ORACLE-BOUND QUERY (r15 verdict item
+    // 1, hardened): the counters BandSkewReport persists on the
+    // maintenance cadence — MinHash band-bucket occupancy/pair-mass at
+    // bits ∈ {0, adaptive} plus the q29 simhash 8-bit Hamming-block tier
+    // with its degenerate-key quarantine count — recomputed end to end by
+    // DuckDB (band md5s, the sb dial ladder, the simhash bit votes, the
+    // (h >> 8b) & 255 block keys, integer pair mass). The audit that
+    // guards the banding tiers is itself value-verified, not just
+    // spec-shaped.
+    "q171_hamming_skew_audit" -> ((s, dir) =>
+      BandSkewReport.report(s, dir).orderBy("tier", "bits", "band")),
+
     // Dedup clustering: connected components over the MinHash-LSH near-dup
     // pairs (q27's est_j ≥ 0.5 graph), so a dup GROUP collapses to ONE
     // canonical doc even when similarity is only transitive (A~B, B~C but
@@ -1191,6 +1203,49 @@ object DedupQueries extends QueryModule {
          GROUP BY 1, 2 ORDER BY source_a, source_b""",
     "q28_simhash" ->
       s"""$simCte SELECT doc_id, simhash FROM sim ORDER BY doc_id""",
+    "q171_hamming_skew_audit" -> {
+      val mhUnion = (0 until NumBands)
+        .map(b => s"SELECT bits, $b AS band, band$b AS key FROM banded")
+        .mkString(" UNION ALL ")
+      s"""WITH $tkCte, $shCte,
+         sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+         $sbCte,
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         bvals AS (SELECT DISTINCT bits FROM
+           (SELECT 0 AS bits UNION ALL SELECT bits FROM sb)),
+         banded AS (SELECT doc_id, bv.bits, $bandsSql FROM sig, bvals bv),
+         mhocc AS (SELECT bits, band, key, count(*) AS occ
+                   FROM ($mhUnion) GROUP BY 1, 2, 3),
+         mhrep AS (SELECT 'minhash' AS tier, CAST(bits AS INTEGER) AS bits,
+             CAST(band AS INTEGER) AS band, count(*) AS n_buckets,
+             max(occ) AS max_occ,
+             CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS pair_mass,
+             CAST(0 AS BIGINT) AS n_quarantined
+           FROM mhocc GROUP BY mhocc.bits, band),
+         sim AS (SELECT doc_id, $simBitsSql AS simhash FROM sh GROUP BY doc_id),
+         sq AS (SELECT CAST(count(*) FILTER (WHERE simhash = 0 OR simhash = -1)
+             AS BIGINT) AS nq FROM sim),
+         sk AS (SELECT CAST(t.blk AS INTEGER) AS band,
+                  (simhash >> CAST(t.blk * 8 AS INTEGER)) & 255 AS key
+                FROM sim, range(0, 8) t(blk)
+                WHERE simhash <> 0 AND simhash <> -1),
+         socc AS (SELECT band, key, count(*) AS occ FROM sk GROUP BY 1, 2),
+         blks AS (SELECT CAST(blk AS INTEGER) AS band FROM range(0, 8) t(blk)),
+         srep AS (SELECT 'simhash' AS tier, CAST(0 AS INTEGER) AS bits,
+             b.band, CAST(coalesce(x.nb, 0) AS BIGINT) AS n_buckets,
+             CAST(coalesce(x.mx, 0) AS BIGINT) AS max_occ,
+             CAST(coalesce(x.pm, 0) AS BIGINT) AS pair_mass,
+             (SELECT nq FROM sq) AS n_quarantined
+           FROM blks b LEFT JOIN (
+             SELECT band, count(*) AS nb, max(occ) AS mx,
+               CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS pm
+             FROM socc GROUP BY band) x ON b.band = x.band)
+         SELECT tier, bits, band, n_buckets, max_occ, pair_mass,
+           n_quarantined, (SELECT n_docs FROM nd) AS n_docs,
+           (SELECT CAST(bits AS INTEGER) FROM sb) AS adaptive_bits
+         FROM (SELECT * FROM mhrep UNION ALL SELECT * FROM srep)
+         ORDER BY tier, bits, band"""
+    },
     "q29_simhash_pairs" ->
       s"""$simCte
          SELECT a.doc_id a_id, b.doc_id b_id,

@@ -335,7 +335,7 @@ class Round15Spec extends AnyFunSuite {
         "artifact would silently degrade to rows-only")
     }
     assert(ZipfGate.Queries.distinct.size == ZipfGate.Queries.size)
-    assert(ZipfGate.Queries.size >= 25, "the gate list must not narrow")
+    assert(ZipfGate.Queries.size >= 26, "the gate list must not narrow")
   }
 
   // ---- q26 stripe law (r14 verdict item 6) ----
