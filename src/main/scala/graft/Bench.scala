@@ -46,6 +46,9 @@ object Bench {
       queries.ForkReplay.ensureRetain(spark)
       queries.DedupQueries.warm(spark, sfDir)
       queries.TextQueries.warm(spark, sfDir)
+      // the semantic-matrix input table (centered + int8-quantized
+      // columns over the memoized hash embeddings) — same fit-once tier
+      queries.SimilarityQueries.warm(spark, sfDir)
       // One untimed q51-shaped pass: the backfill derivation's first run in
       // a JVM pays Catalyst analysis + whole-stage codegen for the ~200-
       // operator derive plan (~2× steady state) — a long-lived backfill

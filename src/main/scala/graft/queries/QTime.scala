@@ -18,6 +18,7 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     TextQueries.warm(spark, dir)
     DedupQueries.warm(spark, dir)
+    SimilarityQueries.warm(spark, dir)
     qs.foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       fn(spark, dir).count() // warm codegen
