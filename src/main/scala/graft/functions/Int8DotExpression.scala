@@ -57,9 +57,18 @@ object Int8DotExpression {
   /** Static helper shared by eval and generated code. Exact: |q| ≤ 127
     * per element keeps every partial product ≤ 16129, far inside long
     * range at any realistic dimension.
+    *
+    * REQUIRES equal lengths (r16 ADVICE): a silent min-length truncation
+    * would return a plausible but too-low dot, making a certified
+    * upper bound built on it UNSOUND (silently dropped true pairs). All
+    * engine callers quantize fixed-dimension vectors, so a mismatch is a
+    * caller bug — fail loudly instead of corrupting a lossless prune.
     */
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot_i8: mismatched lengths $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getByte(i).toLong * b.getByte(i); i += 1 }

@@ -190,7 +190,30 @@ object BandSkewReport {
       .filter(_ < 0).minOption.map(_ - 1).getOrElse(-1L)
   }
 
-  /** All runs persisted so far (what the mounted view reads). */
-  def runs(s: SparkSession, out: String): DataFrame =
-    s.read.parquet(s"$out/run=*")
+  /** All runs persisted so far — the MIXED-DIR-SAFE reader (r16 ADVICE).
+    *
+    * The persisted schema grew in r16 (tier / n_quarantined / run_id, and
+    * ad-hoc ids moved to the negative namespace); an audit dir carrying
+    * pre-r16 `run=` leaves under the same glob would otherwise resolve to
+    * whichever footer Spark samples — silently dropping or nulling the
+    * new columns. `mergeSchema` makes the union schema deterministic, and
+    * the coalesces pin the documented legacy semantics: old rows were all
+    * minhash-tier, nothing was quarantined, and a null run_id marks a
+    * pre-versioning row (old non-negative ad-hoc ids cannot be told from
+    * cadence ids, so they keep whatever id they wrote — the ambiguity is
+    * confined to legacy rows and visible as such). The `band_audit` SQL
+    * view (a `parquet.`-path view — no reader options) does NOT get this
+    * treatment: deployments mounting a pre-r16 dir should recreate it or
+    * query through [[runs]].
+    */
+  def runs(s: SparkSession, out: String): DataFrame = {
+    val raw = s.read.option("mergeSchema", "true").parquet(s"$out/run=*")
+    def withDefault(df: DataFrame, name: String, default: org.apache.spark.sql.Column) =
+      if (df.columns.contains(name)) df.withColumn(name, coalesce(col(name), default))
+      else df.withColumn(name, default)
+    val tiered = withDefault(raw, "tier", lit("minhash"))
+    val quar = withDefault(tiered, "n_quarantined", lit(0L))
+    if (quar.columns.contains("run_id")) quar
+    else quar.withColumn("run_id", lit(null).cast("long"))
+  }
 }

@@ -90,6 +90,7 @@ object SimilarityQueries extends QueryModule {
     */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProductExpression.register(s)
+    graft.functions.IvfTopPicksExpression.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("n", l2NormNative(col("v")))
@@ -175,14 +176,23 @@ object SimilarityQueries extends QueryModule {
   /** Centroid update: per-(cluster, dim) mean, re-assembled into an array.
     * Components round to 9 dp so partition-order summation noise cannot
     * flip the next assignment (same convention as q32's centroids).
+    *
+    * ONE object-hash aggregation since r17 (the measured centroid-update
+    * lever — [[graft.functions.VecSumAggregator]]): the previous
+    * `posexplode → groupBy(c_id, pos) → avg → re-assemble` multiplied the
+    * corpus ×dim before its exchange (12.8M rows at sf10 for an 800×64
+    * result); the typed vector-sum folds each partition into K primitive
+    * arrays and shuffles only the K·partitions partials. Same mean, same
+    * 9-dp rounding — summation order shifts, which the 9-dp round exists
+    * to absorb (it is already partitioning-dependent either way).
     */
   private def centroidsOf(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("c_id", "pos").agg(round(avg("x"), 9).as("cx"))
       .groupBy("c_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        s => s.getField("cx")).as("cv"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.VecSumAggregator.vecSum(col("v")).as("sv"))
+      .select(col("c_id"),
+        transform(col("sv"), x => round(x / col("cnt"), 9)).as("cv"))
 
   /** Within-cluster pair kernel shared by q113/q129: cosine over same-bucket
     * (a, b) pairs with a < b, thresholded at [[NearDupTau]]. A pair sharing
@@ -255,6 +265,123 @@ object SimilarityQueries extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  /** Certified-lossless prune threshold for a HALF_UP-4dp cosine gate at
+    * `tau` (r16 ADVICE — derived from the tau, not a hardcoded twin): the
+    * exact filter keeps a pair iff round(cos, 4) ≥ tau iff cos ≥ tau − 5e-5
+    * (the round-half-up boundary), so a certified UPPER bound on cos may
+    * drop the pair only when it cannot reach tau − 5e-5; the extra 2e-9
+    * slack absorbs double rounding inside the bound arithmetic itself and
+    * only ever ADMITS more candidates.
+    */
+  private[graft] def certBound(tau: Double): Double = tau - 5e-5 - 2e-9
+
+  /** Symmetric-int8 quantization columns appended MAP-SIDE from (v, n):
+    * q_i = round(v_i/sc) at sc = max|v|/127, u = sc/‖v‖, err = ‖v−sc·q‖/‖v‖
+    * — the q140 coding, factored for the ANN tier (r16 verdict item 1).
+    * Same arithmetic as [[semSrcInput]]'s columns; callers must ensure
+    * n > 0 (zero-norm vectors have no cosine and are excluded by every
+    * consumer's exact gate anyway).
+    */
+  private def withInt8Codes(df: DataFrame): DataFrame =
+    df.withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("sc", col("ma") / lit(127.0))
+      .withColumn("q", when(col("ma") > 0,
+          transform(col("v"), x => round(x / col("sc")).cast("byte")))
+        .otherwise(transform(col("v"), _ => lit(0).cast("byte"))))
+      .withColumn("er", when(col("ma") > 0, sqrt(aggregate(
+          zip_with(col("v"), col("q"),
+            (x, qq) => pow(x - qq.cast("double") * col("sc"), lit(2))),
+          lit(0.0), (acc, z) => acc + z))).otherwise(col("n")))
+      .withColumn("u", col("sc") / col("n"))
+      .withColumn("err", col("er") / col("n"))
+      .drop("ma", "sc", "er")
+
+  /** TWO-STAGE pair candidates (q140's certified int8 prune applied to
+    * the ANN tier): the cluster-key exchange carries only (c_id, vec_id,
+    * q·64 int8, u, err) ≈ 90 bytes — NOT the 64-double vector — and the
+    * compiled i<j kernel evaluates the certified upper bound
+    * ua·ub·vec_dot_i8(qa,qb) + (1+ea)·eb + ea ≥ certBound(tau) per pair
+    * (the bound is exactly q140's, divided through by na·nb > 0, valid
+    * for ANY norms). A pair is emitted only when the bound says the exact
+    * gate COULD pass — provably lossless, so oracles replay unchanged.
+    *
+    * LIBRARY form, not q129/q130's production tail (r17 measured
+    * reversal): the design wins iff survivors ≪ candidate mass (q140:
+    * 42 of 1.3M at tau 0.9). At q129's tau 0.4 the sf10 corpus yields
+    * 12.9M TRUE pairs from 22.8M certified candidates — the late
+    * materialization then joins/shuffles more bytes than the compact
+    * codes save (measured 16.2 s staged vs 12.5 s exact). Deployments
+    * near-dup-ing at high tau (the common LLM-curation setting) should
+    * use this form; Round17Spec pins bit-identical results either way.
+    */
+  private[graft] def neardupCandidates(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bound = certBound(NearDupTau)
+    withInt8Codes(assigned.filter(col("n") > 0))
+      .select(col("c_id"), col("vec_id"), col("q"), col("u"), col("err"))
+      // Seq[Byte], not Array[Byte]: the tuple encoder maps Array[Byte] to
+      // BinaryType, but the column is array<tinyint>; toArray below
+      // unboxes once per ROW, never per pair
+      .as[(Long, Long, Seq[Byte], Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.map(t => (t._2, t._3.toArray, t._4, t._5)).toArray
+        new Iterator[(Long, Long)] {
+          private var i = 0
+          private var j = 1
+          private var nextPair: (Long, Long) = null
+          private def advance(): Unit = {
+            nextPair = null
+            while (nextPair == null && i < ms.length - 1) {
+              val (idA, qa, ua, ea) = ms(i)
+              while (nextPair == null && j < ms.length) {
+                val (idB, qb, ub, eb) = ms(j)
+                var dotq = 0L
+                var d = 0
+                val dim = math.min(qa.length, qb.length)
+                while (d < dim) { dotq += qa(d).toLong * qb(d); d += 1 }
+                if (ua * ub * dotq + (1.0 + ea) * eb + ea >= bound)
+                  nextPair =
+                    if (idA < idB) (idA, idB) else (idB, idA)
+                j += 1
+              }
+              if (j >= ms.length) { i += 1; j = i + 1 }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = nextPair != null
+          override def next(): (Long, Long) = {
+            val r = nextPair; advance(); r
+          }
+        }
+      }
+      .toDF("a_id", "b_id")
+  }
+
+  /** Two-stage near-dup pairs: certified-bound candidates from the compact
+    * code kernel, then LATE MATERIALIZATION — the full vectors (and norms)
+    * join back by id for the survivors only, and the exact HALF_UP-4dp
+    * cosine gate replays verbatim (dotNative sums left-to-right like the
+    * compiled kernel; Spark `round` is the same BigDecimal HALF_UP — so
+    * results are bit-identical to [[neardupPairs]] and the DuckDB oracles
+    * are UNCHANGED; Round17Spec pins result equality and the plan shape).
+    * `vecs` is the one-row-per-vector (vec_id, v, n) corpus.
+    */
+  private[graft] def neardupPairsStaged(assigned: DataFrame,
+    vecs: DataFrame): DataFrame =
+    neardupCandidates(assigned)
+      .distinct()
+      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("n").as("na")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("cos",
+        dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(round(col("cos"), 4) >= NearDupTau)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("a_id", "b_id")
+
   // ---- q129 two-level IVF stages, factored (r09 VERDICT #2/#4): the
   // PlanSpec pin inspects the UNCUT candidate pipeline via the pluggable
   // `cut`, and the persistent ANN index (AnnIndex) trains ONCE through
@@ -309,19 +436,23 @@ object SimilarityQueries extends QueryModule {
       .agg(collect_list(struct(col("c_id"), col("cv"), col("cc"))).as("cents"))
 
   /** Group-RESTRICTED argmin: each vector against only the centroids in
-    * its probed groups (n·CoarseProbes·K/G ≈ n·√K dot products; the
-    * per-element dispatch is interpreted but each dot is the native
-    * codegen'd expression), ranked by the same (HALF_UP-6dp d2, c_id)
-    * order as assignCompiled — struct sort matches it exactly.
+    * its probed groups (n·CoarseProbes·K/G ≈ n·√K dot products), ranked
+    * by the same (HALF_UP-6dp d2, c_id) order as assignCompiled.
+    *
+    * NATIVE since r17: the per-group rank runs as ONE compiled expression
+    * (`ivf_top_picks` — [[graft.functions.IvfTopPicksExpression]]) instead
+    * of an interpreted `transform`+`array_sort` lambda per centroid —
+    * measured as ~70% of q129's sf10 wall across the two passes. The
+    * arithmetic, rounding, and tie order are bit-identical (pinned by
+    * Round17Spec against the HOF form), so the oracle replays unchanged;
+    * the join/plan shape is untouched.
     */
   private def ivf2TopPicks(vecProbes: DataFrame, cents: DataFrame,
     nPicks: Int): DataFrame =
     vecProbes.join(cents, "g_id")
       .select(col("vec_id"), col("v"),
-        slice(array_sort(transform(col("cents"), c =>
-          struct(round(col("vv") - lit(2.0) * dotNative(col("v"), c.getField("cv"))
-            + c.getField("cc"), 6).as("rd2"),
-            c.getField("c_id").as("c_id")))), 1, nPicks).as("picks"))
+        call_function("ivf_top_picks", col("v"), col("vv"), col("cents"),
+          lit(nPicks)).as("picks"))
       // global top across probed groups = top of the per-group tops
       // (each group's candidates are disjoint); v rides along via
       // first() — identical across a vector's probe rows
@@ -366,10 +497,15 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** Within-cluster pairs from a stored/served assignment — q129's pair
-    * tail exposed for AnnIndex.
+    * tail exposed for AnnIndex (the exact kernel; see the q129 entry for
+    * the measured staged-form reversal).
     */
   private[graft] def ivf2Pairs(assigned: DataFrame): DataFrame =
     neardupPairs(assigned)
+
+  /** The (vec_id, v, n) corpus side [[neardupPairsStaged]] joins back to. */
+  private[graft] def ivf2Vecs(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select("vec_id", "v", "n")
 
   /** Rank candidate (q_id, nbr_id, cos) triples and keep the top-k per query.
     * Ranking uses cosine rounded to 6 dp with nbr_id tie-break so the order
@@ -574,6 +710,18 @@ object SimilarityQueries extends QueryModule {
     // corpus needs). Same fine probe width, threshold, and pair semantics
     // as q113; PipelineSpec pins recall ≥ 0.95 against q113 on a corpus
     // where the coarse stage genuinely restricts.
+    // Pair tail: the EXACT compiled kernel, not the int8 two-stage form —
+    // a measured reversal of the r16 verdict's item-1 hypothesis (r17
+    // probe, sf10): the int8 gate bites 91% (257M in-cluster pairs →
+    // 22.8M certified candidates), but the FINAL output is 12.9M pairs,
+    // so survivors ≈ 1.8× output mass and the late-materialization joins
+    // shuffle more bytes than the code rows save — staged measured 16.2 s
+    // vs 12.5 s exact on the same host. q140's win criterion (survivors ≪
+    // candidates; 42 rows from 1.3M candidates at tau 0.9) does not hold
+    // at tau 0.4. The staged form stays as [[neardupPairsStaged]]
+    // (Round17Spec pins its result equality) for corpora whose tau/density
+    // DO satisfy the criterion; the measured lever here was the
+    // assignment pipeline instead — see [[ivfTopPicksNative]].
     "q129_ivf2_neardup" -> ((s, dir) => neardupPairs(ivf2Assigned(s, dir))),
 
     // PERSISTENT-index serve (r09 VERDICT #4): identical pair semantics to
@@ -959,6 +1107,12 @@ object SimilarityQueries extends QueryModule {
       val e = TextQueries.hashEmbedDense(s, dir)
         .select(col("doc_id").as("vec_id"), col("source"), col("v"))
         .withColumn("n", l2NormNative(col("v")))
+        // r16 ADVICE: u = sc/n and err = er/n divide by n downstream — a
+        // zero-norm embedding would yield NaN scalars that pass both the
+        // prefilter and the NaN-is-greatest exact gate. hashEmbedDense
+        // emits unit vectors, so this enforces the invariant where the
+        // columns are built rather than relying on it implicitly.
+        .filter(col("n") > 0)
       val mean = broadcast(e.select(posexplode(col("v")))
         .groupBy(col("pos").cast("long").as("pos"))
         .agg(round(
@@ -1017,7 +1171,7 @@ object SimilarityQueries extends QueryModule {
       col("code") === col("code_b") && col("a_id") < col("b_id")
     val prefCond = col("ua") * col("ub") * dotI8Native(col("qa"), col("qb")) +
       (lit(1.0) + col("ea")) * col("eb") + col("ea") >=
-      lit(0.89995) - lit(2e-9)
+      lit(certBound(SemSrcTau))
     val cands = a.join(b, eqCond)
     // the prefilter runs INSIDE the join condition: a failing candidate
     // is dropped before its output row is ever projected downstream

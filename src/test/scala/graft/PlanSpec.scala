@@ -124,6 +124,44 @@ class PlanSpec extends AnyFunSuite {
       s"pair stage grew unexpected shuffles ($hashEx hash exchanges):\n$pair")
   }
 
+  test("staged pair-candidate cluster exchange carries int8 codes, never " +
+    "the double vectors (the library two-stage form)") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val assigned = queries.SimilarityQueries.ivf2Assigned(spark, sf0001)
+    // AQE hides exchanges behind leaf query stages (and its inputPlan is
+    // pre-EnsureRequirements, i.e. exchange-free) — build this one plan
+    // with AQE off so the exchanges are plain nodes collect() can see
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val tree =
+      try queries.SimilarityQueries.neardupCandidates(assigned)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val exchanges = tree.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.nonEmpty,
+      s"expected the kernel-grouping exchange in ${tree.getClass}:\n" +
+        tree.treeString)
+    exchanges.foreach { e =>
+      val doubles = e.output.filter(a => a.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      assert(doubles.isEmpty,
+        s"candidate-stage exchange must not shuffle double arrays, " +
+          s"carries: ${doubles.map(_.name).mkString(",")}")
+    }
+    // and the certified candidates are a SUPERSET of the exact pairs
+    // (bound soundness observed in the plan's own output)
+    val exact = queries.SimilarityQueries
+      .neardupPairsStaged(assigned, queries.SimilarityQueries.ivf2Vecs(spark, sf0001))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candSet = queries.SimilarityQueries.neardupCandidates(assigned)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(candSet),
+      s"certified candidates must contain every exact pair")
+  }
+
   test("semantic decon probes by (band, code) broadcast equi-join — never SMJ or cartesian") {
     val plan = planOf("q135_semantic_decon")
     assert(!plan.contains("CartesianProduct"),

@@ -221,7 +221,11 @@ class Round16Spec extends AnyFunSuite {
     def quant(v: Array[Double]): (Array[Byte], Double, Double) = {
       val ma = v.map(math.abs).max
       val sc = ma / 127.0
-      val q = v.map(x => math.round(x / sc).toByte)
+      // the engine quantizes with Spark round() = BigDecimal HALF_UP (away
+      // from zero) — NOT math.round (half-up toward +∞), which diverges on
+      // negative exact-.5 grid points (r16 ADVICE: pin the shipped rule)
+      val q = v.map(x => java.math.BigDecimal.valueOf(x / sc)
+        .setScale(0, java.math.RoundingMode.HALF_UP).byteValueExact())
       val er = math.sqrt(v.zip(q).map { case (x, qq) =>
         val d = x - qq * sc; d * d }.sum)
       (q, sc, er)
