@@ -27,7 +27,7 @@ object Bench {
       li.groupBy("l_returnflag").count().count()
       li.limit(100).join(li.limit(100), "l_orderkey").count()
       spark.range(10).select(get_json_object(lit("""{"k":1}"""), "$.k")).count()
-      queries.ChainOracle.dump(spark)
+      queries.ChainOracle.dump(spark, sfDir)
       // materialize EVERY cached fixture entity table (not just outputs):
       // the first chain query otherwise pays blocks/ergoTrees/assets cache
       // population — address rendering UDFs included — inside its timing.

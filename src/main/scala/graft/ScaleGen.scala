@@ -133,6 +133,20 @@ object ScaleGen {
           col("source"))
       }
       write("documents", zipfRewrite(base, zipfVocab))
+      // REALISTIC-SKEW media table (r16 verdict item 5): the driver's
+      // media fixture is sha256-derived at every scale — no degenerate
+      // keys, no hot Hamming blocks — so the phash tier was never gated
+      // on the skew it exists to guard. The zipf corpus ships one:
+      // the standard near-dup family structure scaled linearly, PLUS a
+      // linear population of TRUE-FLAT images (dHash 0 — the quarantined
+      // class a real crawl's placeholder/separator images form), PLUS a
+      // FIXED 12-image near-flat class (dHash values 1..12: one hot
+      // block-0 bucket, seven all-zero blocks — the realistic hot-bucket
+      // shape; bounded like an eval suite so the pair mass stays
+      // constant). q170 and q171's phash tier read this table when
+      // present (fixture fallback elsewhere), so the quarantine rule and
+      // the block-occupancy audit are value-verified under real skew.
+      write("media_phash", zipfMedia(spark, n))
     } else write("documents", rep(read("documents")) { (df, r) =>
       // suffix every token with the replica ordinal: same token count, all
       // shingles/fingerprints replica-distinct; n_chars re-derived to stay
@@ -154,6 +168,46 @@ object ScaleGen {
     })
     println(s"[scalegen] done: $dst = $src x$n" +
       (if (zipfVocab > 0) s" (zipf vocab $zipfVocab)" else ""))
+  }
+
+  /** A GRFT image whose dHash is EXACTLY `target`: row r starts at luma
+    * 100 and each of the 8 comparisons steps +5 (bit set: next > cur) or
+    * −5 (clear) following the target's bit (r·8 + c) — the inverse of
+    * [[graft.multimodal.MediaFunctions.dHash]]'s grid walk, range-safe
+    * ([60, 140] ⊂ byte).
+    */
+  private[graft] def grftWithHash(id: Long, target: Long): graft.multimodal.MediaRow = {
+    val b = java.nio.ByteBuffer.allocate(13 + 72)
+    b.put("GRFT".getBytes("US-ASCII")); b.put(1.toByte)
+    b.putInt(64); b.putInt(48)
+    (0 until 8).foreach { r =>
+      var cur = 100
+      b.put(cur.toByte)
+      (0 until 8).foreach { c =>
+        cur += (if (((target >> (r * 8 + c)) & 1L) == 1L) 5 else -5)
+        b.put(cur.toByte)
+      }
+    }
+    graft.multimodal.MediaRow(id, "image", b.array(),
+      graft.multimodal.MediaMeta("x-graft/image", 64, 48, -1, -1))
+  }
+
+  /** The zipf-mode media table: `PhashRows`·n family-structured images
+    * (the fixture generator, scaled linearly), 10% true-flat degenerates
+    * (ids from 10 000 000), and the fixed 12-image near-flat class (ids
+    * from 20 000 000, dHash = 1..12 — pairwise Hamming ≤ 4, one hot
+    * block-0 bucket). All GRFT, all hash-derived — the DuckDB oracle
+    * recomputes every dHash bit from the raw bytes.
+    */
+  private[graft] def zipfMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val baseN = graft.queries.MultimodalQueries.PhashRows * n
+    val base = graft.multimodal.MediaFixture.generatePhash(spark, baseN)
+    val flats = spark.range(baseN / 10).map(i =>
+      grftWithHash(10000000L + i, 0L))
+    val nearFlats = spark.range(12).map(i =>
+      grftWithHash(20000000L + i, i + 1))
+    base.union(flats).union(nearFlats).toDF()
   }
 
   /** Zipf-vocabulary text regeneration (see the object note): one pass

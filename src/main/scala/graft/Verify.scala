@@ -30,7 +30,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dump the chain-domain fixture entity tables + raw fork/backfill
     // fixtures so the DuckDB gate can recompute q33–q40/q51 independently.
-    queries.ChainOracle.dump(spark)
+    queries.ChainOracle.dump(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -23,9 +23,15 @@ object ZipfGate {
     * family: the simhash pairing (q29 — sign votes over shingle hashes
     * are exactly what a degenerate vocabulary distorts), the substring/
     * containment pair q98/q120, the line-level dedup+filter surfaces
-    * (q142/q158/q162), and the cluster-leakage audit q110.
+    * (q142/q158/q162), and the cluster-leakage audit q110. Round 17
+    * (r16 verdict item 5) adds q170: the zipf corpus ships a
+    * realistic-skew media table (ScaleGen.zipfMedia — a true-flat
+    * degenerate class, a hot near-flat Hamming-block class), so the
+    * phash pairing AND its quarantine rule are value-verified under the
+    * skew they exist to guard (q171's phash tier rides the same table).
     */
   val Queries: Seq[String] = Seq(
+    "q170_image_phash_pairs",
     "q25_exact_dedup", "q26_shingle_jaccard", "q27_minhash_lsh",
     "q29_simhash_pairs", "q59_jaccard_lsh_bucketed", "q65_dedup_clusters",
     "q98_substring_dup", "q102_nb_classifier",

@@ -58,7 +58,18 @@ object BandSkewReport {
       DedupQueries.simhashed(s, dir).select(col("simhash").as("h64")))
       .withColumn("tier", lit("simhash"))
       .withColumn("bits", lit(0))
-    minhash.unionByName(simhash)
+    // the phash tier is CORPUS-SCOPED since r17 (r16 verdict item 5): on
+    // a corpus shipping a media table (the zipf realistic-skew fixture —
+    // flats, a hot near-flat block class) the audit measures that skew
+    // and q171's oracle recomputes every dHash bit from the raw bytes;
+    // elsewhere the deterministic fixture keeps the row set stable.
+    val phash = hammingOccupancy(
+      graft.multimodal.MediaFunctions.perceptualHash(
+        MultimodalQueries.phashSource(s, dir)).toDF()
+        .select(col("phash").as("h64")))
+      .withColumn("tier", lit("phash"))
+      .withColumn("bits", lit(0))
+    minhash.unionByName(simhash).unionByName(phash)
       .withColumn("n_docs", lit(nDocs))
       .withColumn("adaptive_bits", lit(auto))
       .select("tier", "bits", "band", "n_buckets", "max_occ", "pair_mass",

@@ -70,8 +70,12 @@ object ChainOracle {
   /** Dump the 80-block fixture entity tables + fork headers; idempotent,
     * cheap (the fixture tables are the memoized ones the queries use).
     * Called by Verify before the query loop and by Bench's untimed warmup.
+    * `sfDir` (r16 verdict item 5) lets the media_phash dump resolve the
+    * CORPUS media table when the dir ships one (the zipf realistic-skew
+    * fixture) — the same [[MultimodalQueries.phashSource]] resolution the
+    * queries use, so engine and oracle always read identical bytes.
     */
-  def dump(s: SparkSession): Unit = synchronized {
+  def dump(s: SparkSession, sfDir: String = ""): Unit = synchronized {
     val t = ChainQueries.fixtureTables(s)
     write(t.blocks, "blocks")
     write(t.txs, "txs")
@@ -93,11 +97,12 @@ object ChainOracle {
     write(graft.multimodal.MediaFunctions.extractFeatures(media).toDF(), "media_features")
     write(graft.multimodal.MediaFunctions.sampleFrames(media,
       MultimodalQueries.FrameStride).toDF(), "media_frames")
-    // the perceptual-hash near-dup fixture (q170): raw blobs only — the
-    // oracle recomputes the dHash byte-by-byte from the luma grid, so the
-    // hash kernel AND the Manku banding are verified, not echoed
-    write(graft.multimodal.MediaFixture.generatePhash(
-      s, MultimodalQueries.PhashRows).toDF(), "media_phash")
+    // the perceptual-hash near-dup source (q170 + q171's phash tier): raw
+    // blobs only — the oracle recomputes the dHash byte-by-byte from the
+    // luma grid, so the hash kernel AND the Manku banding are verified,
+    // not echoed. Corpus-resolved: the zipf media table when present,
+    // the deterministic fixture elsewhere.
+    write(MultimodalQueries.phashSource(s, sfDir).toDF(), "media_phash")
     // Raw per-block facts for BOTH fork branches: the oracle re-resolves the
     // winner itself (recursive CTE), so ForkResolver is verified, not echoed.
     import s.implicits._

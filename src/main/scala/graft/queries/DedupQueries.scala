@@ -60,8 +60,77 @@ object DedupQueries extends QueryModule {
   Memos.register(s => nDocsMemo.keys.filter(_._1 eq s)
     .foreach(nDocsMemo.remove))
   private def shardBits(s: SparkSession, dir: String): Int =
-    bandShardBits(nDocsMemo.getOrElseUpdate((s, dir),
-      { Memos.hook(s); docs(s, dir).count() }))
+    math.min(MaxShardBits,
+      bandShardBits(nDocsMemo.getOrElseUpdate((s, dir),
+        { Memos.hook(s); docs(s, dir).count() }))
+        + auditDial.getOrElse(s, 0))
+
+  // ---- AUDIT-INFORMED dial (r16 verdict item 6 — close the audit→dial
+  // loop): the count ladder above is a PRIOR, sized from corpus size
+  // alone; BandSkewReport persists what the banding actually COST run
+  // over run, and the reference ships/reloads its learned hot-key list
+  // rather than re-deriving from theory (SuperNodeCollector.scala:13-65;
+  // the ChainIngest.learnedHotKeys pattern here). A deployment calls
+  // [[useAuditDial]] once at startup: the latest persisted run's
+  // production-tier counters (tier = minhash at its own adaptive bits)
+  // are read, and when the measured worst-band pair mass exceeds
+  // AuditMassPerDoc pairs per doc — ~3× the linear mass the r14 BandAudit
+  // measured at sf10, so a healthy corpus never trips it — the dial gains
+  // ⌈log₂(worst/target)⌉ extra bits (each bit halves chance-collision
+  // mass), capped at MaxShardBits. The raise is a DEPLOYMENT choice,
+  // exactly like learned hot-key salting: the driver/oracle gate never
+  // registers an audit dir, so every oracle-bound row replays the pure
+  // count ladder unchanged; a session that opts in trades recall for the
+  // measured skew (the documented LSH dial semantics). ----
+  private[graft] val AuditMassPerDoc = 2L
+  private val auditDial =
+    scala.collection.concurrent.TrieMap[SparkSession, Int]()
+  Memos.register(s => { auditDial.remove(s); () })
+
+  /** Register `auditDir` as this session's learned-dial evidence: reads
+    * the LATEST persisted band-audit run once (the learnedHotKeys
+    * load-at-start analog — re-register to re-read) and raises every
+    * subsequent banding consumer's shard bits by the measured amount.
+    * Returns the extra bits chosen (0 = the audit says the prior is
+    * fine, or no runs exist yet).
+    */
+  def useAuditDial(s: SparkSession, auditDir: String): Int = {
+    Memos.hook(s)
+    val extra = learnedExtraBits(s, auditDir)
+    auditDial(s) = extra
+    extra
+  }
+
+  /** Unregister (spec hook; a fresh session is also unregistered). */
+  def clearAuditDial(s: SparkSession): Unit = { auditDial.remove(s); () }
+
+  /** The measured raise: worst production-band pair mass of the latest
+    * run vs the linear target. Total, not per-band-average — one hot
+    * band is exactly the skew the dial exists to split.
+    */
+  private[graft] def learnedExtraBits(s: SparkSession, auditDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(auditDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0
+    val runs = try BandSkewReport.runs(s, auditDir)
+      .filter(col("run_id").isNotNull)
+    catch { // an existing dir with no committed run= leaves yet
+      case _: org.apache.spark.sql.AnalysisException => return 0
+    }
+    val latest = runs.agg(max("run_id")).collect()(0)
+    if (latest.isNullAt(0)) return 0
+    val rows = runs
+      .filter(col("run_id") === latest.getLong(0) &&
+        col("tier") === "minhash" && col("bits") === col("adaptive_bits"))
+      .agg(max("pair_mass").as("worst"), max("n_docs").as("n"))
+      .collect()(0)
+    if (rows.isNullAt(0) || rows.isNullAt(1)) return 0
+    val (worst, n) = (rows.getLong(0), rows.getLong(1))
+    val target = AuditMassPerDoc * math.max(1L, n)
+    if (worst <= target) 0
+    else math.min(MaxShardBits,
+      64 - java.lang.Long.numberOfLeadingZeros((worst - 1) / target))
+  }
   // The EXACT-CENSUS stripe (the q30/q113 law, r14 verdict item 6),
   // shared by q26 (exact Jaccard) and q120 (exact containment): the whole
   // corpus at every oracle/bench scale (doc_id < 5000 covers sf ≤ 0.1
@@ -1239,11 +1308,30 @@ object DedupQueries extends QueryModule {
            FROM blks b LEFT JOIN (
              SELECT band, count(*) AS nb, max(occ) AS mx,
                CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS pm
-             FROM socc GROUP BY band) x ON b.band = x.band)
+             FROM socc GROUP BY band) x ON b.band = x.band),
+         pph AS (SELECT mediaId, ${MultimodalQueries.phashBitsSql} AS phash
+           FROM read_parquet('${ChainOracle.p("media_phash")}')),
+         pq AS (SELECT CAST(count(*) FILTER (WHERE phash = 0 OR phash = -1)
+             AS BIGINT) AS nq FROM pph),
+         pk AS (SELECT CAST(t.blk AS INTEGER) AS band,
+                  (phash >> CAST(t.blk * 8 AS INTEGER)) & 255 AS key
+                FROM pph, range(0, 8) t(blk)
+                WHERE phash <> 0 AND phash <> -1),
+         pocc AS (SELECT band, key, count(*) AS occ FROM pk GROUP BY 1, 2),
+         prep AS (SELECT 'phash' AS tier, CAST(0 AS INTEGER) AS bits,
+             b.band, CAST(coalesce(x.nb, 0) AS BIGINT) AS n_buckets,
+             CAST(coalesce(x.mx, 0) AS BIGINT) AS max_occ,
+             CAST(coalesce(x.pm, 0) AS BIGINT) AS pair_mass,
+             (SELECT nq FROM pq) AS n_quarantined
+           FROM blks b LEFT JOIN (
+             SELECT band, count(*) AS nb, max(occ) AS mx,
+               CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS pm
+             FROM pocc GROUP BY band) x ON b.band = x.band)
          SELECT tier, bits, band, n_buckets, max_occ, pair_mass,
            n_quarantined, (SELECT n_docs FROM nd) AS n_docs,
            (SELECT CAST(bits AS INTEGER) FROM sb) AS adaptive_bits
-         FROM (SELECT * FROM mhrep UNION ALL SELECT * FROM srep)
+         FROM (SELECT * FROM mhrep UNION ALL SELECT * FROM srep
+               UNION ALL SELECT * FROM prep)
          ORDER BY tier, bits, band"""
     },
     "q29_simhash_pairs" ->

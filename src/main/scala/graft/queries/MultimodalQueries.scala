@@ -26,6 +26,43 @@ object MultimodalQueries extends QueryModule {
   private[graft] val PhashRows = 240
   private[graft] val PhashMaxHamming = 7
 
+  /** The q170/q171-phash SOURCE, corpus-scoped (r16 verdict item 5): a
+    * corpus that ships a `media_phash.parquet` table (the zipf fixture's
+    * realistic-skew media — flats, a near-flat hot class, linear family
+    * structure) is what the phash tier runs on; every other dir falls
+    * back to the deterministic fixture, so the driver's sf0.01/sf0.1
+    * artifacts are unchanged. `ChainOracle.dump` resolves the SAME
+    * source into the oracle's `media_phash` table, so the DuckDB replay
+    * always recomputes the dHash bits from the bytes the engine read.
+    */
+  private[graft] def phashSource(s: SparkSession, dir: String)
+    : org.apache.spark.sql.Dataset[graft.multimodal.MediaRow] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/media_phash.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      s.read.parquet(p.toString)
+        .as[graft.multimodal.MediaRow](
+          org.apache.spark.sql.Encoders.product[graft.multimodal.MediaRow])
+    else MediaFixture.generatePhash(s, PhashRows)
+  }
+
+  /** dHash recomputed INDEPENDENTLY from the raw blob in SQL: luma(r, c)
+    * is the payload byte at 13 + r·9 + c (the GRFT grid definition), each
+    * of the 64 bits a byte comparison on hex substrings, bit weights
+    * precomputed Long literals in ascending k (the simBitsSql rule: every
+    * partial sum stays inside BIGINT; the k=63 weight is Long.MinValue
+    * added last). Shared by q170's pair oracle and q171's phash-tier
+    * occupancy replay.
+    */
+  private[graft] lazy val phashBitsSql: String =
+    (for (r <- 0 until 8; c <- 0 until 8) yield {
+      val j1 = 13 + r * 9 + c
+      def byteAt(j: Int) =
+        s"CAST(('0x' || substr(hex(content), ${j * 2 + 1}, 2)) AS INTEGER)"
+      s"(CASE WHEN ${byteAt(j1)} < ${byteAt(j1 + 1)} " +
+        s"THEN CAST(${1L << (r * 8 + c)} AS BIGINT) ELSE 0 END)"
+    }).mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Decode stage: header parse per row, batched mapPartitions.
     "q41_media_decode" -> ((s, _) => {
@@ -92,17 +129,18 @@ object MultimodalQueries extends QueryModule {
     // cartesian stage. The DuckDB oracle RECOMPUTES the dHash bit-by-bit
     // from the dumped raw blobs and pairs by brute force, independently
     // verifying both the hash kernel and the banding's losslessness.
-    "q170_image_phash_pairs" -> ((s, _) => {
+    "q170_image_phash_pairs" -> ((s, dir) => {
       // degenerate-fingerprint quarantine (r15 verdict item 1): all-0 /
       // all-1 dHashes are whole visual CLASSES (flat images, monotone
       // gradients) that collide in ALL 8 blocks — an N² supernode, the
       // P14/P15 blacklist precedent. Withheld from the join, never
       // silently: the mass is counted in BandSkewReport.phashReport (the
-      // persisted Hamming-tier skew audit). The fixture has no degenerate
-      // hash (sha256-derived luma grids), so the oracle row is unchanged;
-      // Round16Spec pins the quarantine law on a flat-image set.
-      val ph = MediaFunctions.perceptualHash(
-        MediaFixture.generatePhash(s, PhashRows)).toDF()
+      // persisted Hamming-tier skew audit). The driver fixture has no
+      // degenerate hash (sha256-derived luma grids); the zipf corpus's
+      // media table (r16 verdict item 5) HAS a flat class, and the oracle
+      // applies the same quarantine predicate — so the rule is
+      // value-verified under realistic skew, not just spec-shaped.
+      val ph = MediaFunctions.perceptualHash(phashSource(s, dir)).toDF()
         .filter(col("phash") =!= 0L && col("phash") =!= -1L)
       val keyed = ph.select(col("mediaId"), col("phash"),
         posexplode(array((0 until PhashMaxHamming + 1).map(b =>
@@ -202,29 +240,22 @@ object MultimodalQueries extends QueryModule {
            CAST(len(rhx) // 2 AS INTEGER) AS nBytes, md5(rhx) AS fp
          FROM rz ORDER BY mediaId"""
     },
-    // dHash recomputed INDEPENDENTLY from the raw blob: luma(r, c) is the
-    // payload byte at 13 + r·9 + c (the GRFT grid definition), each of the
-    // 64 bits is a byte comparison on hex substrings, bit weights are
-    // precomputed Long literals in ascending k (the simBitsSql rule: every
-    // partial sum stays inside BIGINT; the k=63 weight is Long.MinValue
-    // added last). Pairing is brute-force all-pairs — at 240 fixture rows
-    // DuckDB verifies the banding's losslessness, not just the hash.
-    "q170_image_phash_pairs" -> {
-      val bitsSql = (for (r <- 0 until 8; c <- 0 until 8) yield {
-        val j1 = 13 + r * 9 + c
-        def byteAt(j: Int) =
-          s"CAST(('0x' || substr(hex(content), ${j * 2 + 1}, 2)) AS INTEGER)"
-        s"(CASE WHEN ${byteAt(j1)} < ${byteAt(j1 + 1)} " +
-          s"THEN CAST(${1L << (r * 8 + c)} AS BIGINT) ELSE 0 END)"
-      }).mkString(" + ")
-      s"""WITH ph AS (SELECT mediaId, $bitsSql AS phash
-           FROM read_parquet('${ChainOracle.p("media_phash")}'))
+    // Pairing is brute-force all-pairs — at fixture scale DuckDB verifies
+    // the banding's losslessness, not just the hash (see [[phashBitsSql]]
+    // for the independent dHash recompute).
+    "q170_image_phash_pairs" ->
+      // the quarantine predicate is replayed in SQL too: on the driver
+      // fixture it filters nothing (no degenerate hashes — Round16Spec),
+      // on the zipf corpus it must drop the flat class exactly like the
+      // engine, making the quarantine rule itself oracle-bound
+      s"""WITH ph AS (SELECT mediaId, $phashBitsSql AS phash
+           FROM read_parquet('${ChainOracle.p("media_phash")}')),
+         phq AS (SELECT * FROM ph WHERE phash <> 0 AND phash <> -1)
          SELECT a.mediaId a_id, b.mediaId b_id,
            bit_count(xor(a.phash, b.phash)) AS hamming
-         FROM ph a JOIN ph b ON a.mediaId < b.mediaId
+         FROM phq a JOIN phq b ON a.mediaId < b.mediaId
          WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
-         ORDER BY a_id, b_id"""
-    },
+         ORDER BY a_id, b_id""",
     "q44_token_count_native" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,

@@ -77,7 +77,9 @@ class Round16Spec extends AnyFunSuite {
     "minhash bands") {
     val rows = BandSkewReport.report(spark, sf001).collect()
     val tiers = rows.map(_.getAs[String]("tier")).toSet
-    assert(tiers == Set("minhash", "simhash"))
+    // r17: the phash tier joined the oracle-bound report (corpus-scoped
+    // media source, fixture fallback here)
+    assert(tiers == Set("minhash", "simhash", "phash"))
     val sim = rows.filter(_.getAs[String]("tier") == "simhash")
     assert(sim.map(_.getAs[Int]("band")).sorted.toSeq == (0 until 8),
       "every 8-bit block must report a row")

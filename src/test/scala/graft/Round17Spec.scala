@@ -226,6 +226,94 @@ class Round17Spec extends AnyFunSuite {
       && r.getAs[Long]("n_quarantined") == 2L))
   }
 
+  // ---- zipf media fixture (r16 verdict item 5) ----
+
+  test("grftWithHash inverts the dHash kernel exactly — including the two " +
+    "degenerate targets and random 64-bit patterns") {
+    val rnd = new scala.util.Random(1705)
+    val targets = Seq(0L, -1L, 1L, 12L, Long.MinValue, Long.MaxValue) ++
+      Seq.fill(50)(rnd.nextLong())
+    targets.foreach { t =>
+      val got = graft.multimodal.MediaFunctions.dHash(
+        ScaleGen.grftWithHash(7L, t).content)
+      assert(got == t, s"target ${t.toHexString} round-tripped to ${got.toHexString}")
+    }
+  }
+
+  test("zipfMedia ships the controlled skew: linear flats (quarantined), " +
+    "the fixed hot near-flat class, and the family-structured base") {
+    import spark.implicits._
+    val m = ScaleGen.zipfMedia(spark, 1)
+    val ph = graft.multimodal.MediaFunctions.perceptualHash(
+      m.as[graft.multimodal.MediaRow](
+        org.apache.spark.sql.Encoders.product[graft.multimodal.MediaRow]))
+      .collect().map(p => p.mediaId -> p.phash).toMap
+    val flats = ph.filter { case (id, _) => id >= 10000000L && id < 20000000L }
+    assert(flats.size == 24 && flats.values.forall(_ == 0L),
+      "10% of the base must be true-flat degenerates")
+    val near = ph.filter { case (id, _) => id >= 20000000L }
+    assert(near.size == 12 && near.toSeq.sortBy(_._1).map(_._2) ==
+      (1L to 12L), "the near-flat class must carry dHash 1..12 exactly")
+    // pairwise hamming of the near-flat class stays under the threshold —
+    // one hot block-0 bucket, the realistic skew shape
+    val vs = near.values.toSeq
+    for (a <- vs; b <- vs if a < b)
+      assert(java.lang.Long.bitCount(a ^ b) <= 7)
+    assert(ph.count { case (id, _) => id < 10000000L } ==
+      graft.queries.MultimodalQueries.PhashRows)
+  }
+
+  // ---- audit→dial loop (r16 verdict item 6) ----
+
+  test("a skewed persisted audit raises the shard dial on the next run; " +
+    "a benign audit and an unregistered session keep the count formula") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    def auditRow(runId: Long, mass: Long, nDocs: Long) =
+      (("minhash"), 0, 0, 10L, 5L, mass, 0L, nDocs, 0, runId)
+    def writeRun(dir: String, runId: Long, mass: Long, nDocs: Long): Unit =
+      Seq(auditRow(runId, mass, nDocs))
+        .toDF("tier", "bits", "band", "n_buckets", "max_occ", "pair_mass",
+          "n_quarantined", "n_docs", "adaptive_bits", "run_id")
+        .write.parquet(s"$dir/run=$runId")
+    try {
+      // benign: worst band mass ≤ AuditMassPerDoc·n ⇒ no raise
+      val benign = java.nio.file.Files.createTempDirectory("graft-dialb").toString
+      writeRun(benign, 0L, mass = 900L, nDocs = 1000L)
+      assert(DedupQueries.useAuditDial(spark, benign) == 0)
+      // skewed: one hot band at 9× the target ⇒ ceil(log2 9) = 4 extra bits
+      val skewed = java.nio.file.Files.createTempDirectory("graft-dials").toString
+      writeRun(skewed, 0L, mass = 18000L, nDocs = 1000L)
+      val extra = DedupQueries.useAuditDial(spark, skewed)
+      assert(extra == 4, s"expected ceil(log2(18000/2000)) = 4, got $extra")
+      // the LATEST run wins: a later healthy run withdraws the raise
+      writeRun(skewed, 3L, mass = 100L, nDocs = 1000L)
+      assert(DedupQueries.useAuditDial(spark, skewed) == 0)
+      // a real (benign) corpus audit through the real writer: no raise
+      val real = java.nio.file.Files.createTempDirectory("graft-dialr").toString
+      graft.queries.BandSkewReport.maintainEvery(spark, sf001, real, 0L, 1L)
+      assert(DedupQueries.useAuditDial(spark, real) == 0,
+        "the sf0.01 corpus must not trip the learned raise")
+      // empty/missing dirs fall back to the formula
+      assert(DedupQueries.useAuditDial(spark, "/tmp/graft-no-such-dial") == 0)
+      // and the raise actually reaches the banding consumers: with the
+      // dial registered, LSH pairs are a SUBSET of the unregistered
+      // result (the Round14Spec sharded-⊆-unsharded law, learned-driven)
+      DedupQueries.clearAuditDial(spark)
+      def q27pairs() = SparkEntry.queries("q27_minhash_lsh")(spark, sf001)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val unsharded = q27pairs()
+      val skewed2 = java.nio.file.Files.createTempDirectory("graft-dial2").toString
+      writeRun(skewed2, 0L, mass = 18000L, nDocs = 1000L)
+      assert(DedupQueries.useAuditDial(spark, skewed2) == 4)
+      val sharded = q27pairs()
+      assert(sharded.subsetOf(unsharded),
+        "learned-sharded candidates must never invent pairs")
+      assert(sharded.nonEmpty, "the family dups must survive 4 extra bits")
+    } finally DedupQueries.clearAuditDial(spark)
+  }
+
   // ---- mixed-schema band-audit dirs degrade consistently (r16 ADVICE) ----
 
   test("BandSkewReport.runs reads pre-r16 leaves with documented defaults " +
