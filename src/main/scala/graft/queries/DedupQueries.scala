@@ -117,10 +117,16 @@ object DedupQueries extends QueryModule {
     catch { // an existing dir with no committed run= leaves yet
       case _: org.apache.spark.sql.AnalysisException => return 0
     }
-    val latest = runs.agg(max("run_id")).collect()(0)
-    if (latest.isNullAt(0)) return 0
+    // latest run: cadence ids ascend (newest = max ≥ 0); ad-hoc ids
+    // DESCEND through the negative namespace (newest = min < 0). A
+    // cadence run outranks ad-hoc history — it is the maintenance
+    // rhythm's view of the same corpus, and strictly fresher evidence
+    // than any one-off a mixed dir may hold.
+    val mm = runs.agg(max("run_id"), min("run_id")).collect()(0)
+    if (mm.isNullAt(0)) return 0
+    val latestId = if (mm.getLong(0) >= 0) mm.getLong(0) else mm.getLong(1)
     val rows = runs
-      .filter(col("run_id") === latest.getLong(0) &&
+      .filter(col("run_id") === latestId &&
         col("tier") === "minhash" && col("bits") === col("adaptive_bits"))
       .agg(max("pair_mass").as("worst"), max("n_docs").as("n"))
       .collect()(0)

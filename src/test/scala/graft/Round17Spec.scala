@@ -289,6 +289,16 @@ class Round17Spec extends AnyFunSuite {
       // the LATEST run wins: a later healthy run withdraws the raise
       writeRun(skewed, 3L, mass = 100L, nDocs = 1000L)
       assert(DedupQueries.useAuditDial(spark, skewed) == 0)
+      // ad-hoc ids DESCEND: the newest ad-hoc run is the MINIMUM; and a
+      // cadence run (≥ 0) outranks any ad-hoc history
+      val adhoc = java.nio.file.Files.createTempDirectory("graft-diala").toString
+      writeRun(adhoc, -1L, mass = 100L, nDocs = 1000L)
+      writeRun(adhoc, -2L, mass = 18000L, nDocs = 1000L)
+      assert(DedupQueries.useAuditDial(spark, adhoc) == 4,
+        "the newest (most negative) ad-hoc run must win")
+      writeRun(adhoc, 0L, mass = 100L, nDocs = 1000L)
+      assert(DedupQueries.useAuditDial(spark, adhoc) == 0,
+        "a cadence run outranks ad-hoc history")
       // a real (benign) corpus audit through the real writer: no raise
       val real = java.nio.file.Files.createTempDirectory("graft-dialr").toString
       graft.queries.BandSkewReport.maintainEvery(spark, sf001, real, 0L, 1L)
