@@ -129,9 +129,19 @@ object Bench {
     // exactness oracle stays verified by the driver at sf0.01. The sf ≥ 1
     // timed surface therefore drops it, recorded via "excluded" in the
     // JSON so the ledger shows the surface change, never a silent gap.
-    val sfScale = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir)
-      .map(_.group(1)).toSeq.lastOption.map(_.toDouble).getOrElse(0.0)
-    val excluded = if (sfScale >= 1.0) Seq("q156_ngram_diversity") else Seq.empty
+    // Scale is inferred from the LAST PATH COMPONENT only (r17 ADVICE: a
+    // mid-path segment like /data/sf2-exp/tiny must not trigger the
+    // exclusion, and a corpus dir with no sfN component keeps q156 timed
+    // WITH a stderr note, so the surface rule's non-application is visible
+    // rather than silent).
+    val sfScale = "sf([0-9]+(?:\\.[0-9]+)?)".r
+      .findAllMatchIn(sfDir.stripSuffix("/").split('/').last)
+      .map(_.group(1)).toSeq.lastOption.map(_.toDouble)
+    if (sfScale.isEmpty)
+      System.err.println(s"[bench] no sfN scale inferable from '$sfDir' — " +
+        "q156 stays on the timed surface")
+    val excluded =
+      if (sfScale.exists(_ >= 1.0)) Seq("q156_ngram_diversity") else Seq.empty
     val timedQueries = SparkEntry.queries -- excluded
     val firstPass = timedQueries.map { case (name, fn) => name -> timed(name, fn) }
     // Contention robustness (round-7 lesson: a one-shot serial sweep let a

@@ -29,8 +29,15 @@ object ZipfGate {
     * degenerate class, a hot near-flat Hamming-block class), so the
     * phash pairing AND its quarantine rule are value-verified under the
     * skew they exist to guard (q171's phash tier rides the same table).
+    * Round 18 (r17 verdict item 3) pins the VECTOR tier: the hash
+    * embedder (q139) derives its vectors from text, so realistic
+    * vocabulary genuinely shapes the embedding stack — q139/q140 plus
+    * the ANN pair tail q129 and its served twin q130 (all four verified
+    * resolving and green on the zipf corpus before joining the list).
     */
   val Queries: Seq[String] = Seq(
+    "q129_ivf2_neardup", "q130_ann_serve",
+    "q139_hash_embed", "q140_semantic_src_matrix",
     "q170_image_phash_pairs",
     "q25_exact_dedup", "q26_shingle_jaccard", "q27_minhash_lsh",
     "q29_simhash_pairs", "q59_jaccard_lsh_bucketed", "q65_dedup_clusters",

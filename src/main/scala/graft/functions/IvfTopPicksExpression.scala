@@ -119,6 +119,13 @@ object IvfTopPicksExpression {
       val cv = c.getArray(1)
       var dp = 0.0
       var k = 0
+      // min(), DELIBERATELY (r17 ADVICE adjudication): bit-parity with
+      // DotProductExpression.dot — the lambda form this expression replays
+      // (Round17Spec pins equality) computes its dot via vec_dot, which
+      // truncates to the shorter array. Int8DotExpression throws instead
+      // because nothing replays through it; here a loud check would break
+      // the pinned replay contract. Mixed-dim corpora are rejected
+      // upstream (ivf2Corpus derives every vector from one embedder).
       val dim = math.min(v.length, cv.numElements())
       while (k < dim) { dp += v(k) * cv.getDouble(k); k += 1 }
       rd2(i) = round6(vv - 2.0 * dp + c.getDouble(2))

@@ -189,7 +189,12 @@ object SimilarityQueries extends QueryModule {
   private def centroidsOf(assigned: DataFrame): DataFrame =
     assigned
       .groupBy("c_id")
-      .agg(count(lit(1)).as("cnt"),
+      // count(v), not count(*): the aggregator's add() skips null vectors,
+      // so the divisor must count the same rows the sum saw — count(*)
+      // would silently deflate a centroid whose cluster holds a null
+      // embedding (r17 ADVICE; the old posexplode+avg form dropped nulls
+      // from both sum and count, and this keeps that semantics explicit)
+      .agg(count(col("v")).as("cnt"),
         graft.functions.VecSumAggregator.vecSum(col("v")).as("sv"))
       .select(col("c_id"),
         transform(col("sv"), x => round(x / col("cnt"), 9)).as("cv"))
@@ -216,7 +221,7 @@ object SimilarityQueries extends QueryModule {
     * of primitive vectors per task (~cohort×dim doubles — cohorts are
     * bounded by the adaptive-K contract), never the candidate set.
     */
-  private def neardupPairs(assigned: DataFrame): DataFrame = {
+  private[graft] def neardupPairsExact(assigned: DataFrame): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     // strictly below every double that 4-dp-rounds to ≥ NearDupTau
@@ -381,6 +386,116 @@ object SimilarityQueries extends QueryModule {
       .filter(round(col("cos"), 4) >= NearDupTau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("a_id", "b_id")
+
+  // ---- staged-tail SELF-SELECTION (r17 verdict item 2). The r17 probe
+  // turned the staged-vs-exact choice into arithmetic — staged wins iff
+  // the certified survivors are a small fraction of the kernel's candidate
+  // mass (q140's regime: 42 of 1.3M at tau 0.9 → int8 codes shrink the
+  // exchange and the late-materialization joins are free), and loses when
+  // survivors ≈ output (q129's sf10 corpus at tau 0.4: 22.8M certified of
+  // 257M candidates, S/C ≈ 0.089, measured 16.2 s staged vs 12.5 s exact
+  // — the survivor joins shuffle more bytes than the compact codes save).
+  // [[annTailAudit]] measures and PERSISTS the two counters for a corpus;
+  // [[useAnnTailAudit]] registers the evidence for a session — the
+  // learned-hot-key/useAuditDial load-at-start pattern (reference
+  // SuperNodeCollector.scala:13-65) applied to the ANN tier — and every
+  // [[neardupPairs]] consumer (q113/q129/servedPairs) then self-selects.
+  // The driver/oracle gate never registers an audit, so every oracle-bound
+  // row replays the exact kernel unchanged; both branches are spec-pinned
+  // bit-identical anyway (Round17/18Spec), so the dial is a pure
+  // performance choice, never a semantics one. ----
+
+  /** Staged wins only when survivors ≪ candidates; the measured bracket is
+    * [3e-5 → staged clearly wins] vs [0.089 → exact wins by 1.3×], and the
+    * join cost grows linearly in S, so the cutover sits conservatively at
+    * 1% — past it the exact kernel's simplicity is the better bet.
+    */
+  private[graft] val AnnTailSurvivorFrac = 0.01
+
+  private val annTailDial =
+    scala.collection.concurrent.TrieMap[SparkSession, Boolean]()
+  Memos.register(s => { annTailDial.remove(s); () })
+
+  /** Measure and persist the pair-tail evidence for `assigned`'s corpus:
+    * candidate mass C = Σ cohort·(cohort−1)/2 (what ANY kernel walks) and
+    * survivor mass S = the certified-bound pass's emitted rows (what the
+    * staged form must join/materialize; counted with cross-cluster
+    * multiplicity — the honest stage-1 output mass, an upper bound on the
+    * post-distinct join input). One run= generation per call, ascending
+    * ids, overwrite-idempotent. Returns (C, S).
+    */
+  def annTailAudit(s: SparkSession, assigned: DataFrame,
+    auditDir: String): (Long, Long) = {
+    val a = assigned.persist()
+    try {
+      val c = a.groupBy("c_id").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum(expr("sz * (sz - 1) DIV 2")), lit(0L)))
+        .collect()(0).getLong(0)
+      val sv = neardupCandidates(a).count()
+      val nextId = auditRuns(s, auditDir)
+        .map(_.agg(max("run_id")).collect()(0).getLong(0) + 1L)
+        .getOrElse(0L)
+      import s.implicits._
+      Seq((nextId, c, sv, NearDupTau))
+        .toDF("run_id", "candidate_mass", "survivor_mass", "tau")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$auditDir/run=$nextId")
+      (c, sv)
+    } finally { a.unpersist(); () }
+  }
+
+  private def auditRuns(s: SparkSession, auditDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(auditDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else try Some(s.read.parquet(s"$auditDir/run=*"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Register `auditDir` as this session's pair-tail evidence (read ONCE,
+    * at registration — re-register to re-read): the LATEST persisted run's
+    * S/C ratio picks the staged form iff S ≤ [[AnnTailSurvivorFrac]]·C.
+    * Returns whether the staged tail was chosen (false: exact kernel —
+    * also the no-evidence fallback).
+    */
+  def useAnnTailAudit(s: SparkSession, auditDir: String): Boolean = {
+    Memos.hook(s)
+    val staged = stagedFromAudit(s, auditDir)
+    annTailDial(s) = staged
+    staged
+  }
+
+  /** Unregister (spec hook; a fresh session is also unregistered). */
+  def clearAnnTailAudit(s: SparkSession): Unit = { annTailDial.remove(s); () }
+
+  private[graft] def annTailStagedChosen(s: SparkSession): Boolean =
+    annTailDial.getOrElse(s, false)
+
+  /** The decision arithmetic on the latest persisted run (no runs → false:
+    * with no evidence the exact kernel is the safe default — it was the
+    * measured winner on the only corpus large enough to hurt).
+    */
+  private[graft] def stagedFromAudit(s: SparkSession, auditDir: String): Boolean =
+    auditRuns(s, auditDir).exists { runs =>
+      val r = runs.orderBy(col("run_id").desc).limit(1)
+        .select("candidate_mass", "survivor_mass").collect()
+      r.nonEmpty && r(0).getLong(0) > 0L &&
+        r(0).getLong(1).toDouble <= AnnTailSurvivorFrac * r(0).getLong(0)
+    }
+
+  /** The pair tail every consumer calls — the exact compiled kernel by
+    * default, the two-stage int8 form when this session's registered
+    * audit evidence says survivors ≪ candidates (see the dial block
+    * above). Both branches are bit-identical by construction and by spec
+    * pin, so oracles never see the difference.
+    */
+  private[graft] def neardupPairs(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    if (annTailDial.getOrElse(s, false))
+      neardupPairsStaged(assigned,
+        assigned.select("vec_id", "v", "n").dropDuplicates("vec_id"))
+    else neardupPairsExact(assigned)
+  }
 
   // ---- q129 two-level IVF stages, factored (r09 VERDICT #2/#4): the
   // PlanSpec pin inspects the UNCUT candidate pipeline via the pluggable
@@ -720,8 +835,13 @@ object SimilarityQueries extends QueryModule {
     // candidates; 42 rows from 1.3M candidates at tau 0.9) does not hold
     // at tau 0.4. The staged form stays as [[neardupPairsStaged]]
     // (Round17Spec pins its result equality) for corpora whose tau/density
-    // DO satisfy the criterion; the measured lever here was the
-    // assignment pipeline instead — see [[ivfTopPicksNative]].
+    // DO satisfy the criterion — and since r18 the choice is SELF-SERVING:
+    // [[neardupPairs]] consults the session's registered tail-audit
+    // evidence ([[useAnnTailAudit]]) and takes the staged branch when the
+    // persisted survivor/candidate ratio clears the cutover (the oracle
+    // gate never registers one, so this entry always replays the exact
+    // kernel). The measured lever here was the assignment pipeline
+    // instead — see [[ivfTopPicksNative]].
     "q129_ivf2_neardup" -> ((s, dir) => neardupPairs(ivf2Assigned(s, dir))),
 
     // PERSISTENT-index serve (r09 VERDICT #4): identical pair semantics to

@@ -463,10 +463,12 @@ class ChainIngest(
     val tip: Option[Row] = prof("readTip")(
       if (forkBucket > 0) readTipFromStorage(spark, belowBucket = forkBucket)
       else None)
-    val tailStats = prof("tailStats")(tail.toDF()).select(
+    // prof wraps the ACTION (r18: it previously timed only the lazy toDF,
+    // hiding the tail aggregate's real cost from the stage profile)
+    val tailStats = prof("tailStats")(tail.toDF().select(
       min(col("header.height")).as("minH"),
       min(struct(col("header.height"), col("header.timestamp")))
-        .getField("timestamp").as("firstTs")).head()
+        .getField("timestamp").as("firstTs")).head())
     val (blocksShifted, txsShifted, outputsShifted) =
       if (tailStats.isNullAt(0)) (t.blocks, t.txs, t.outputs)
       else shiftFromTip(t, tip, tailStats.getAs[Int]("minH"),

@@ -110,13 +110,31 @@ object Compaction {
         .drop("__qx", "__qy", "__zv"))
   }
 
-  private def swapIn(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
+  /** The atomic-swap primitive, exposed (r17 verdict item 1) for stores
+    * whose compaction must commit a METADATA file in the same atomic unit
+    * as the rewritten data — the media route's fold watermark: `meta`
+    * entries (name → content; names must start with '_' so parquet
+    * readers skip them) are written into the tmp dir AFTER the data, so
+    * the two renames publish data + meta together and a reader can never
+    * observe a store whose watermark disagrees with its rows. `dir` may
+    * not exist yet (first fold): the aside-move is skipped and the tmp
+    * rename is the single commit point. Crash anywhere: [[recover]]
+    * completes or rolls back, and a half-written tmp (data or meta) is
+    * discarded because the renames only run after every write returned.
+    */
+  def swapIn(dir: String, df: org.apache.spark.sql.DataFrame,
+    meta: Map[String, String] = Map.empty): Unit = {
     recover(dir)
     val tmp = dir + ".compact-tmp"
     val old = dir + ".compact-old"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    meta.foreach { case (name, content) =>
+      require(name.startsWith("_"),
+        s"meta file '$name' must start with '_' or parquet readers see it")
+      Files.writeString(Paths.get(tmp, name), content)
+    }
     val dirP = Paths.get(dir)
-    Files.move(dirP, Paths.get(old))
+    if (Files.exists(dirP)) Files.move(dirP, Paths.get(old))
     Files.move(Paths.get(tmp), dirP)
     delete(Paths.get(old))
   }

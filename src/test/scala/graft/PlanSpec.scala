@@ -131,11 +131,12 @@ class PlanSpec extends AnyFunSuite {
     // AQE hides exchanges behind leaf query stages (and its inputPlan is
     // pre-EnsureRequirements, i.e. exchange-free) — build this one plan
     // with AQE off so the exchanges are plain nodes collect() can see
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val tree =
       try queries.SimilarityQueries.neardupCandidates(assigned)
         .queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     val exchanges = tree.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }
