@@ -26,6 +26,10 @@ object Tables {
     * micros, and `unix_micros`/window arithmetic keep working.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every sf-dir query flows through here, so this is the one chokepoint
+    // that guarantees the native hash60 expression (TextFunctions.hash64's
+    // implementation since r18) resolves for any session (idempotent).
+    graft.functions.Hash60Expression.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>

@@ -25,8 +25,21 @@ object TextFunctions {
   /** Deterministic, oracle-reproducible 60-bit non-negative hash of `c`,
     * parameterized by `seed` (one seed per MinHash permutation). 15 hex chars
     * of md5 → always fits a signed long.
+    *
+    * Since r18 this routes through the native `hash60` expression
+    * ([[Hash60Expression]] — same md5, same 60 bits, one compiled call
+    * instead of the concat→md5→substring→conv→cast chain); callers must
+    * have `Hash60Expression.register(spark)` run first — `Tables.load`
+    * (every sf-dir query's entry) and the streaming routes do. The
+    * declarative form stays as [[hash64Decl]], the spec oracle.
     */
   def hash64(c: Column, seed: Int): Column =
+    call_function("hash60", c, lit(seed))
+
+  /** The pre-r18 declarative form of [[hash64]] — kept as the property-spec
+    * oracle for the native expression (ExpressionSpec pins equality).
+    */
+  def hash64Decl(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
 
   /** SQL rendering of [[hash64]] for the DuckDB oracle. */

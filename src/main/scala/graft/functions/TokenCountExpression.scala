@@ -97,7 +97,8 @@ object GraftExtensions {
   def injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(TokenCountExpression.functionDescription,
       DotProductExpression.functionDescription,
-      WordShinglesExpression.functionDescription)
+      WordShinglesExpression.functionDescription,
+      Hash60Expression.functionDescription)
 
   /** Install everything on an existing session (the runtime twin of the
     * `spark.sql.extensions` config path).
@@ -106,5 +107,6 @@ object GraftExtensions {
     TokenCountExpression.register(spark)
     DotProductExpression.register(spark)
     WordShinglesExpression.register(spark)
+    Hash60Expression.register(spark)
   }
 }

@@ -59,10 +59,17 @@ object RelationalQueries extends QueryModule {
     "q3_left_join" -> ((s, dir) => {
       val orders = t(s, dir, "orders").select("o_orderkey")
       val lineitem = t(s, dir, "lineitem").select("l_orderkey")
+      // aggregate BELOW the join (optimization r18; guide §2.3 "aggregate
+      // before you shuffle"): o_orderkey is unique in orders, so
+      // count-per-key over lineitem FIRST collapses the fact side to one
+      // row per key map-side — the join then moves per-key counts, never
+      // the lineitem row mass, and unmatched orders take n_items = 0
+      // exactly as count(l_orderkey) over the old left join did.
+      val perKey = lineitem.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("cnt"))
       orders
-        .join(lineitem, col("o_orderkey") === col("l_orderkey"), "left_outer")
-        .groupBy("o_orderkey")
-        .agg(count("l_orderkey").as("n_items"))
+        .join(perKey, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("n_items"))
         .groupBy("n_items")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("n_items")
@@ -228,13 +235,20 @@ object RelationalQueries extends QueryModule {
     // l_linenumber) is NOT unique in the synthetic data, so l_quantity
     // tie-breaks to make the projected columns deterministic.
     "q17_last_per_group" -> ((s, dir) => {
-      val w = Window.partitionBy("l_orderkey").orderBy(desc("l_linenumber"), desc("l_quantity"))
+      // max(struct) instead of a row_number window (optimization r18;
+      // guide §2.3): the window form shuffles and SORTS every lineitem row
+      // per group; max over struct(l_linenumber, l_quantity) — the same
+      // lexicographic (desc, desc) pick — runs as a hash aggregate with
+      // map-side partial maxes, so the exchange carries one row per key.
+      // Ties beyond (l_linenumber, l_quantity) are value-identical: only
+      // those two columns are projected.
       t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_orderkey"), col("l_linenumber").as("last_line"),
-          round(col("l_quantity"), 2).as("qty"))
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber"), col("l_quantity")).as("lr"))
+        .groupBy("l_orderkey")
+        .agg(max("lr").as("top"))
+        .select(col("l_orderkey"), col("top.l_linenumber").as("last_line"),
+          round(col("top.l_quantity"), 2).as("qty"))
         .orderBy("l_orderkey")
     }),
 

@@ -84,6 +84,33 @@ object TextQueries extends QueryModule {
   private def hashEmbedCore(s: SparkSession, dir: String): DataFrame = {
     val toksE = docs(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    // densify in ONE ObjectHashAggregate keyed on doc_id (optimization r18;
+    // guide §2.4): the pre-r18 form ran groupBy(doc_id, pos).sum →
+    // groupBy(doc_id) with a map build + 64 element_at probes — two
+    // exchanges for one densification. IndexedSumAggregator folds the token
+    // rows straight into a per-doc long[EmbedDim] map-side, so one exchange
+    // carries one fixed-size partial per (doc, partition). Bucket sums stay
+    // INTEGERS (order-free exact) — vi is bit-identical to the old form and
+    // the DuckDB oracle replays unchanged (Round18Spec pins new == old).
+    toksE.select(col("doc_id"),
+        (hash64(col("t"), EmbedBucketSeed) % EmbedDim).as("pos"),
+        when(hash64(col("t"), EmbedSignSeed) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy("doc_id")
+      .agg(graft.functions.IndexedSumAggregator.indexedSum(EmbedDim)(
+        col("pos"), col("sgn")).as("vi"))
+      .withColumn("nrm", sqrt(aggregate(col("vi"), lit(0.0),
+        (a, x) => a + (x * x).cast("double"))))
+      .filter(col("nrm") > 0)
+  }
+
+  /** The pre-r18 two-exchange densification — kept as the spec oracle for
+    * the [[graft.functions.IndexedSumAggregator]] form (Round18Spec pins
+    * bit-equality on the fixture corpus).
+    */
+  private[graft] def hashEmbedCoreDecl(s: SparkSession, dir: String): DataFrame = {
+    val toksE = docs(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val comp = toksE.select(col("doc_id"),
         (hash64(col("t"), EmbedBucketSeed) % EmbedDim).as("pos"),
         when(hash64(col("t"), EmbedSignSeed) % 2 === 0, 1L)
@@ -586,18 +613,26 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"),
           pmod(hash64(col("tok"), DsirSeed), lit(DsirBuckets)).as("b"))
       val isEval = col("doc_id") % EvalMod === EvalRes
-      val ct = tok.filter(isEval).groupBy("b").agg(count(lit(1)).as("ct"))
-      val cr = tok.filter(!isEval).groupBy("b").agg(count(lit(1)).as("cr"))
-      val totals = broadcast(
-        tok.agg(
-          sum(isEval.cast("long")).cast("double").as("nt"),
-          sum((!isEval).cast("long")).cast("double").as("nr")))
+      // ONE fit pass (optimization r18; guide §1.2/§2.4): ct, cr, nt, nr
+      // all derive from a single groupBy(b) over the token stream — the
+      // pre-r18 form ran THREE separate token passes (ct, cr, totals) plus
+      // the scoring pass, re-paying tokenize+md5 each time. counts is ≤
+      // DsirBuckets rows; the lineage cut materializes it so the totals
+      // aggregate and the weight table do not each recompute the pass.
+      val counts = tok.groupBy("b").agg(
+        sum(isEval.cast("long")).as("ct"),
+        sum((!isEval).cast("long")).as("cr")).cutLineage()
+      val totals = broadcast(counts.agg(
+        sum("ct").cast("double").as("nt"),
+        sum("cr").cast("double").as("nr")))
       // add-1 smoothing over the bucket space; single-division + single-log
-      // form shared with the oracle so both sides round identical doubles
-      val w = broadcast(cr.join(ct, Seq("b"), "left")
+      // form shared with the oracle so both sides round identical doubles.
+      // cr > 0 keeps the weight table on the buckets the old cr-side join
+      // produced (eval-only buckets never match a raw token anyway).
+      val w = broadcast(counts.filter(col("cr") > 0)
         .crossJoin(totals)
         .select(col("b"), round(log(
-          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") * (col("nr") + DsirBuckets)) /
+          ((col("ct") + 1).cast("double") * (col("nr") + DsirBuckets)) /
             ((col("cr") + 1).cast("double") * (col("nt") + DsirBuckets))), 9).as("w")))
       tok.filter(!isEval)
         .join(w, "b")
@@ -635,7 +670,17 @@ object TextQueries extends QueryModule {
         .select(col("lang"), explode(toks(col("text"))).as("tok"))
         .select(col("lang"), bucketOf(col("tok")).as("b"))
       // class priors from seed-doc counts; likelihoods from seed-token
-      // bucket counts, add-1 smoothed over the bucket space
+      // bucket counts, add-1 smoothed over the bucket space.
+      // MEASURED AND KEPT AS-IS (optimization r18): deriving ndAll = Σ nd /
+      // ntok = Σ nb from a lineage-cut single fit pass was tried both
+      // eager (0.78 → 1.12 s at sf1 — two extra serialized jobs ahead of
+      // the scoring pass) and lazy (1.47 s — the cut materializes inside
+      // the broadcast build, blocking the driver); the duplicated subtrees
+      // below run as PARALLEL stages of the one broadcast-build job, which
+      // beats both on every measured scale, so the "one pass" reshape is
+      // rejected on evidence (the q101 counterpart, whose duplicated pass
+      // fed the corpus-extent scoring join rather than a tiny broadcast,
+      // measured 2.2× FASTER — the difference is what consumes the pass).
       val docTotals = docs(s, dir).filter(isSeed)
         .groupBy("lang").agg(count(lit(1)).as("nd"))
         .crossJoin(broadcast(
@@ -1741,6 +1786,9 @@ object TextQueries extends QueryModule {
     * 60-bit shingle hashes.
     */
   private[graft] def docLines(d: DataFrame): DataFrame = {
+    // streaming twins reach this without passing Tables.load — make sure
+    // the native hash60 (inside hash64) resolves for d's session
+    graft.functions.Hash60Expression.register(d.sparkSession)
     // columns beyond (doc_id, text) pass through untouched — q152 carries
     // source; the shape stays strictly narrow either way
     val extras = d.columns.filter(c => c != "doc_id" && c != "text").map(col)

@@ -216,12 +216,14 @@ class StreamingDupClusters(val storeDir: String, buckets: Int = 64) {
     * split); once the component stops growing it equals the batch
     * assignment (StreamingSpec pins the equality after a full replay).
     */
-  def splitAssignments(spark: SparkSession, docIds: DataFrame): DataFrame =
+  def splitAssignments(spark: SparkSession, docIds: DataFrame): DataFrame = {
+    graft.functions.Hash60Expression.register(spark) // splitOf uses hash64
     docIds.select(col("doc_id"))
       .join(labels(spark), Seq("doc_id"), "left")
       .withColumn("rep_id", coalesce(col("cid"), col("doc_id")))
       .select(col("doc_id"), col("rep_id"),
         graft.queries.DedupQueries.splitOf(col("rep_id")).as("split"))
+  }
 
   /** Fold one micro-batch of near-dup pairs (columns `aId`, `bId`) into the
     * store. The foreachBatch body.

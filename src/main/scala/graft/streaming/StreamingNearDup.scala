@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextFunctions._
-import graft.functions.WordShinglesExpression
+import graft.functions.{Hash60Expression, WordShinglesExpression}
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
@@ -51,6 +51,7 @@ object StreamingNearDup {
     val spark = docs.sparkSession
     import spark.implicits._
     WordShinglesExpression.register(spark)
+    Hash60Expression.register(spark)
     val rowsPerBand = numHashes / numBands
     require(rowsPerBand * numBands == numHashes, "bands must tile the signature")
 

@@ -82,7 +82,8 @@ object StreamingPipeline {
     */
   def curationVerdicts(spark: org.apache.spark.sql.SparkSession,
     gateVerdicts: org.apache.spark.sql.DataFrame,
-    clusters: StreamingDupClusters): org.apache.spark.sql.DataFrame =
+    clusters: StreamingDupClusters): org.apache.spark.sql.DataFrame = {
+    graft.functions.Hash60Expression.register(spark) // splitOf uses hash64
     gateVerdicts
       .select(col("docId").as("doc_id"), col("reason"))
       .join(clusters.labels(spark), Seq("doc_id"), "left")
@@ -94,4 +95,5 @@ object StreamingPipeline {
       .select(col("doc_id"),
         (col("reason") === "kept").cast("int").as("keep"), col("reason"),
         graft.queries.DedupQueries.splitOf(col("rep_id")).as("split"))
+  }
 }

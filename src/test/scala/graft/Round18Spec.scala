@@ -260,4 +260,71 @@ class Round18Spec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$aud/run=0")),
       "probe must persist the audit run")
   }
+
+  // ---- optimization-round pins: every restructured query must stay
+  // bit-identical to its pre-r18 form (the oracle gate re-checks values
+  // against DuckDB; these pins additionally hold the *engine-side* old
+  // form so a regression is attributable without an oracle run) ----
+
+  test("IndexedSumAggregator == groupBy(pos).sum over random (pos, inc) rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(18)
+    val rows = (1 to 2000).map(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextLong(64).toLong, rnd.nextInt(7) - 3L))
+    val df = rows.toDF("g", "pos", "inc")
+    val agg = df.groupBy("g")
+      .agg(graft.functions.IndexedSumAggregator.indexedSum(64)(
+        col("pos"), col("inc")).as("vi"))
+      .select(col("g"), posexplode(col("vi")).as(Seq("pos", "s")))
+      .filter(col("s") =!= 0L)
+    val ref = df.groupBy("g", "pos").agg(sum("inc").as("s"))
+      .filter(col("s") =!= 0L)
+      .select(col("g"), col("pos").cast("int").as("pos"), col("s"))
+    assert(agg.exceptAll(ref).isEmpty && ref.exceptAll(agg).isEmpty,
+      "indexed sum diverged from the groupBy reference")
+    // out-of-range pos fails loudly, never silently drops
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq((0L, 64L, 1L)).toDF("g", "pos", "inc").groupBy("g")
+        .agg(graft.functions.IndexedSumAggregator.indexedSum(64)(
+          col("pos"), col("inc"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("q139's one-exchange embedder == the pre-r18 two-exchange form") {
+    val q139 = SparkEntry.queries("q139_hash_embed")(spark, sf0001)
+    val old = graft.queries.TextQueries.hashEmbedCoreDecl(spark, sf0001)
+      .select(col("doc_id"),
+        posexplode(transform(col("vi"),
+          x => round(x.cast("double") / col("nrm"), 6))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("comp"))
+    assert(q139.exceptAll(old).isEmpty && old.exceptAll(q139).isEmpty,
+      "q139 embedder diverged from the two-exchange reference")
+  }
+
+  test("q17's max(struct) == the pre-r18 row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    val q17 = SparkEntry.queries("q17_last_per_group")(spark, sf0001)
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(desc("l_linenumber"), desc("l_quantity"))
+    val old = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber").as("last_line"),
+        round(col("l_quantity"), 2).as("qty"))
+    assert(q17.exceptAll(old).isEmpty && old.exceptAll(q17).isEmpty,
+      "q17 aggregate form diverged from the window reference")
+  }
+
+  test("q3's aggregate-below-join == the pre-r18 join-then-count form") {
+    val q3 = SparkEntry.queries("q3_left_join")(spark, sf0001)
+    val old = Tables.load(spark, sf0001, "orders").select("o_orderkey")
+      .join(Tables.load(spark, sf0001, "lineitem").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy("o_orderkey").agg(count("l_orderkey").as("n_items"))
+      .groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+    assert(q3.exceptAll(old).isEmpty && old.exceptAll(q3).isEmpty,
+      "q3 pre-aggregated form diverged from the join-then-count reference")
+  }
 }
