@@ -90,24 +90,31 @@ object GraphEdges {
     val eNorm = edges.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
       .cutLineage()
+    // dangling flag computed ONCE (optimization r18): each superstep
+    // previously re-ran a pr ∖ outw anti-join (plus its broadcast build)
+    // just to sum the dangling mass; tagging the node table up front turns
+    // that into a filter over the already-checkpointed pr — same rows, same
+    // mass, three fewer join builds per run.
     val nodes = t.outputs.select(col("ergoTreeHash").as("node")).distinct()
+      .join(outw.select(col("src").as("node"), lit(true).as("hasOut")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
       .cutLineage()
     val nTot = nodes.agg(count(lit(1)).cast("double").as("n"))
     var pr = nodes.crossJoin(broadcast(nTot))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      .select(col("node"), col("hasOut"), (lit(1.0) / col("n")).as("pr"))
       .cutLineage()
     for (_ <- 1 to iters) {
-      val dangling = pr
-        .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+      val dangling = pr.filter(!col("hasOut"))
         .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
       val contrib = eNorm
-        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("pr")).as("cin"))
       pr = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nTot))
-        .select(col("node"),
+        .select(col("node"), col("hasOut"),
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("cin"), lit(0.0)) + col("dm") / col("n"))).as("pr"))
         .cutLineage()
@@ -141,6 +148,10 @@ object GraphEdges {
       .cutLineage()
     val seed = outw.orderBy(col("ow").desc, col("src")).limit(1)
       .select(col("src").as("node"))
+    // (optimization r18: pageRank's dangling-flag move was considered here
+    // too, but the frontier grows per hop, so re-deriving the flag costs
+    // the same left join the anti-join already pays — no structural win;
+    // left as-is on that analysis.)
     var taint = seed.withColumn("tn", lit(1.0)).cutLineage()
     for (_ <- 1 to hops) {
       val fwd = eNorm

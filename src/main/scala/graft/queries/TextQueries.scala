@@ -448,6 +448,11 @@ object TextQueries extends QueryModule {
     // TF-IDF top terms per document — the keyword-extraction stage. Term
     // counts collapse to (doc × distinct-term) before any window; the rank
     // window is partitioned by doc_id, so no global ordering ever forms.
+    // (optimization r18, measured and left alone: q79's shuffle_hash hint
+    // on the type-level df side was tried here — 8.8 s SMJ vs 9.7 s SHJ
+    // min-of-3 interleaved at sf10, SHJ med 2× worse under GC from the
+    // per-partition hash build — so the sort-merge join stays; the window
+    // itself already prunes to rank ≤ 3 map-side via WindowGroupLimit.)
     "q80_tfidf_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tf = docs(s, dir)
