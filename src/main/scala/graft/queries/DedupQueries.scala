@@ -673,6 +673,15 @@ object DedupQueries extends QueryModule {
     // boilerplate still crosses the fence. Scale shape: the line mass
     // collapses to distinct (split, h) in one pass; the train probe is an
     // h-keyed equi-join of two distinct line sets; rollup is ≤ 2 rows.
+    // (optimization r18, measured and REJECTED: folding the two join arms
+    // into one h-keyed collect_set(split) + per-row membership expansion —
+    // "one line-mass shuffle instead of the distinct planned twice" —
+    // measured SLOWER at every scale, interleaved min-of-5/3 in one JVM:
+    // sf1 1.84 → 2.33 s, sf1z 1.81 → 2.22 s, sf10 8.55 → 9.65 s. The two
+    // "duplicated" arms run as PARALLEL stages of one job (the q102
+    // one-pass-fit lesson), while collect_set pays a per-line Set
+    // allocation in an ObjectHashAggregate that cannot whole-stage-codegen
+    // — the distinct+join form stays.)
     "q162_split_line_leakage" -> ((s, dir) => {
       val splits = queries("q126_cluster_split")(s, dir)
         .select("doc_id", "split")

@@ -126,6 +126,40 @@ object TextQueries extends QueryModule {
       .filter(col("nrm") > 0)
   }
 
+  /** The pre-r18 q116 form (the full (doc, gram) occurrence stream joined
+    * back against the gram→first_doc table — a second shuffle of the gram
+    * mass) — retained solely as the Round18Spec equality reference for the
+    * one-shuffle restructure in the queries map.
+    */
+  private[graft] def gramNoveltyJoinForm(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShinglesExpression.register(s)
+    val pairs = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("g"))
+    val first = pairs.groupBy("g").agg(min("doc_id").as("first_doc"))
+    pairs.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-r18 q152 form (distinct (h, source) self-joined on h) —
+    * retained solely as the Round18Spec equality reference for the
+    * collect_set pair-expansion restructure in the queries map.
+    */
+  private[graft] def lineProvenanceJoinForm(s: SparkSession, dir: String): DataFrame = {
+    val ls = docLines(docs(s, dir).select("doc_id", "text", "source"))
+      .select("h", "source").distinct()
+    ls.as("a").join(ls.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_lines"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** The normalized 6-dp component array over [[hashEmbedCore]]'s
     * (vi, nrm) — the ONE arithmetic definition both surfaces share.
     */
@@ -798,25 +832,34 @@ object TextQueries extends QueryModule {
     // corpus by (high-novelty docs contribute new n-grams; low-novelty docs
     // mostly restate earlier ones). Reference scope: the text-analysis
     // fingerprint family (SURVEY §2.8); no uexplorer analog — pipeline op.
-    // Scale shape: distinct grams stay inside the per-row native shingle
-    // kernel; the corpus then moves through exactly two keyed shuffles
-    // (gram → min doc_id, then doc_id roll-up). The gram→first_doc join is
-    // shuffle-on-gram against an aggregate already partitioned by gram, so
-    // no replanning at 100× — no broadcast of an unbounded side anywhere.
+    // Scale shape (r18 restructure): the old form joined the full
+    // (doc, gram) occurrence stream back against the gram→min(doc) table —
+    // a SECOND shuffle of the gram mass just to test first_doc == doc_id.
+    // But both outputs are derivable without that join: n_grams is the
+    // shingle-array SIZE (the native kernel already dedups per doc), and
+    // novel_grams is a count of gram TYPES grouped by their min doc_id —
+    // so the gram mass crosses the wire exactly once (the min agg, with
+    // map-side partials) and everything after is type- or doc-keyed.
+    // Round18Spec pins this ≡ the old join form (gramNoveltyJoinForm).
     "q116_gram_novelty" -> ((s, dir) => {
       graft.functions.WordShinglesExpression.register(s)
-      val pairs = docs(s, dir)
-        .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("g"))
-      val first = pairs.groupBy("g").agg(min("doc_id").as("first_doc"))
-      pairs.join(first, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("novel_grams"))
+      val base = docs(s, dir)
+        .select(col("doc_id"), shingles(toks(col("text")), 3).as("gs"))
+        .withColumn("n_grams", size(col("gs")).cast("long"))
+        .filter(col("n_grams") >= 1)
+      val novel = base
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+        .groupBy("g").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("novel_grams"))
+      base.select("doc_id", "n_grams")
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
         .withColumn("novelty",
           round(col("novel_grams").cast("double") / col("n_grams"), 4))
         .orderBy("doc_id")
     }),
+
 
     // DUP-SPAN COALESCING: q98 marks duplicated fixed-width windows; this
     // merges each doc's overlapping/adjacent duplicate windows into MAXIMAL
@@ -1149,17 +1192,23 @@ object TextQueries extends QueryModule {
     // boilerplate shared-line counts per source pair, completing the
     // provenance trio (q106 = lexical doc near-dup, q140 = semantic doc
     // overlap, this = verbatim line reuse, the strongest copying signal).
-    // Shape: the line mass collapses to DISTINCT (h, source) in one
-    // map-side-combined pass; the pair join is a self equi-join on the
-    // line hash whose per-group fan-out is bounded by |sources| (a line
-    // appears once per source after the distinct), and the matrix rollup
-    // is ≤ |sources|² rows.
+    // Shape (r18 restructure): the old form materialized DISTINCT
+    // (h, source) and then SELF-JOINED it on h — the line mass crossed
+    // the wire once for the distinct and twice more for the join sides.
+    // But the pair fan-out per line is bounded by |sources|, so ONE
+    // h-keyed collect_set (map-side partials collapse within-partition
+    // repeats) yields each line's source set, and the i<j pairs expand
+    // per ROW with no join at all; the matrix rollup stays ≤ |sources|²
+    // rows. Round18Spec pins this ≡ the old self-join form.
     "q152_line_provenance" -> ((s, dir) => {
-      val ls = docLines(docs(s, dir).select("doc_id", "text", "source"))
-        .select("h", "source").distinct()
-      ls.as("a").join(ls.as("b"),
-          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      val ss = docLines(docs(s, dir).select("doc_id", "text", "source"))
+        .groupBy("h")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+      ss.select(explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("n_shared_lines"))
         .orderBy("src_a", "src_b")
     }),

@@ -317,6 +317,22 @@ class Round18Spec extends AnyFunSuite {
       "q17 aggregate form diverged from the window reference")
   }
 
+  test("q116's one-shuffle novelty == the pre-r18 occurrence-join form") {
+    val q116 = SparkEntry.queries("q116_gram_novelty")(spark, sf0001)
+    val old = graft.queries.TextQueries.gramNoveltyJoinForm(spark, sf0001)
+    assert(q116.exceptAll(old).isEmpty && old.exceptAll(q116).isEmpty,
+      "q116 type-table form diverged from the occurrence-join reference")
+    assert(q116.count() > 0)
+  }
+
+  test("q152's collect_set pair expansion == the pre-r18 self-join form") {
+    val q152 = SparkEntry.queries("q152_line_provenance")(spark, sf0001)
+    val old = graft.queries.TextQueries.lineProvenanceJoinForm(spark, sf0001)
+    assert(q152.exceptAll(old).isEmpty && old.exceptAll(q152).isEmpty,
+      "q152 pair-expansion form diverged from the self-join reference")
+    assert(q152.count() > 0)
+  }
+
   test("q3's aggregate-below-join == the pre-r18 join-then-count form") {
     val q3 = SparkEntry.queries("q3_left_join")(spark, sf0001)
     val old = Tables.load(spark, sf0001, "orders").select("o_orderkey")
