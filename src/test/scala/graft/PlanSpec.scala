@@ -441,18 +441,27 @@ class PlanSpec extends AnyFunSuite {
       s"sessionize must be a single user_id shuffle ($exchanges hash exchanges):\n$plan")
   }
 
-  test("gram novelty is keyed equi-ops: gram join + two hash aggregates, no nested loop") {
+  test("gram novelty: the gram mass crosses one exchange (min agg), the " +
+    "occurrence stream never joins, and the doc join keys on doc_id") {
     val plan = planOf("q116_gram_novelty")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"novelty must stay an equi-join:\n$plan")
-    // the join must key on the gram itself (equi-join the planner can
-    // shuffle-partition at corpus scale; at sf0.001 stats make the
-    // aggregated side broadcast, which is equally keyed)
-    assert(plan.contains("Join [g#") || "Join \\[g".r.findFirstIn(plan).isDefined,
-      s"gram join must key on g:\n$plan")
-    // first_doc comes from a real aggregate under the join, not a rescan fed
-    // window: the plan carries a partial_min/min(doc_id) aggregate pair
+      s"novelty must stay keyed:\n$plan")
+    // r18 restructure: the pre-r18 pin required the gram-keyed JOIN of the
+    // occurrence stream against the first_doc aggregate; that join is now
+    // GONE by design — novel_grams is a doc-keyed count over the gram-TYPE
+    // table and the only join left is the doc_id left join onto the
+    // (doc_id, n_grams) pass (Round18Spec pins value-equality to the old
+    // form; gramNoveltyJoinForm retains it)
+    assert(!("Join \\[g#".r.findFirstIn(plan).isDefined),
+      s"the gram-keyed occurrence join must stay gone:\n$plan")
+    assert("Join \\[doc_id#".r.findFirstIn(plan).isDefined ||
+      plan.contains("Join [doc_id"),
+      s"doc join must key on doc_id:\n$plan")
+    // first_doc still comes from a real aggregate: partial_min/min(doc_id)
+    // under exactly one gram-keyed exchange
     assert(plan.contains("min(doc_id"), s"first-doc aggregate missing:\n$plan")
+    assert("Exchange hashpartitioning\\(g#".r.findAllIn(plan).size == 1,
+      s"gram mass must cross exactly one exchange:\n$plan")
   }
 
   test("dup-span coalescing: hash-keyed joins, island window partitioned by doc") {
