@@ -226,6 +226,122 @@ object SimilarityQueries extends QueryModule {
     import spark.implicits._
     // strictly below every double that 4-dp-rounds to ≥ NearDupTau
     val preTau = NearDupTau - 1e-4
+    // r19: per-pair int8 certified prune INSIDE the kernel (the q140 bound,
+    // without r17's measured-slower staged join restructure): each cohort
+    // member is int8-coded ONCE at load (q_i = round(v_i/sc), sc = max|v|/127,
+    // u = sc/n, err = ‖v−sc·q‖/n — [[withInt8Codes]]'s arithmetic), and every
+    // i<j pair first evaluates the certified upper bound
+    // ua·ub·dotq + (1+ea)·eb + ea — an INTEGER dot (1-cycle add chain) vs the
+    // serial-FMA double dot. Only pairs whose bound clears [[certBound]] pay
+    // the exact left-to-right double dot, which is bit-identical to the
+    // unfiltered kernel (same accumulation order, merely skipped when the
+    // bound certifies the 4-dp gate cannot pass) — so survivors, and the
+    // DuckDB oracles, are unchanged (Round19Spec pins ≡ the retained
+    // [[neardupPairsExactRef]]). The prune fires only on a FINITE bound
+    // strictly below certBound (`!(bnd < bound)` falls through on NaN), so
+    // zero-norm/zero-vector members keep their exact-path behaviour.
+    val bound = certBound(NearDupTau)
+    assigned.select(col("c_id"), col("vec_id"), col("v"), col("n"))
+      .as[(Long, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray
+        val m = ms.length
+        val ids = new Array[Long](m)
+        val vs = new Array[Array[Double]](m)
+        val ns = new Array[Double](m)
+        val qs = new Array[Array[Byte]](m)
+        val us = new Array[Double](m)
+        val es = new Array[Double](m)
+        var x = 0
+        while (x < m) {
+          val t = ms(x)
+          ids(x) = t._2
+          val v = t._3.toArray
+          vs(x) = v
+          ns(x) = t._4
+          var ma = 0.0
+          var d = 0
+          while (d < v.length) {
+            val a = math.abs(v(d)); if (a > ma) ma = a; d += 1
+          }
+          if (ma > 0.0 && ns(x) > 0.0) {
+            val sc = ma / 127.0
+            val q = new Array[Byte](v.length)
+            var e2 = 0.0
+            d = 0
+            while (d < v.length) {
+              val qi = Math.round(v(d) / sc).toInt
+              q(d) = qi.toByte
+              val r = v(d) - qi * sc
+              e2 += r * r
+              d += 1
+            }
+            qs(x) = q; us(x) = sc / ns(x); es(x) = math.sqrt(e2) / ns(x)
+          } else {
+            // degenerate member (zero vector / zero norm): NaN err keeps the
+            // bound NaN so the prune never fires and the exact path decides
+            qs(x) = new Array[Byte](v.length); us(x) = 0.0; es(x) = Double.NaN
+          }
+          x += 1
+        }
+        new Iterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = 1
+          private var nextPair: (Long, Long, Double) = null
+          private def advance(): Unit = {
+            nextPair = null
+            while (nextPair == null && i < m - 1) {
+              val idA = ids(i); val va = vs(i); val na = ns(i)
+              val qa = qs(i); val ua = us(i); val ea = es(i)
+              while (nextPair == null && j < m) {
+                val qb = qs(j)
+                var dotq = 0L
+                var d = 0
+                val qdim = math.min(qa.length, qb.length)
+                while (d < qdim) { dotq += qa(d) * qb(d); d += 1 }
+                val bnd = ua * us(j) * dotq + (1.0 + ea) * es(j) + ea
+                if (!(bnd < bound)) {
+                  val vb = vs(j)
+                  var dp = 0.0
+                  d = 0
+                  val dim = math.min(va.length, vb.length)
+                  while (d < dim) { dp += va(d) * vb(d); d += 1 }
+                  val cos = dp / (na * ns(j))
+                  if (cos > preTau) {
+                    val rcos = java.math.BigDecimal.valueOf(cos)
+                      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+                    if (rcos >= NearDupTau) {
+                      val idB = ids(j)
+                      nextPair =
+                        if (idA < idB) (idA, idB, rcos) else (idB, idA, rcos)
+                    }
+                  }
+                }
+                j += 1
+              }
+              if (j >= m) { i += 1; j = i + 1 }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = nextPair != null
+          override def next(): (Long, Long, Double) = {
+            val r = nextPair; advance(); r
+          }
+        }
+      }
+      .toDF("a_id", "b_id", "cos_sim")
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The r18 kernel (no int8 prune), retained as the Round19Spec equality
+    * oracle for [[neardupPairsExact]] — never on a query path.
+    */
+  private[graft] def neardupPairsExactRef(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val preTau = NearDupTau - 1e-4
     assigned.select(col("c_id"), col("vec_id"), col("v"), col("n"))
       .as[(Long, Long, Seq[Double], Double)]
       .groupByKey(_._1)

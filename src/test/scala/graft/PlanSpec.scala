@@ -458,10 +458,14 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("Join [doc_id"),
       s"doc join must key on doc_id:\n$plan")
     // first_doc still comes from a real aggregate: partial_min/min(doc_id)
-    // under exactly one gram-keyed exchange
+    // under a gram-keyed exchange. The REAL invariant is "a gram exchange
+    // exists and the gram join does not" (asserted above) — an exact ==1
+    // count was brittle against explain-format changes that legitimately
+    // print the same exchange twice (numbered detail sections, AQE reuse),
+    // so the count pins ≥ 1 instead (r18 ADVICE).
     assert(plan.contains("min(doc_id"), s"first-doc aggregate missing:\n$plan")
-    assert("Exchange hashpartitioning\\(g#".r.findAllIn(plan).size == 1,
-      s"gram mass must cross exactly one exchange:\n$plan")
+    assert("Exchange hashpartitioning\\(g#".r.findAllIn(plan).size >= 1,
+      s"gram min-agg exchange missing:\n$plan")
   }
 
   test("dup-span coalescing: hash-keyed joins, island window partitioned by doc") {
