@@ -27,9 +27,13 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every sf-dir query flows through here, so this is the one chokepoint
-    // that guarantees the native hash60 expression (TextFunctions.hash64's
-    // implementation since r18) resolves for any session (idempotent).
+    // that guarantees the native expressions backing the shared Column
+    // helpers resolve for any session (idempotent): hash60 (hash64's
+    // implementation since r18), word_bigrams (TextFunctions.bigrams since
+    // r19), line_structs (the docLines geometry since r19).
     graft.functions.Hash60Expression.register(spark)
+    graft.functions.WordBigramsExpression.register(spark)
+    graft.functions.LineStructsExpression.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>

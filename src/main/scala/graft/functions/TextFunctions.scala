@@ -56,11 +56,26 @@ object TextFunctions {
     call_function("word_shingles", tokens, lit(n))
 
   /** Sliding (non-distinct) word bigrams, [] for single-token docs — the
-    * phrase stream the blocklist screens (q103, q108, the streaming gate)
-    * match against. Guarded: Spark's `sequence(1, 0)` DESCENDS and
-    * `element_at(tk, 0)` throws, so the < 2-token case is explicit.
+    * phrase stream of the bigram LM (q79), PMI collocations (q160) and the
+    * blocklist screens (q103, q108, the streaming gate).
+    *
+    * Since r19 this routes through the native `word_bigrams` expression
+    * ([[WordBigramsExpression]] — same strings, one compiled loop instead
+    * of the interpreted transform/element_at chain); callers must have
+    * `WordBigramsExpression.register(spark)` run first — `Tables.load`
+    * (every sf-dir query's entry) and the streaming routes do.
+    * [[bigramsHof]] is the retained declarative reference the spec pins
+    * against.
     */
   def bigrams(tokens: Column): Column =
+    call_function("word_bigrams", tokens)
+
+  /** The pre-r19 declarative form of [[bigrams]] — kept as the property-
+    * spec oracle for the native expression. Guarded: Spark's
+    * `sequence(1, 0)` DESCENDS and `element_at(tk, 0)` throws, so the
+    * < 2-token case is explicit.
+    */
+  def bigramsHof(tokens: Column): Column =
     when(size(tokens) >= 2,
       transform(sequence(lit(1), size(tokens) - 1),
         i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1))))

@@ -98,7 +98,10 @@ object GraftExtensions {
     Seq(TokenCountExpression.functionDescription,
       DotProductExpression.functionDescription,
       WordShinglesExpression.functionDescription,
-      Hash60Expression.functionDescription)
+      Hash60Expression.functionDescription,
+      WordBigramsExpression.functionDescription,
+      LineStructsExpression.functionDescription,
+      CharPairsExpression.functionDescription)
 
   /** Install everything on an existing session (the runtime twin of the
     * `spark.sql.extensions` config path).
@@ -108,5 +111,8 @@ object GraftExtensions {
     DotProductExpression.register(spark)
     WordShinglesExpression.register(spark)
     Hash60Expression.register(spark)
+    WordBigramsExpression.register(spark)
+    LineStructsExpression.register(spark)
+    CharPairsExpression.register(spark)
   }
 }

@@ -440,10 +440,12 @@ object TextQueries extends QueryModule {
       val base = docs(s, dir)
         .select(col("doc_id"), tk.as("tk"))
         .filter(size(col("tk")) >= 2)
+      // r19: native word_bigrams kernel (same strings as the old inline
+      // transform/element_at chain — concat with a single space — but
+      // compiled; the HOF pass measured 2.0–2.5 s per evaluation at sf10
+      // and this plan evaluates it twice)
       val bigrams = base.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 1),
-          i => concat(element_at(col("tk"), i), lit(" "),
-            element_at(col("tk"), i + lit(1))))).as("bg"))
+        explode(graft.functions.TextFunctions.bigrams(col("tk"))).as("bg"))
       // corpus counts aggregate the RAW occurrence stream (map-side combine
       // collapses to bigram types per partition before the shuffle); the
       // vocab size is the row count of the unigram-type table (no second
@@ -487,6 +489,15 @@ object TextQueries extends QueryModule {
     // min-of-3 interleaved at sf10, SHJ med 2× worse under GC from the
     // per-partition hash build — so the sort-merge join stays; the window
     // itself already prunes to rank ≤ 3 map-side via WindowGroupLimit.)
+    // (optimization r19, measured and REJECTED: per-doc top-3 via
+    // collect_list + array_sort + slice instead of the rank window —
+    // value-identical (was spec-pinned), but SLOWER interleaved min-of-3
+    // in one JVM: sf10 5.46 → 6.15 s, sf10z 9.43 → 11.09 s. The window's
+    // WindowGroupLimit already prunes to 3 rows per doc map-side BEFORE
+    // the doc exchange, while the ObjectHashAggregate form ships every
+    // (doc, term) struct into per-doc list allocations outside
+    // whole-stage codegen — the q162/q102 lesson again. The window form
+    // stays; q96's identical shape is left alone on the same evidence.)
     "q80_tfidf_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tf = docs(s, dir)
@@ -804,10 +815,13 @@ object TextQueries extends QueryModule {
     // word-frequency table. One explode + one count shuffle with map-side
     // partials; top-k is TakeOrdered over the tiny pair table.
     "q111_bpe_merge_pairs" -> ((s, dir) => {
+      // r19: native char_pairs kernel (same substrings — substringSQL is
+      // substr's character arithmetic — replacing the interpreted
+      // transform/substr chain; ExpressionSpec pins equality)
+      graft.functions.CharPairsExpression.register(s)
       val w = docs(s, dir).select(explode(toks(col("text"))).as("w"))
         .filter(length(col("w")) >= 2)
-      w.select(explode(transform(sequence(lit(1), length(col("w")) - 1),
-          i => col("w").substr(i, lit(2)))).as("pair"))
+      w.select(explode(call_function("char_pairs", col("w"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(MergeTopK)
@@ -841,6 +855,12 @@ object TextQueries extends QueryModule {
     // so the gram mass crosses the wire exactly once (the min agg, with
     // map-side partials) and everything after is type- or doc-keyed.
     // Round18Spec pins this ≡ the old join form (gramNoveltyJoinForm).
+    // KNOWN duplication (r18 ADVICE, noted rather than restructured):
+    // Catalyst collapses the gs projection, so the native shingle kernel
+    // evaluates ~3× per doc here (pushed filter + n_grams projection +
+    // the novel subtree's second scan). The kernel is compiled and this
+    // query is 0.4–0.8 s at sf10; pinning gs behind a materialization
+    // boundary would cost more than the duplicate evaluations save.
     "q116_gram_novelty" -> ((s, dir) => {
       graft.functions.WordShinglesExpression.register(s)
       val base = docs(s, dir)
@@ -859,7 +879,6 @@ object TextQueries extends QueryModule {
           round(col("novel_grams").cast("double") / col("n_grams"), 4))
         .orderBy("doc_id")
     }),
-
 
     // DUP-SPAN COALESCING: q98 marks duplicated fixed-width windows; this
     // merges each doc's overlapping/adjacent duplicate windows into MAXIMAL
@@ -1139,9 +1158,12 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("n_kept"), sum("ntk").as("kept_tokens"))
       docs(s, dir)
         // per-doc line count from the SAME geometry definition (size of
-        // the line array — still narrow arithmetic, no explode, no shuffle)
+        // the native line_structs array — still narrow arithmetic, no
+        // explode, no shuffle; one line per struct, so the count is
+        // identical to size(lineArrays))
         .select(col("doc_id"),
-          size(lineArrays(col("text"))).cast("long").as("n_lines"))
+          size(call_function("line_structs", col("text"), lit(LineTokens)))
+            .cast("long").as("n_lines"))
         .join(kept, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_lines"),
           (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
@@ -1406,9 +1428,9 @@ object TextQueries extends QueryModule {
       // the 50k-type fixture (measured 36 s min / 76 s GC-contended med;
       // totals-from-scan below took the query to ~1/5th of that)
       val cb = base.select(
-          explode(transform(sequence(lit(1), size(col("tk")) - 1),
-            i => concat(element_at(col("tk"), i), lit(" "),
-              element_at(col("tk"), i + lit(1))))).as("bigram"))
+          // r19: native word_bigrams kernel (same strings, compiled — see
+          // q79)
+          explode(graft.functions.TextFunctions.bigrams(col("tk"))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .filter(col("n") >= MinColloc)
       // the unigram table IS consumed twice (w1/w2 join arms hash-partition
@@ -1815,13 +1837,26 @@ object TextQueries extends QueryModule {
     * ONE definition: [[docLines]] (q142/q152/StreamingLineDedup) and
     * q142's per-doc line count both read it, so the batch and streaming
     * twins cannot diverge on what a "line" is (r12 verdict item 2).
+    *
+    * Since r19 the QUERY path rides the native `line_structs` kernel
+    * ([[graft.functions.LineStructsExpression]] — same geometry with the
+    * per-line join/count fused); this declarative form is RETAINED as the
+    * property-spec oracle the native kernel is pinned against
+    * (ExpressionSpec), exactly like shinglesHof/hash64Decl.
     */
-  private[graft] def lineArrays(text: Column): Column = {
+  private[graft] def lineArrays(text: Column): Column =
+    lineArraysAt(text, LineTokens)
+
+  /** [[lineArrays]] at an explicit window width — the parameterized form
+    * the ExpressionSpec pin sweeps (the native kernel takes the width as
+    * its second argument).
+    */
+  private[graft] def lineArraysAt(text: Column, lineTokens: Int): Column = {
     val tk = toks(text)
     val winLines = transform(
       sequence(lit(0), greatest(lit(0),
-        ceil(size(tk).cast("double") / LineTokens).cast("int") - 1)),
-      i => slice(tk, i * LineTokens + 1, lit(LineTokens)))
+        ceil(size(tk).cast("double") / lineTokens).cast("int") - 1)),
+      i => slice(tk, i * lineTokens + 1, lit(lineTokens)))
     val nlLines = filter(
       transform(split(text, "\n"),
         l => filter(split(trim(l), "\\s+"), t => t =!= lit(""))),
@@ -1841,17 +1876,29 @@ object TextQueries extends QueryModule {
     */
   private[graft] def docLines(d: DataFrame): DataFrame = {
     // streaming twins reach this without passing Tables.load — make sure
-    // the native hash60 (inside hash64) resolves for d's session
+    // the native hash60 (inside hash64) and line_structs resolve for d's
+    // session
     graft.functions.Hash60Expression.register(d.sparkSession)
+    graft.functions.LineStructsExpression.register(d.sparkSession)
     // columns beyond (doc_id, text) pass through untouched — q152 carries
     // source; the shape stays strictly narrow either way
+    // r19: the line pass is the native `line_structs` kernel — one compiled
+    // pass emits each line's pre-joined string + token count, replacing the
+    // interpreted lineArrays HOF chain PLUS the per-line concat_ws re-join
+    // and size() (ls ≡ concat_ws(' ', lt) and ntk ≡ size(lt) by
+    // construction; ExpressionSpec property-pins the kernel against the
+    // retained declarative lineArrays, and the oracle SQL is untouched).
+    // Measured r19 sf10: the declarative line pass was 3.4 s and full
+    // docLines 6.5 s — ≈ all of q158 and most of q142/q152/q162.
     val extras = d.columns.filter(c => c != "doc_id" && c != "text").map(col)
-    d.select(col("doc_id") +: lineArrays(col("text")).as("lns") +: extras: _*)
+    d.select(col("doc_id") +:
+        call_function("line_structs", col("text"), lit(LineTokens)).as("lns") +:
+        extras: _*)
       .select(col("doc_id") +:
         posexplode(col("lns")).as(Seq("idx", "lt")) +: extras: _*)
       .select(col("doc_id") +: col("idx") +:
-        hash64(concat_ws(" ", col("lt")), LineSeed).as("h") +:
-        size(col("lt")).cast("long").as("ntk") +:
+        hash64(col("lt.ls"), LineSeed).as("h") +:
+        col("lt.ntk").cast("long").as("ntk") +:
         // the rank encoding owns 10⁶ line slots per doc (8M tokens at
         // L=8). A doc beyond that would silently spill into the next
         // doc's rank space and misattribute ownership on BOTH engines

@@ -58,6 +58,9 @@ object StreamingCleanExport {
       s"blocklist phrases must be 1 or 2 words: " +
         blocklist.filter(_.trim.split("\\s+").length > 2).mkString(", "))
     import docs.sparkSession.implicits._
+    // streaming route bypasses Tables.load — register the native bigram
+    // kernel behind TextFunctions.bigrams (r19)
+    graft.functions.WordBigramsExpression.register(docs.sparkSession)
     val uni = blocklist.filter(!_.contains(' '))
     val bi = blocklist.filter(_.contains(' '))
     val tk = toks(col("text"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductExpression, GraftExtensions, Hash60Expression, TokenCountExpression, WordShinglesExpression}
+import graft.functions.{DotProductExpression, GraftExtensions, Hash60Expression, LineStructsExpression, TokenCountExpression, WordBigramsExpression, WordShinglesExpression}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -18,7 +18,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val byName = GraftExtensions.injections
       .map(i => i._1.funcName -> i._3).toMap
     assert(byName.keySet ==
-      Set("token_count", "vec_dot", "word_shingles", "hash60"))
+      Set("token_count", "vec_dot", "word_shingles", "hash60",
+        "word_bigrams", "line_structs", "char_pairs"))
     assert(byName("token_count")(Seq(Literal("a b")))
       .isInstanceOf[TokenCountExpression])
     assert(byName("vec_dot")(Seq(Literal(Array(1.0)), Literal(Array(1.0))))
@@ -27,6 +28,96 @@ class ExtensionsSpec extends AnyFunSuite {
       .isInstanceOf[WordShinglesExpression])
     assert(byName("hash60")(Seq(Literal("x"), Literal(1)))
       .isInstanceOf[Hash60Expression])
+    assert(byName("word_bigrams")(Seq(Literal("a b")))
+      .isInstanceOf[WordBigramsExpression])
+    assert(byName("line_structs")(Seq(Literal("a b"), Literal(8)))
+      .isInstanceOf[LineStructsExpression])
+    assert(byName("char_pairs")(Seq(Literal("ab")))
+      .isInstanceOf[graft.functions.CharPairsExpression])
+  }
+
+  test("char_pairs == the declarative transform/substr form, bit for bit, " +
+    "over adversarial words") {
+    import TestSpark.spark.implicits._
+    graft.functions.CharPairsExpression.register(spark)
+    val samples = Seq("", "a", "ab", "abc", "aaaa", "héllo", "日本語テキスト",
+      "a日b", "𝕏𝕐ℤ", "x" * 300, "  ", "a b") ++
+      (0 until 200).map(i => s"w${i}tok${(i * 13) % 97}")
+    val df = samples.toDF("w")
+    val bad = df.select(
+      call_function("char_pairs", col("w")).as("native"),
+      when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>")).as("decl"))
+      .filter(col("native") =!= col("decl") ||
+        col("native").isNull =!= col("decl").isNull)
+      .count()
+    assert(bad == 0, "char_pairs diverged from the declarative form")
+  }
+
+  test("word_bigrams == the declarative transform/element_at form, " +
+    "bit for bit, over adversarial token arrays") {
+    import graft.functions.TextFunctions
+    import TestSpark.spark.implicits._
+    WordBigramsExpression.register(spark)
+    val samples: Seq[Seq[String]] = Seq(
+      Seq.empty, Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq(""), Seq("", ""), Seq("", "a", ""), Seq("a", "", "b"),
+      Seq("héllo", "wörld", "日本語"), Seq("x" * 500, "y" * 500),
+      Seq("same", "same", "same")) ++
+      (0 until 200).map(i => (0 to i % 12).map(j => s"t${(i * 7 + j) % 40}"))
+    val df = samples.toDF("tk")
+    val bad = df.select(
+      TextFunctions.bigrams(col("tk")).as("native"),
+      TextFunctions.bigramsHof(col("tk")).as("decl"))
+      .filter(col("native") =!= col("decl") ||
+        col("native").isNull =!= col("decl").isNull)
+      .count()
+    assert(bad == 0, "word_bigrams diverged from the declarative form")
+    // null propagates
+    val nullRow = Seq[Option[Seq[String]]](None).toDF("tk")
+      .select(TextFunctions.bigrams(col("tk")).as("b")).head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("line_structs == the declarative lineArrays mapped through " +
+    "struct(concat_ws, size), bit for bit, over adversarial docs") {
+    import TestSpark.spark.implicits._
+    LineStructsExpression.register(spark)
+    val samples = Seq(
+      "", " ", "  ", "\t", "\n", "\n\n", "a", "a b c",
+      "a b c d e f g h i j k l",              // multiple windows at L=8
+      "  leading and trailing  ",
+      "\tlead-tab middle\ttab",
+      "line one\nline two",
+      "line one\n\nline three",                // empty middle line dropped
+      "\nstarts with newline",
+      "ends with newline\n",
+      "crlf line\r\nnext",                     // \r survives trim, dies in \s+
+      "  spaced line  \n\tother\t\n   \n",
+      "héllo wörld\n日本語 テキスト",
+      ("tok " * 100).trim,                     // 100 tokens → 13 windows
+      "single\nword\nper\nline",
+      "a  b   c\nd\te f") ++
+      (0 until 100).map(i => (0 to i % 9).map(j => s"w${(i + j) % 23}")
+        .mkString(if (i % 3 == 0) "\n" else " "))
+    val df = samples.toDF("text")
+    for (l <- Seq(1, 3, 8)) {
+      // compare per-field arrays (struct equality would trip on field-name
+      // type checks): joined strings AND token counts, order included
+      val native = call_function("line_structs", col("text"), lit(l))
+      val declArr = graft.queries.TextQueries.lineArraysAt(col("text"), l)
+      val bad = df.select(
+        transform(native, st => st.getField("ls")).as("nls"),
+        transform(native, st => st.getField("ntk")).as("nntk"),
+        transform(declArr, a => concat_ws(" ", a)).as("dls"),
+        transform(declArr, a => size(a)).as("dntk"))
+        .filter(col("nls") =!= col("dls") || col("nntk") =!= col("dntk"))
+      val badRows = bad.collect()
+      assert(badRows.isEmpty,
+        s"line_structs diverged at L=$l: ${badRows.take(3).mkString("; ")}")
+    }
   }
 
   test("hash60 == the pre-r18 declarative md5/conv form, bit for bit") {
@@ -74,6 +165,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s2.sql("SELECT hash60('join', 1391)").head.getLong(0) ==
       s2.sql("SELECT CAST(conv(substring(md5(concat('1391:', 'join')), 1, 15)," +
         " 16, 10) AS BIGINT)").head.getLong(0))
+    assert(s2.sql(
+      "SELECT word_bigrams(split('a b c', ' '))").head.getSeq[String](0) ==
+      Seq("a b", "b c"))
+    assert(s2.sql(
+      "SELECT line_structs('a b c', 2)").head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getInt(1))) == Seq(("a b", 2), ("c", 1)))
     // idempotent: a second install must not throw or change resolution
     GraftExtensions.registerAll(s2)
     assert(s2.sql("SELECT token_count('x')").head.getInt(0) == 1)
